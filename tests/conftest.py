@@ -1,0 +1,20 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+This is the standard JAX way to test pjit/shard_map/collectives without TPU
+pod hardware (SURVEY.md §4). Kernels that are Pallas-based run in interpret
+mode on CPU via their own `interpret=` plumbing.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets axon (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
