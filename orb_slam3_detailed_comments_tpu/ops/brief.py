@@ -1,0 +1,94 @@
+"""Keypoint orientation (intensity centroid) + rotated-BRIEF descriptors.
+
+Replaces IC_Angle and computeOrbDescriptor (reference: src/ORBextractor.cc:91,
+150, 206 — the bit_pattern_31_ table). Instead of copying the reference's
+learned pattern table, the 256 sampling pairs are drawn once from the BRIEF
+paper's isotropic Gaussian (sigma = patch/5) with a fixed seed, clipped to the
+13-px radius the reference pattern also lives in. Matching is always
+descriptor-vs-descriptor from this same extractor, so the pattern only needs
+to be discriminative, not bit-compatible with OpenCV.
+
+All sampling is batched: [N_kp, n_samples] gathers on the (blurred) level
+image, bit-packing into uint32[8] lanes (256 bits).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HALF_PATCH = 15  # orientation patch radius (reference: ORBextractor.cc:76-78)
+PATTERN_RADIUS = 13  # BRIEF sample clip radius; rotated stays inside 19-px edge
+N_BITS = 256
+
+
+def _make_pattern(seed: int = 31) -> np.ndarray:
+    """[256, 4] float32: (x1, y1, x2, y2) sample offsets."""
+    rng = np.random.default_rng(seed)
+    sigma = (2 * PATTERN_RADIUS + 1) / 5.0
+    pts = rng.normal(0.0, sigma, size=(N_BITS, 4)).astype(np.float32)
+    return np.clip(pts, -PATTERN_RADIUS, PATTERN_RADIUS)
+
+
+PATTERN = _make_pattern()
+
+# circular mask row extents for the orientation patch (like umax in reference)
+_ys, _xs = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
+_CIRC_MASK = (_ys * _ys + _xs * _xs <= HALF_PATCH * HALF_PATCH).astype(np.float32)
+_WX = (_xs * _CIRC_MASK).astype(np.float32)
+_WY = (_ys * _CIRC_MASK).astype(np.float32)
+
+
+def _gather(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape
+    r = jnp.clip(rows, 0, h - 1)
+    c = jnp.clip(cols, 0, w - 1)
+    return img[r, c]
+
+
+def ic_angle(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation for keypoints.
+
+    img: [H, W] raw level image; yx: [N, 2] int32 (row, col).
+    Returns angle [N] float32 in radians.
+    """
+    n = yx.shape[0]
+    dy = jnp.asarray(_ys.reshape(-1), dtype=jnp.int32)   # [P]
+    dx = jnp.asarray(_xs.reshape(-1), dtype=jnp.int32)
+    rows = yx[:, 0:1] + dy[None, :]                      # [N, P]
+    cols = yx[:, 1:2] + dx[None, :]
+    patch = _gather(img, rows, cols)                     # [N, P]
+    wx = jnp.asarray(_WX.reshape(-1))
+    wy = jnp.asarray(_WY.reshape(-1))
+    m10 = patch @ wx
+    m01 = patch @ wy
+    return jnp.arctan2(m01, m10)
+
+
+def describe(img_blur: jnp.ndarray, yx: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated-BRIEF, bit-packed.
+
+    img_blur: [H, W] blurred level image; yx: [N, 2] int32; angle: [N] rad.
+    Returns desc: [N, 8] uint32 (256 bits).
+    """
+    pat = jnp.asarray(PATTERN)                       # [256, 4]
+    c = jnp.cos(angle)[:, None]                      # [N, 1]
+    s = jnp.sin(angle)[:, None]
+
+    def rot_coords(px, py):
+        rx = px[None, :] * c - py[None, :] * s       # [N, 256]
+        ry = px[None, :] * s + py[None, :] * c
+        rows = yx[:, 0:1] + jnp.round(ry).astype(jnp.int32)
+        cols = yx[:, 1:2] + jnp.round(rx).astype(jnp.int32)
+        return rows, cols
+
+    r1, c1 = rot_coords(pat[:, 0], pat[:, 1])
+    r2, c2 = rot_coords(pat[:, 2], pat[:, 3])
+    v1 = _gather(img_blur, r1, c1)
+    v2 = _gather(img_blur, r2, c2)
+    bits = (v1 < v2).astype(jnp.uint32)              # [N, 256]
+    bits = bits.reshape(-1, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)  # [N, 8]

@@ -1,0 +1,104 @@
+"""ORB feature extraction pipeline: pyramid -> FAST -> orient -> describe.
+
+Replaces ORBextractor::operator() (reference: src/ORBextractor.cc:1557).
+The whole extractor is one jitted function per (image size, config): every
+level's detection, orientation and description are dense tensor programs with
+static shapes; outputs are fixed-capacity keypoint arrays with validity masks.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import brief, fast, pyramid
+
+
+class OrbConfig(NamedTuple):
+    n_features: int = 1024
+    n_levels: int = 8
+    scale: float = 1.2
+    ini_th: float = 20.0    # reference iniThFAST (kept for config parity)
+    min_th: float = 7.0     # reference minThFAST: weakest accepted corner
+    cell: int = 32          # grid cell for uniform selection (ref used 35)
+    k_per_cell: int = 8
+    margin: int = 16        # FAST detection border (ref EDGE_THRESHOLD-3)
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity per-frame feature set (SoA, level-0 coordinates)."""
+
+    xy: jnp.ndarray      # [N, 2] float32 (u=col, v=row) in level-0 pixels
+    level: jnp.ndarray   # [N] int32 pyramid level
+    angle: jnp.ndarray   # [N] float32 radians
+    score: jnp.ndarray   # [N] float32 FAST score
+    desc: jnp.ndarray    # [N, 8] uint32 packed 256-bit descriptors
+    valid: jnp.ndarray   # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+def level_budgets(cfg: OrbConfig) -> list:
+    """Per-level feature budgets, geometric in 1/scale like the reference
+    (ORBextractor ctor: nDesiredFeaturesPerScale)."""
+    f = 1.0 / cfg.scale
+    total = cfg.n_features
+    n0 = total * (1 - f) / (1 - f ** cfg.n_levels)
+    budgets = []
+    acc = 0
+    for lv in range(cfg.n_levels - 1):
+        b = int(round(n0 * f ** lv))
+        budgets.append(b)
+        acc += b
+    budgets.append(max(total - acc, 8))
+    return budgets
+
+
+@partial(jax.jit, static_argnames=("cfg", "h", "w"))
+def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeatures:
+    levels = pyramid.build_pyramid(img, cfg.n_levels, cfg.scale)
+    budgets = level_budgets(cfg)
+    scales = pyramid.scale_factors(cfg.n_levels, cfg.scale)
+
+    xs, lvs, angs, scs, descs, vals = [], [], [], [], [], []
+    for lv in range(cfg.n_levels):
+        lvl = levels[lv]
+        ch = int(round(h / cfg.scale ** lv))
+        cw = int(round(w / cfg.scale ** lv))
+        kps = fast.detect_level(
+            lvl, (ch, cw), budgets[lv], cell=cfg.cell,
+            k_per_cell=cfg.k_per_cell, min_th=cfg.min_th, margin=cfg.margin,
+        )
+        ang = brief.ic_angle(lvl, kps.yx)
+        blur = pyramid.gaussian_blur(lvl)
+        d = brief.describe(blur, kps.yx, ang)
+        # to level-0 coords (u=col, v=row)
+        s = float(scales[lv])
+        xy0 = jnp.stack([kps.yx[:, 1].astype(jnp.float32) * s,
+                         kps.yx[:, 0].astype(jnp.float32) * s], axis=-1)
+        xs.append(xy0)
+        lvs.append(jnp.full((budgets[lv],), lv, jnp.int32))
+        angs.append(ang)
+        scs.append(kps.score)
+        descs.append(d)
+        vals.append(kps.valid)
+
+    return FrameFeatures(
+        xy=jnp.concatenate(xs, axis=0),
+        level=jnp.concatenate(lvs, axis=0),
+        angle=jnp.concatenate(angs, axis=0),
+        score=jnp.concatenate(scs, axis=0),
+        desc=jnp.concatenate(descs, axis=0),
+        valid=jnp.concatenate(vals, axis=0),
+    )
+
+
+def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> FrameFeatures:
+    """img: [H, W] float32 grayscale in [0, 255]."""
+    h, w = img.shape
+    return _extract_impl(img, cfg, h, w)

@@ -1,0 +1,88 @@
+"""Image pyramid + Gaussian blur for the ORB frontend.
+
+Replaces ORBextractor::ComputePyramid (reference: src/ORBextractor.cc:1687)
+and the pre-descriptor GaussianBlur (reference: src/ORBextractor.cc:1630-1645).
+
+Levels have static shapes derived from the base resolution at trace time, so
+the whole frontend compiles once per camera config. All levels are float32 in
+[0, 255] domain.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_N_LEVELS = 8
+DEFAULT_SCALE = 1.2
+
+
+def level_shapes(h: int, w: int, n_levels: int = DEFAULT_N_LEVELS,
+                 scale: float = DEFAULT_SCALE, multiple: int = 8):
+    """Static per-level (h, w), rounded up to `multiple` for TPU tiling."""
+    shapes = []
+    for lv in range(n_levels):
+        s = scale ** lv
+        lh = int(round(h / s))
+        lw = int(round(w / s))
+        lh = ((lh + multiple - 1) // multiple) * multiple
+        lw = ((lw + multiple - 1) // multiple) * multiple
+        shapes.append((lh, lw))
+    return shapes
+
+
+def scale_factors(n_levels: int = DEFAULT_N_LEVELS, scale: float = DEFAULT_SCALE):
+    return np.array([scale ** lv for lv in range(n_levels)], dtype=np.float32)
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int = DEFAULT_N_LEVELS,
+                  scale: float = DEFAULT_SCALE) -> list:
+    """img [H, W] float32 -> list of [h_l, w_l] float32 levels.
+
+    Each level is resized from the previous (cascaded, like the reference)
+    with bilinear interpolation; the padded margin (from rounding shapes up)
+    replicates edge pixels so FAST does not fire on a synthetic border.
+    """
+    h, w = img.shape
+    shapes = level_shapes(h, w, n_levels, scale)
+    # effective content size at each level (before pad-to-multiple)
+    levels = []
+    cur = img
+    ch, cw = h, w
+    for lv in range(n_levels):
+        lh, lw = shapes[lv]
+        if lv > 0:
+            nh = int(round(h / scale ** lv))
+            nw = int(round(w / scale ** lv))
+            cur = jax.image.resize(cur, (nh, nw), method="bilinear")
+            ch, cw = nh, nw
+        pad_h, pad_w = shapes[lv][0] - ch, shapes[lv][1] - cw
+        lvl = jnp.pad(cur, ((0, pad_h), (0, pad_w)), mode="edge")
+        levels.append(lvl)
+    return levels
+
+
+def _gauss_kernel1d(ksize: int, sigma: float) -> np.ndarray:
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian blur with edge replication, [H, W] -> [H, W]."""
+    k = jnp.asarray(_gauss_kernel1d(ksize, sigma))
+    r = ksize // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    return x

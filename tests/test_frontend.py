@@ -1,0 +1,147 @@
+"""Frontend tests: FAST vs OpenCV golden corners, descriptor matching sanity,
+rotation invariance (SURVEY.md §4: 'FAST/BRIEF vs reference values')."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_detailed_comments_tpu.ops import brief, extractor, fast, pyramid
+
+cv2 = pytest.importorskip("cv2")
+
+
+def synth_image(rng, h=240, w=320, n_blobs=120):
+    """Textured synthetic image with corner-rich structure."""
+    img = np.full((h, w), 128.0, np.float32)
+    for _ in range(n_blobs):
+        y, x = rng.integers(10, h - 20), rng.integers(10, w - 20)
+        bh, bw = rng.integers(4, 16), rng.integers(4, 16)
+        img[y:y + bh, x:x + bw] = rng.uniform(0, 255)
+    img += rng.normal(0, 2.0, size=(h, w)).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+class TestFast:
+    def test_matches_opencv_corners(self, rng):
+        img = synth_image(rng)
+        sc = np.asarray(fast.fast_score(jnp.asarray(img)))
+        ours = sc > 20.0
+        det = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=False)
+        kps = det.detect(img.astype(np.uint8))
+        cv_mask = np.zeros_like(ours)
+        for kp in kps:
+            cv_mask[int(kp.pt[1]), int(kp.pt[0])] = True
+        # interior only (our roll wraps at borders; cv has its own border rules)
+        inner = np.zeros_like(ours); inner[4:-4, 4:-4] = True
+        both = ours & cv_mask & inner
+        cv_only = cv_mask & inner
+        our_only = ours & inner
+        # High agreement both directions (uint8 rounding can flip marginal px)
+        assert both.sum() > 0.93 * cv_only.sum()
+        assert both.sum() > 0.93 * our_only.sum()
+
+    def test_nms_keeps_local_maxima(self, rng):
+        img = synth_image(rng)
+        sc = np.asarray(fast.nms3x3(fast.fast_score(jnp.asarray(img))))
+        ys, xs = np.where(sc > 20)
+        for y, x in zip(ys[:50], xs[:50]):
+            if 1 <= y < sc.shape[0] - 1 and 1 <= x < sc.shape[1] - 1:
+                patch = sc[y - 1:y + 2, x - 1:x + 2]
+                assert sc[y, x] == patch.max()
+
+    def test_select_grid_topk_uniformity(self, rng):
+        img = synth_image(rng, n_blobs=300)
+        sc = fast.nms3x3(fast.fast_score(jnp.asarray(img)))
+        sc = jnp.where(fast.border_mask(sc.shape, sc.shape, 16), sc, 0.0)
+        kps = fast.select_grid_topk(sc, 200, cell=32, k_per_cell=8)
+        yx = np.asarray(kps.yx)[np.asarray(kps.valid)]
+        assert len(yx) > 100
+        # spatial spread: keypoints should hit most 64x64 super-cells
+        occ = set((int(y) // 64, int(x) // 64) for y, x in yx)
+        assert len(occ) >= 10
+
+
+class TestDescriptors:
+    def test_same_image_matches(self, rng):
+        img = synth_image(rng)
+        f = extractor.extract(jnp.asarray(img))
+        d = np.asarray(f.desc)
+        v = np.asarray(f.valid)
+        # descriptor of a keypoint vs itself = 0; vs random others ~128
+        dist_rand = hamming_np(d[v][:50], d[v][50:100])
+        assert dist_rand.mean() > 80
+
+    def test_translation_invariance(self, rng):
+        img = synth_image(rng)
+        shift = 7
+        img2 = np.roll(img, (shift, shift), axis=(0, 1))
+        f1 = extractor.extract(jnp.asarray(img))
+        f2 = extractor.extract(jnp.asarray(img2))
+        d1, d2 = np.asarray(f1.desc), np.asarray(f2.desc)
+        xy1 = np.asarray(f1.xy); xy2 = np.asarray(f2.xy)
+        v1 = np.asarray(f1.valid); v2 = np.asarray(f2.valid)
+        lv1 = np.asarray(f1.level); lv2 = np.asarray(f2.level)
+        # level-0 keypoints displaced by (shift, shift): find correspondences
+        m = 0; good = 0
+        for i in np.where(v1 & (lv1 == 0))[0][:120]:
+            target = xy1[i] + shift
+            j = np.argmin(np.abs(xy2 - target).sum(axis=1) + 1e9 * (~(v2 & (lv2 == 0))))
+            if np.abs(xy2[j] - target).sum() < 1.5:
+                m += 1
+                dist = bin(int(d1[i, 0] ^ d2[j, 0])).count("1")
+                dist = hamming_np(d1[i:i+1], d2[j:j+1])[0, 0]
+                if dist < 40:
+                    good += 1
+        assert m > 20
+        assert good > 0.8 * m
+
+    def test_rotation_invariance(self, rng):
+        img = synth_image(rng, h=256, w=256)
+        angle_deg = 30.0
+        M = cv2.getRotationMatrix2D((128, 128), angle_deg, 1.0)
+        img2 = cv2.warpAffine(img, M, (256, 256), flags=cv2.INTER_LINEAR)
+        f1 = extractor.extract(jnp.asarray(img))
+        f2 = extractor.extract(jnp.asarray(img2))
+        d1, d2 = np.asarray(f1.desc), np.asarray(f2.desc)
+        xy1, xy2 = np.asarray(f1.xy), np.asarray(f2.xy)
+        v1 = np.asarray(f1.valid) & (np.asarray(f1.level) == 0)
+        v2 = np.asarray(f2.valid) & (np.asarray(f2.level) == 0)
+        R = M[:, :2]; t = M[:, 2]
+        matched = 0; good = 0
+        for i in np.where(v1)[0]:
+            tgt = R @ xy1[i] + t
+            if not (20 < tgt[0] < 236 and 20 < tgt[1] < 236):
+                continue
+            dd = np.abs(xy2 - tgt).sum(axis=1) + 1e9 * (~v2)
+            j = np.argmin(dd)
+            if dd[j] < 2.0:
+                matched += 1
+                if hamming_np(d1[i:i+1], d2[j:j+1])[0, 0] < 64:
+                    good += 1
+        assert matched > 15
+        assert good > 0.6 * matched
+
+
+def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N,8]x[M,8] uint32 -> [N,M] popcount Hamming distances (numpy ref)."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
+
+
+class TestExtractor:
+    def test_shapes_and_validity(self, rng):
+        img = synth_image(rng)
+        f = extractor.extract(jnp.asarray(img))
+        n = f.capacity
+        assert f.desc.shape == (n, 8)
+        assert f.xy.shape == (n, 2)
+        v = np.asarray(f.valid)
+        assert v.sum() > 200
+        xy = np.asarray(f.xy)[v]
+        assert xy[:, 0].max() < 320 and xy[:, 1].max() < 240
+        assert (np.asarray(f.level)[v] >= 0).all()
+
+    def test_levels_populated(self, rng):
+        img = synth_image(rng)
+        f = extractor.extract(jnp.asarray(img))
+        lv = np.asarray(f.level)[np.asarray(f.valid)]
+        assert len(np.unique(lv)) >= 4  # multiple pyramid levels fire
