@@ -1,0 +1,60 @@
+"""Two-view triangulation (batched DLT).
+
+Replaces GeometricTools::Triangulate (reference: src/GeometricTools.cc:60,
+include/GeometricTools.h:40). Solves the 4x4 homogeneous DLT system for many
+correspondences at once. Instead of per-point SVD (slow, sequential), we
+solve the equivalent 4x4 symmetric eigenproblem A^T A x = lambda x for the
+smallest eigenvector using one batched eigh — XLA batches it fine on TPU for
+the problem sizes in local mapping (hundreds of candidates).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..lie import SE3
+
+
+def _proj_rows(T: SE3, xn: jnp.ndarray):
+    """Rows of the DLT system for normalized coords xn [..., 2].
+
+    P = [R | t] (3x4). Rows: xn.x * P[2] - P[0], xn.y * P[2] - P[1].
+    """
+    P = jnp.concatenate([T.R, T.t[..., :, None]], axis=-1)   # [..., 3, 4]
+    r0 = xn[..., 0:1] * P[..., 2, :] - P[..., 0, :]
+    r1 = xn[..., 1:2] * P[..., 2, :] - P[..., 1, :]
+    return r0, r1
+
+
+def triangulate(T1: SE3, xn1: jnp.ndarray, T2: SE3, xn2: jnp.ndarray):
+    """Triangulate N correspondences.
+
+    T1, T2: world->camera transforms (batched or single).
+    xn1, xn2: [N, 2] normalized image coordinates (x/z, y/z in cam frame).
+    Returns X_w [N, 3], ok [N] (finite, positive homogeneous w).
+    """
+    a0, a1 = _proj_rows(T1, xn1)
+    a2, a3 = _proj_rows(T2, xn2)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)                  # [N, 4, 4]
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    w, v = jnp.linalg.eigh(AtA)                                # ascending
+    xh = v[..., :, 0]                                          # smallest eigvec
+    wh = xh[..., 3]
+    ok = jnp.abs(wh) > 1e-8
+    X = xh[..., :3] / jnp.where(ok, wh, 1.0)[..., None]
+    return X, ok
+
+
+def depths(T: SE3, X_w: jnp.ndarray) -> jnp.ndarray:
+    return T.apply(X_w)[..., 2]
+
+
+def parallax_cos(T1: SE3, T2: SE3, X_w: jnp.ndarray) -> jnp.ndarray:
+    """cos of the ray-parallax angle at each triangulated point."""
+    c1 = T1.inverse().t
+    c2 = T2.inverse().t
+    r1 = X_w - c1
+    r2 = X_w - c2
+    num = jnp.sum(r1 * r2, axis=-1)
+    den = jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1)
+    return num / jnp.maximum(den, 1e-12)

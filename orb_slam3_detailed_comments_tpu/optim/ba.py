@@ -1,0 +1,190 @@
+"""Bundle adjustment: Levenberg-Marquardt with Schur-complement landmark
+elimination, fully batched.
+
+Replaces g2o's BlockSolver_6_3 + OptimizationAlgorithmLevenberg pipeline as
+used by Optimizer::LocalBundleAdjustment / GlobalBundleAdjustemnt (reference:
+src/Optimizer.cc:1740, 2813; Schur trick noted at Optimizer.cc:1972 and
+Thirdparty/g2o/g2o/core/block_solver.h). Design:
+
+  * the problem is SoA COO: observations (cam_idx, pt_idx, uv, weight, valid)
+    padded to a static size;
+  * per-iteration: batched residuals/Jacobians -> segment-sum assembly of
+    U (per-camera 6x6), V (per-point 3x3), and the dense [P, C, 6, 3]
+    camera-point coupling W -> Schur system S = U - W V^-1 W^T reduced on
+    the MXU with one einsum -> dense Cholesky of the [6C, 6C] system ->
+    batched back-substitution for landmarks;
+  * adaptive LM damping with accept/reject, all inside lax.while-style
+    control flow so the entire optimization is a single XLA program.
+
+The dense-W formulation targets local-BA windows (C <= ~64, P <= ~4096):
+memory is P*C*18 floats. Global BA at Atlas scale uses the implicit-matvec
+PCG variant in optim/schur_pcg.py (same residual code).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..lie import SE3, se3
+from ..models import cameras
+from . import reproj
+
+
+class BAProblem(NamedTuple):
+    """Static-shape BA problem. C cameras, P points, O observations."""
+
+    kf_R: jnp.ndarray      # [C, 3, 3] world->camera rotations
+    kf_t: jnp.ndarray      # [C, 3]
+    points: jnp.ndarray    # [P, 3] world points
+    obs_cam: jnp.ndarray   # [O] int32
+    obs_pt: jnp.ndarray    # [O] int32
+    obs_uv: jnp.ndarray    # [O, 2]
+    obs_w: jnp.ndarray     # [O] information (1/sigma^2)
+    obs_valid: jnp.ndarray  # [O] bool
+    fixed_cam: jnp.ndarray  # [C] bool — poses held constant
+    point_valid: jnp.ndarray  # [P] bool
+
+
+class BAResult(NamedTuple):
+    kf_R: jnp.ndarray
+    kf_t: jnp.ndarray
+    points: jnp.ndarray
+    obs_inlier: jnp.ndarray  # [O] bool after the final chi2 gate
+    cost: jnp.ndarray        # final robust cost
+
+
+def _inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (MXU-free, VPU friendly)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def _residuals(prob: BAProblem, cam: cameras.CameraParams):
+    T = SE3(prob.kf_R[prob.obs_cam], prob.kf_t[prob.obs_cam])
+    X = prob.points[prob.obs_pt]
+    return reproj.residual_full(T, X, prob.obs_uv, cam)
+
+
+def _robust_cost(prob, cam, delta2):
+    r, _, _, depth_ok = _residuals(prob, cam)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_w
+    ok = prob.obs_valid & depth_ok
+    # Huber rho(chi2)
+    rho = jnp.where(chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2)
+    return jnp.sum(jnp.where(ok, rho, 0.0))
+
+
+@partial(jax.jit, static_argnames=("cam", "iters", "max_points_dense"))
+def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
+             delta2: float = reproj.CHI2_MONO, lm_lambda0: float = 1e-4,
+             max_points_dense: int = 0) -> BAResult:
+    """Run LM-BA; returns updated poses/points and the final inlier mask."""
+    C = prob.kf_R.shape[0]
+    P = prob.points.shape[0]
+
+    def lm_step(state):
+        prob, lam, cost = state
+        r, Jc, Jp, depth_ok = _residuals(prob, cam)
+        ok = prob.obs_valid & depth_ok & prob.point_valid[prob.obs_pt]
+        chi2 = jnp.sum(r * r, axis=-1) * prob.obs_w
+        w = prob.obs_w * reproj.huber_weight(chi2, delta2) * ok
+
+        # weighted blocks per observation
+        JcW = Jc * w[:, None, None]
+        U = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
+            jnp.einsum("oki,okj->oij", JcW, Jc))
+        b_c = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+            jnp.einsum("oki,ok->oi", JcW, r))
+        JpW = Jp * w[:, None, None]
+        V = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
+            jnp.einsum("oki,okj->oij", JpW, Jp))
+        b_p = jnp.zeros((P, 3)).at[prob.obs_pt].add(
+            jnp.einsum("oki,ok->oi", JpW, r))
+        Wo = jnp.einsum("oki,okj->oij", JcW, Jp)      # [O, 6, 3]
+        Wd = jnp.zeros((P, C, 6, 3)).at[prob.obs_pt, prob.obs_cam].add(Wo)
+
+        # LM damping
+        Ud = U + lam * jnp.eye(6) * jnp.maximum(
+            jnp.einsum("cii->c", U), 1e-3)[:, None, None] / 6.0
+        Vd = V + lam * jnp.eye(3) * jnp.maximum(
+            jnp.einsum("pii->p", V), 1e-3)[:, None, None] / 3.0
+        Vinv = _inv3x3(Vd)
+        Vinv = jnp.where(prob.point_valid[:, None, None], Vinv, 0.0)
+
+        # Schur reduction (MXU): S = U - W V^-1 W^T, rhs = b_c - W V^-1 b_p
+        Y = jnp.einsum("pcix,pxy->pciy", Wd, Vinv)    # [P, C, 6, 3]
+        S = -jnp.einsum("pciy,pdjy->cidj", Y, Wd)
+        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Ud)
+        rhs = b_c - jnp.einsum("pciy,py->ci", Y, b_p)
+
+        # fixed cameras: identity rows/cols, zero rhs
+        free = ~prob.fixed_cam
+        fmask = free[:, None].astype(S.dtype)          # [C,1]
+        S = S * fmask[:, :, None, None] * fmask[None, None, :, :]
+        eye_fix = jnp.eye(6) * (~free)[:, None, None].astype(S.dtype)
+        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(eye_fix)
+        rhs = rhs * fmask
+
+        Sm = S.reshape(6 * C, 6 * C)
+        dc = jax.scipy.linalg.cho_solve(
+            (jax.scipy.linalg.cholesky(Sm + 1e-8 * jnp.eye(6 * C), lower=True), True),
+            rhs.reshape(-1)).reshape(C, 6)
+        dc = jnp.where(free[:, None], dc, 0.0)
+
+        # back-substitute landmarks: dp = Vinv (b_p - W^T dc)
+        WTdc = jnp.einsum("pcix,ci->px", Wd, dc)
+        dp = jnp.einsum("pxy,py->px", Vinv, b_p - WTdc)
+        dp = jnp.where(prob.point_valid[:, None], dp, 0.0)
+
+        # candidate update
+        T_new = se3.exp(dc).compose(SE3(prob.kf_R, prob.kf_t))
+        cand = prob._replace(kf_R=T_new.R, kf_t=T_new.t,
+                             points=prob.points + dp)
+        new_cost = _robust_cost(cand, cam, delta2)
+        accept = new_cost < cost
+        prob = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b) if a.shape == b.shape else a,
+            cand, prob)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 4.0, 1e2))
+        cost = jnp.where(accept, new_cost, cost)
+        return (prob, lam, cost)
+
+    def run(prob, n):
+        cost0 = _robust_cost(prob, cam, delta2)
+        state = (prob, jnp.asarray(lm_lambda0, jnp.float32), cost0)
+        state = jax.lax.fori_loop(0, n, lambda i, s: lm_step(s), state)
+        return state[0], state[2]
+
+    # Phase 1 (reference LocalBundleAdjustment: 5 iters with Huber), then
+    # drop gross outliers at the chi2 gate, then phase 2 on survivors.
+    n1 = max(iters // 3, 2)
+    prob, _ = run(prob, n1)
+    r, _, _, depth_ok = _residuals(prob, cam)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_w
+    prob = prob._replace(obs_valid=prob.obs_valid & depth_ok & (chi2 <= 2.0 * delta2))
+    prob, cost = run(prob, iters - n1)
+
+    # final renormalization + chi2 gate (reference erases obs > chi2 threshold
+    # after LocalBundleAdjustment, Optimizer.cc:2040-2100)
+    Tn = SE3(prob.kf_R, prob.kf_t).normalized()
+    prob = prob._replace(kf_R=Tn.R)
+    r, _, _, depth_ok = _residuals(prob, cam)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_w
+    inlier = prob.obs_valid & depth_ok & (chi2 <= delta2)
+    return BAResult(prob.kf_R, prob.kf_t, prob.points, inlier, cost)
