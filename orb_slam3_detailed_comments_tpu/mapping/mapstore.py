@@ -1,0 +1,297 @@
+"""Tensor map store: the SLAM map as fixed-capacity SoA arrays.
+
+Replaces the reference's pointer-graph data model — KeyFrame/MapPoint/Map
+objects behind per-object mutexes (reference: src/KeyFrame.cc, src/MapPoint.cc,
+src/Map.cc) — with padded arrays + validity masks + a version counter. Device
+kernels (matching, BA) consume slices of these arrays directly; host-side
+bookkeeping (slot allocation, covisibility queries, window selection) runs on
+the numpy mirrors. There are no locks: the pipeline stages exchange immutable
+snapshots, which is the tensorized form of the reference's
+Map::GetMapChangeIndex handshake (reference: include/Map.h:110-113).
+
+Observation structure: `kf_feat_point[k, i]` = map-point id observed by
+feature i of keyframe k (or -1). This single array plays the role of both
+KeyFrame::mvpMapPoints and MapPoint::mObservations; the [K, P] incidence
+matrix and the covisibility graph are derived from it by scatter/matmul.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+NO_POINT = -1
+
+
+@dataclass
+class MapConfig:
+    max_kf: int = 256
+    max_pt: int = 16384
+    n_feat: int = 1024        # per-KF feature capacity (extractor budget)
+    n_levels: int = 8
+    scale: float = 1.2
+
+
+class MapStore:
+    """One map of the Atlas. Host-side numpy SoA; jnp views taken on demand."""
+
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        K, P, N = cfg.max_kf, cfg.max_pt, cfg.n_feat
+        # keyframes
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_ts = np.zeros(K, np.float64)
+        self.kf_frame_id = np.full(K, -1, np.int64)
+        # slot-reuse bookkeeping: epoch increments on reuse; tombstones let
+        # trajectory rows logged against a culled KF be re-anchored (the
+        # tensor-store analog of the reference's spanning-tree parent chain
+        # used by SaveTrajectoryEuRoC, System.cc:721)
+        self.kf_epoch = np.zeros(K, np.int64)
+        self.tombstones: dict = {}   # (slot, epoch) -> (slot', epoch', R_rel, t_rel)
+        # per-KF features
+        self.kf_feat_xy = np.zeros((K, N, 2), np.float32)    # undistorted px
+        self.kf_feat_xyn = np.zeros((K, N, 2), np.float32)   # normalized coords
+        self.kf_feat_level = np.zeros((K, N), np.int32)
+        self.kf_feat_angle = np.zeros((K, N), np.float32)
+        self.kf_feat_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_feat_valid = np.zeros((K, N), bool)
+        self.kf_feat_point = np.full((K, N), NO_POINT, np.int32)
+        # map points
+        self.pt_xyz = np.zeros((P, 3), np.float32)
+        self.pt_valid = np.zeros(P, bool)
+        self.pt_desc = np.zeros((P, 8), np.uint32)
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_min_dist = np.zeros(P, np.float32)
+        self.pt_max_dist = np.zeros(P, np.float32)
+        self.pt_ref_kf = np.full(P, -1, np.int32)
+        self.pt_first_kf = np.full(P, -1, np.int32)
+        self.pt_found = np.zeros(P, np.int32)     # matched-in-tracking count
+        self.pt_visible = np.zeros(P, np.int32)   # predicted-visible count
+        self.version = 0
+        self._scale_factors = cfg.scale ** np.arange(cfg.n_levels)
+
+    # ---- allocation ------------------------------------------------------
+
+    def alloc_kf(self) -> int:
+        free = np.where(~self.kf_valid)[0]
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        return int(free[0])
+
+    def alloc_points(self, n: int) -> np.ndarray:
+        free = np.where(~self.pt_valid)[0]
+        if len(free) < n:
+            raise RuntimeError("map point capacity exhausted")
+        return free[:n]
+
+    @property
+    def n_kf(self) -> int:
+        return int(self.kf_valid.sum())
+
+    @property
+    def n_points(self) -> int:
+        return int(self.pt_valid.sum())
+
+    def kf_ids(self) -> np.ndarray:
+        return np.where(self.kf_valid)[0]
+
+    # ---- keyframe insertion ---------------------------------------------
+
+    def add_keyframe(self, R, t, ts, frame_id, feat_xy, feat_xyn, feat_level,
+                     feat_angle, feat_desc, feat_valid, feat_point) -> int:
+        k = self.alloc_kf()
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+        self.kf_ts[k] = ts
+        self.kf_frame_id[k] = frame_id
+        self.kf_feat_xy[k] = feat_xy
+        self.kf_feat_xyn[k] = feat_xyn
+        self.kf_feat_level[k] = feat_level
+        self.kf_feat_angle[k] = feat_angle
+        self.kf_feat_desc[k] = feat_desc
+        self.kf_feat_valid[k] = feat_valid
+        self.kf_feat_point[k] = feat_point
+        self.kf_valid[k] = True
+        self.kf_epoch[k] += 1
+        self.version += 1
+        return k
+
+    def remove_keyframe(self, k: int):
+        """Cull a keyframe (reference: KeyFrame::SetBadFlag). Records a
+        tombstone so trajectory rows anchored to it can be replayed through
+        the most-covisible surviving keyframe."""
+        succ_ids, _ = self.covisibility(k, min_weight=1)
+        if len(succ_ids) == 0:
+            ids = self.kf_ids()
+            succ_ids = ids[ids != k]
+        if len(succ_ids) > 0:
+            s = int(succ_ids[0])
+            # T_k ∘ T_s^-1 at cull time
+            R_rel = self.kf_R[k] @ self.kf_R[s].T
+            t_rel = self.kf_t[k] - R_rel @ self.kf_t[s]
+            self.tombstones[(k, int(self.kf_epoch[k]))] = (
+                s, int(self.kf_epoch[s]), R_rel.copy(), t_rel.copy())
+        self.kf_valid[k] = False
+        self.kf_feat_point[k] = NO_POINT
+        self.kf_feat_valid[k] = False
+        self.version += 1
+
+    def resolve_kf_pose(self, slot: int, epoch: int, max_hops: int = 8):
+        """World->camera pose of a (possibly culled) keyframe incarnation.
+        Follows tombstone chains; returns (R, t) or None if unresolvable."""
+        R_acc = np.eye(3, dtype=np.float32)
+        t_acc = np.zeros(3, np.float32)
+        for _ in range(max_hops):
+            if self.kf_valid[slot] and self.kf_epoch[slot] == epoch:
+                R = R_acc @ self.kf_R[slot]
+                t = R_acc @ self.kf_t[slot] + t_acc
+                return R, t
+            tomb = self.tombstones.get((slot, epoch))
+            if tomb is None:
+                return None
+            s, e, R_rel, t_rel = tomb
+            t_acc = R_acc @ t_rel + t_acc
+            R_acc = R_acc @ R_rel
+            slot, epoch = s, e
+        return None
+
+    # ---- points ----------------------------------------------------------
+
+    def add_points(self, xyz, desc, ref_kf: int, normals=None,
+                   min_dist=None, max_dist=None) -> np.ndarray:
+        ids = self.alloc_points(len(xyz))
+        self.pt_xyz[ids] = xyz
+        self.pt_desc[ids] = desc
+        self.pt_valid[ids] = True
+        self.pt_ref_kf[ids] = ref_kf
+        self.pt_first_kf[ids] = ref_kf
+        self.pt_found[ids] = 1
+        self.pt_visible[ids] = 1
+        if normals is not None:
+            self.pt_normal[ids] = normals
+        if min_dist is not None:
+            self.pt_min_dist[ids] = min_dist
+            self.pt_max_dist[ids] = max_dist
+        self.version += 1
+        return ids
+
+    def remove_points(self, ids: np.ndarray):
+        if len(ids) == 0:
+            return
+        self.pt_valid[ids] = False
+        # detach from all keyframes
+        mask = np.isin(self.kf_feat_point, ids)
+        self.kf_feat_point[mask] = NO_POINT
+        self.version += 1
+
+    def replace_point(self, old_id: int, new_id: int):
+        """Fuse old into new (reference: MapPoint::Replace)."""
+        mask = self.kf_feat_point == old_id
+        # avoid duplicate observation of new_id in the same KF
+        for k in np.where(mask.any(axis=1))[0]:
+            if (self.kf_feat_point[k] == new_id).any():
+                self.kf_feat_point[k][self.kf_feat_point[k] == old_id] = NO_POINT
+            else:
+                self.kf_feat_point[k][self.kf_feat_point[k] == old_id] = new_id
+        self.pt_found[new_id] += self.pt_found[old_id]
+        self.pt_visible[new_id] += self.pt_visible[old_id]
+        self.pt_valid[old_id] = False
+        self.version += 1
+
+    # ---- derived structures ----------------------------------------------
+
+    def observation_counts(self) -> np.ndarray:
+        """[P] number of keyframes observing each point."""
+        P = self.cfg.max_pt
+        flat = self.kf_feat_point[self.kf_valid].ravel()
+        flat = flat[flat >= 0]
+        return np.bincount(flat, minlength=P)
+
+    def incidence(self) -> np.ndarray:
+        """[K, P] bool: KF k observes point p."""
+        K, P = self.cfg.max_kf, self.cfg.max_pt
+        inc = np.zeros((K, P), bool)
+        kk, ff = np.where(self.kf_feat_point >= 0)
+        inc[kk, self.kf_feat_point[kk, ff]] = True
+        inc &= self.kf_valid[:, None]
+        return inc
+
+    def covisibility(self, k: int, min_weight: int = 15) -> tuple:
+        """Keyframes sharing >= min_weight points with KF k, sorted by weight
+        (reference: KeyFrame::UpdateConnections threshold 15)."""
+        inc = self.incidence()
+        w = inc @ inc[k].astype(np.int32)
+        w[k] = 0
+        ids = np.where(w >= min_weight)[0]
+        order = np.argsort(-w[ids])
+        return ids[order], w[ids][order]
+
+    def covisibility_matrix(self) -> np.ndarray:
+        """[K, K] shared-point counts (int32)."""
+        inc = self.incidence().astype(np.int32)
+        return inc @ inc.T
+
+    def point_observers(self, pid: int) -> np.ndarray:
+        return np.where((self.kf_feat_point == pid).any(axis=1) & self.kf_valid)[0]
+
+    def local_point_ids(self, kf_ids) -> np.ndarray:
+        """Union of points observed by the given keyframes."""
+        ids = self.kf_feat_point[kf_ids]
+        ids = ids[ids >= 0]
+        ids = np.unique(ids)
+        return ids[self.pt_valid[ids]]
+
+    # ---- maintenance -----------------------------------------------------
+
+    def update_point_stats(self, pids: np.ndarray):
+        """Recompute representative descriptor + normal + scale range
+        (reference: MapPoint::ComputeDistinctiveDescriptors /
+        UpdateNormalAndDepth)."""
+        if len(pids) == 0:
+            return
+        inc_kf = {p: [] for p in pids}
+        kk, ff = np.where(np.isin(self.kf_feat_point, pids) & (self.kf_feat_point >= 0))
+        for k, f in zip(kk, ff):
+            inc_kf[self.kf_feat_point[k, f]].append((k, f))
+        for p, obs in inc_kf.items():
+            if not obs:
+                continue
+            ks = np.array([o[0] for o in obs])
+            fs = np.array([o[1] for o in obs])
+            descs = self.kf_feat_desc[ks, fs]           # [M, 8]
+            if len(descs) > 1:
+                x = descs[:, None, :] ^ descs[None, :, :]
+                d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+                self.pt_desc[p] = descs[np.argmin(np.median(d, axis=1))]
+            else:
+                self.pt_desc[p] = descs[0]
+            # normal: mean of unit vectors from camera centers to point
+            centers = -np.einsum("kij,ki->kj", self.kf_R[ks], self.kf_t[ks])
+            vecs = self.pt_xyz[p] - centers
+            norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+            self.pt_normal[p] = (vecs / np.maximum(norms, 1e-9)).mean(0)
+            n = np.linalg.norm(self.pt_normal[p])
+            if n > 1e-9:
+                self.pt_normal[p] /= n
+            # scale-invariance range from the reference KF's observation level
+            ref = self.pt_ref_kf[p]
+            if ref in ks:
+                i = list(ks).index(ref)
+            else:
+                i = 0
+                self.pt_ref_kf[p] = ks[0]
+            lvl = self.kf_feat_level[ks[i], fs[i]]
+            dist = float(np.linalg.norm(vecs[i]))
+            sf = self._scale_factors
+            self.pt_max_dist[p] = dist * sf[lvl]
+            self.pt_min_dist[p] = self.pt_max_dist[p] / sf[-1]
+
+    def predict_level(self, dists: np.ndarray, pids: np.ndarray) -> np.ndarray:
+        """Predict observation pyramid level from distance
+        (reference: MapPoint::PredictScale)."""
+        ratio = self.pt_max_dist[pids] / np.maximum(dists, 1e-9)
+        lv = np.ceil(np.log(np.maximum(ratio, 1e-9)) / np.log(self.cfg.scale))
+        return np.clip(lv, 0, self.cfg.n_levels - 1).astype(np.int32)

@@ -141,8 +141,11 @@ def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
         rhs = rhs * fmask
 
         Sm = S.reshape(6 * C, 6 * C)
+        # Schur reduction in f32 leaves O(eps * ||S||) asymmetry/indefiniteness;
+        # jitter must scale with the spectrum or Cholesky fails at small lambda.
+        jitter = 1e-5 * jnp.max(jnp.diag(Sm)) + 1e-3
         dc = jax.scipy.linalg.cho_solve(
-            (jax.scipy.linalg.cholesky(Sm + 1e-8 * jnp.eye(6 * C), lower=True), True),
+            (jax.scipy.linalg.cholesky(Sm + jitter * jnp.eye(6 * C), lower=True), True),
             rhs.reshape(-1)).reshape(C, 6)
         dc = jnp.where(free[:, None], dc, 0.0)
 
@@ -156,7 +159,10 @@ def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
         cand = prob._replace(kf_R=T_new.R, kf_t=T_new.t,
                              points=prob.points + dp)
         new_cost = _robust_cost(cand, cam, delta2)
-        accept = new_cost < cost
+        # a failed Cholesky (indefinite S) yields NaN updates and a bogus
+        # zero cost — such steps must be rejected, not embraced
+        accept = ((new_cost < cost) & jnp.isfinite(new_cost)
+                  & jnp.isfinite(dc).all() & jnp.isfinite(dp).all())
         prob = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b) if a.shape == b.shape else a,
             cand, prob)

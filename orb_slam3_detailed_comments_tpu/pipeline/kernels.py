@@ -1,0 +1,183 @@
+"""Jitted device kernels used by the pipeline stages.
+
+These are the fused per-frame / per-keyframe device programs that the host
+orchestration (tracking.py / local_mapping.py) launches. Each corresponds to
+a hot loop of the reference (file:line cited per function).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import SE3
+from ..models import cameras
+from ..ops import extractor, matching, triangulate
+from ..optim import pose_opt
+
+
+class PreparedFrame(NamedTuple):
+    """Per-frame feature data in all coordinate systems the pipeline needs."""
+
+    feat: extractor.FrameFeatures
+    xy_ud: jnp.ndarray   # [N, 2] undistorted pixel coords
+    xyn: jnp.ndarray     # [N, 2] normalized camera-plane coords
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def prepare_frame(img: jnp.ndarray, cam: cameras.CameraParams,
+                  cfg: extractor.OrbConfig) -> PreparedFrame:
+    """ORB extraction + undistortion (reference: Frame ctor, Frame.cc:513,1003)."""
+    feat = extractor.extract(img, cfg)
+    rays = cameras.unproject(cam, feat.xy)
+    xyn = rays[:, :2]
+    xy_ud = cameras.undistort_points(cam, feat.xy)
+    return PreparedFrame(feat, xy_ud, xyn)
+
+
+class ProjectedPoints(NamedTuple):
+    uv: jnp.ndarray        # [P, 2] predicted pixel (undistorted frame)
+    dist: jnp.ndarray      # [P] distance to camera center
+    level: jnp.ndarray     # [P] predicted pyramid level
+    visible: jnp.ndarray   # [P] frustum + scale + view-angle gate
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels"))
+def project_points(T_cw: SE3, pts: jnp.ndarray, normals: jnp.ndarray,
+                   min_dist: jnp.ndarray, max_dist: jnp.ndarray,
+                   valid: jnp.ndarray, cam: cameras.CameraParams,
+                   scale: float = 1.2, n_levels: int = 8) -> ProjectedPoints:
+    """Frustum/scale/view-angle visibility + level prediction
+    (reference: Frame::isInFrustum, Frame.cc:667)."""
+    pc = T_cw.apply(pts)
+    z = pc[..., 2]
+    uv = cameras.project(cam, pc)
+    cw = T_cw.inverse().t
+    vec = pts - cw
+    dist = jnp.linalg.norm(vec, axis=-1)
+    cos_view = jnp.sum(vec * normals, axis=-1) / jnp.maximum(dist, 1e-9)
+    ratio = max_dist / jnp.maximum(dist, 1e-9)
+    level = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / np.log(scale))
+    level = jnp.clip(level, 0, n_levels - 1).astype(jnp.int32)
+    visible = (valid & (z > 0.05)
+               & cameras.in_image(cam, uv)
+               & (dist >= 0.8 * min_dist) & (dist <= 1.2 * max_dist)
+               & (cos_view > 0.5))
+    return ProjectedPoints(uv, dist, level, visible)
+
+
+class TrackResult(NamedTuple):
+    T_cw_R: jnp.ndarray
+    T_cw_t: jnp.ndarray
+    match_pt: jnp.ndarray   # [N] map-point id per feature (-1 = none)
+    n_inliers: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
+                       pt_ids: jnp.ndarray, proj: ProjectedPoints,
+                       pt_desc: jnp.ndarray, pt_xyz: jnp.ndarray,
+                       radius_per_level: jnp.ndarray,
+                       inv_sigma2_per_level: jnp.ndarray,
+                       prior_match_pt: jnp.ndarray,
+                       cam: cameras.CameraParams) -> TrackResult:
+    """Projection search + motion-only pose optimization, fused.
+
+    Covers both TrackWithMotionModel and TrackLocalMap's hot loops
+    (reference: ORBmatcher.cc:1950/45 + Optimizer::PoseOptimization).
+
+    pt_ids [P]: global point ids of the candidate set (-1 padding).
+    prior_match_pt [N]: existing feature->point assignments to keep
+    (features with a prior match are excluded from the new search).
+    """
+    feat = frame.feat
+    radius = radius_per_level[proj.level]
+    taken = prior_match_pt >= 0
+    res = matching.search_by_projection(
+        proj.uv, proj.visible & (pt_ids >= 0), pt_desc, proj.level,
+        feat._replace(xy=frame.xy_ud), radius,
+        level_lo=-1, level_hi=1, max_dist=matching.TH_HIGH, ratio=0.8,
+        taken=taken)
+
+    # invert: feature -> point (first projected point wins via scatter-min)
+    N = feat.xy.shape[0]
+    match_pt = jnp.full((N,), -1, jnp.int32)
+    upd = jnp.where(res.valid, pt_ids, -1)
+    tgt = jnp.where(res.valid, res.idx, N)  # N = dump slot
+    match_pt = jnp.zeros((N + 1,), jnp.int32).at[:].set(-1).at[tgt].set(upd)[:N]
+    match_pt = jnp.where(taken, prior_match_pt, match_pt)
+
+    # gather 3D for matched features
+    has = match_pt >= 0
+    safe_ids = jnp.where(has, match_pt, 0)
+    X = pt_xyz[safe_ids]
+    uv = frame.xy_ud
+    w = inv_sigma2_per_level[feat.level]
+    opt = pose_opt.pose_optimization(T_cw0, X, uv, w, has & feat.valid, cam)
+    match_pt = jnp.where(opt.inlier | ~has, match_pt, -1)
+    return TrackResult(opt.T_cw.R, opt.T_cw.t, match_pt,
+                       jnp.sum((match_pt >= 0).astype(jnp.int32)))
+
+
+class TriangulationResult(NamedTuple):
+    idx_b: jnp.ndarray     # [N] matched feature in KF b per feature of a
+    ok: jnp.ndarray        # [N] accepted new point
+    xyz: jnp.ndarray       # [N, 3] world coords
+
+
+@partial(jax.jit, static_argnames=("focal",))
+def search_and_triangulate(T_a: SE3, T_b: SE3,
+                           desc_a, xyn_a, level_a, free_a,
+                           desc_b, xyn_b, level_b, free_b,
+                           inv_sigma2_a, inv_sigma2_b,
+                           focal: float = 460.0) -> TriangulationResult:
+    """Epipolar-constrained matching + triangulation between two keyframes
+    (reference: ORBmatcher::SearchForTriangulation, ORBmatcher.cc:1045 +
+    LocalMapping::CreateNewMapPoints, LocalMapping.cc:506).
+
+    free_*: features not yet associated to a map point.
+    """
+    # relative pose b <- a ... epipolar geometry in normalized coords
+    T_ba = T_b.compose(T_a.inverse())
+    # E maps a-rays to epipolar lines in b: l_b = E x_a, E = [t]x R
+    from ..lie import so3 as _so3
+    E = _so3.hat(T_ba.t) @ T_ba.R
+
+    ones = jnp.ones_like(xyn_a[:, :1])
+    Xa = jnp.concatenate([xyn_a, ones], axis=-1)
+    Xb = jnp.concatenate([xyn_b, ones], axis=-1)
+    l_b = Xa @ E.T                                        # [Na, 3]
+    num = jnp.einsum("ai,bi->ab", l_b, Xb)                # [Na, Nb]
+    d2 = num * num / jnp.maximum(
+        (l_b[:, 0] ** 2 + l_b[:, 1] ** 2)[:, None], 1e-12)
+    # pixel-scaled epipolar gate, per-level sigma of the b feature
+    # (reference uses 3.84 * sigma2 of the matched keypoint's level)
+    epi_ok = d2 * focal * focal < 3.84 / inv_sigma2_b[None, :]
+
+    res = matching.match_nn(desc_a, free_a, desc_b, free_b,
+                            max_dist=matching.TH_LOW, ratio=0.9, mutual=True,
+                            extra_mask=epi_ok)
+    xn_b_matched = xyn_b[res.idx]
+    X, tri_ok = triangulate.triangulate(T_a, xyn_a, T_b, xn_b_matched)
+    # acceptance: cheirality, parallax, reprojection both views
+    za = T_a.apply(X)[:, 2]
+    zb = T_b.apply(X)[:, 2]
+    cosp = triangulate.parallax_cos(T_a, T_b, X)
+    pa = T_a.apply(X)
+    pb = T_b.apply(X)
+    ra = pa[:, :2] / jnp.maximum(pa[:, 2:3], 1e-9) - xyn_a
+    rb = pb[:, :2] / jnp.maximum(pb[:, 2:3], 1e-9) - xn_b_matched
+    ea = jnp.sum(ra * ra, -1) * focal * focal * inv_sigma2_a
+    eb = jnp.sum(rb * rb, -1) * focal * focal * inv_sigma2_b[res.idx]
+    ok = (res.valid & tri_ok & (za > 0) & (zb > 0) & (cosp < 0.9998)
+          & (ea < 5.991) & (eb < 5.991))
+    return TriangulationResult(res.idx, ok, X)
+
+
+def level_weights(n_levels: int = 8, scale: float = 1.2):
+    """(radius_scale[l], inv_sigma2[l]) arrays used by matching/optimization."""
+    sf = scale ** np.arange(n_levels, dtype=np.float32)
+    return jnp.asarray(sf), jnp.asarray(1.0 / (sf * sf))

@@ -1,0 +1,336 @@
+"""Local mapping: map growth + refinement per new keyframe.
+
+Replaces the reference's LocalMapping thread (src/LocalMapping.cc:94 Run()):
+ProcessNewKeyFrame -> MapPointCulling -> CreateNewMapPoints ->
+SearchInNeighbors (fuse) -> LocalBundleAdjustment -> KeyFrameCulling.
+Host code selects windows/neighbors from the tensor map; triangulation,
+fusing and BA are the jitted kernels.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import SE3
+from ..models import cameras
+from ..ops import matching
+from ..optim import ba
+from ..mapping.mapstore import MapStore, NO_POINT
+from . import kernels
+
+
+@dataclass
+class LocalMappingConfig:
+    n_covis_triangulate: int = 20   # mono: 30 in reference, stereo 10
+    min_parallax_cos: float = 0.9998
+    cull_found_ratio: float = 0.25  # reference: LocalMapping.cc:463
+    cull_min_obs: int = 2           # cnThObs for mono (ref: 2 mono / 3 stereo)
+    kf_cull_redundancy: float = 0.9  # reference: LocalMapping.cc:1177
+    ba_window: int = 20
+    ba_iters: int = 9
+    max_ba_points: int = 4096
+    max_ba_obs: int = 16384
+
+
+class LocalMapper:
+    def __init__(self, mapstore: MapStore, cam: cameras.CameraParams,
+                 cfg: LocalMappingConfig = LocalMappingConfig()):
+        self.map = mapstore
+        self.cam = cam
+        self.cfg = cfg
+        self.recent_points: dict = {}   # pid -> kf id at creation
+
+    def process_keyframe(self, k: int):
+        """One LocalMapping iteration for keyframe k
+        (reference: LocalMapping::Run body, LocalMapping.cc:94-355)."""
+        m = self.map
+        obs_pts = m.kf_feat_point[k][m.kf_feat_point[k] >= 0]
+        m.update_point_stats(np.unique(obs_pts))
+        self._map_point_culling(k)
+        self._create_new_map_points(k)
+        self._fuse_neighbors(k)
+        covis_ids, _ = m.covisibility(k)
+        window = [k] + [int(x) for x in covis_ids[: self.cfg.ba_window]]
+        if m.n_kf > 2 and len(window) > 1:
+            run_local_ba(m, window, fixed=None, cam=self.cam,
+                         iters=self.cfg.ba_iters,
+                         max_points=self.cfg.max_ba_points,
+                         max_obs=self.cfg.max_ba_obs)
+        self._keyframe_culling(k)
+
+    # ------------------------------------------------------------------
+    def _map_point_culling(self, k: int):
+        """(reference: LocalMapping::MapPointCulling, LocalMapping.cc:451)"""
+        m = self.map
+        drop = []
+        done = []
+        obs = m.observation_counts()
+        for pid, created_kf in self.recent_points.items():
+            if not m.pt_valid[pid]:
+                done.append(pid)
+                continue
+            age = m.n_kf - int(np.searchsorted(np.sort(m.kf_ids()), created_kf))
+            found_ratio = m.pt_found[pid] / max(m.pt_visible[pid], 1)
+            if found_ratio < self.cfg.cull_found_ratio:
+                drop.append(pid)
+                done.append(pid)
+            elif age >= 2 and obs[pid] <= self.cfg.cull_min_obs:
+                drop.append(pid)
+                done.append(pid)
+            elif age >= 3:
+                done.append(pid)   # survived probation
+        m.remove_points(np.asarray(drop, np.int64))
+        for pid in done:
+            self.recent_points.pop(pid, None)
+
+    # ------------------------------------------------------------------
+    def _create_new_map_points(self, k: int):
+        """(reference: LocalMapping::CreateNewMapPoints, LocalMapping.cc:506)"""
+        m = self.map
+        covis_ids, _ = m.covisibility(k, min_weight=10)
+        neighbors = covis_ids[: self.cfg.n_covis_triangulate]
+        if len(neighbors) == 0:
+            return
+        T_a = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
+        _, inv_s2 = kernels.level_weights(m.cfg.n_levels, m.cfg.scale)
+        free_a = m.kf_feat_valid[k] & (m.kf_feat_point[k] == NO_POINT)
+        ca = -m.kf_R[k].T @ m.kf_t[k]
+
+        for b in neighbors:
+            b = int(b)
+            # baseline check: skip neighbors too close for parallax
+            cb = -m.kf_R[b].T @ m.kf_t[b]
+            baseline = np.linalg.norm(ca - cb)
+            pts_b = m.kf_feat_point[b][m.kf_feat_point[b] >= 0]
+            if len(pts_b) == 0:
+                continue
+            depths = np.einsum("ij,pj->pi", m.kf_R[b],
+                               m.pt_xyz[pts_b])[:, 2] + m.kf_t[b][2]
+            med_depth = float(np.median(depths[depths > 0])) if (depths > 0).any() else 1.0
+            if baseline / max(med_depth, 1e-6) < 0.01:
+                continue
+            T_b = SE3(jnp.asarray(m.kf_R[b]), jnp.asarray(m.kf_t[b]))
+            free_b = m.kf_feat_valid[b] & (m.kf_feat_point[b] == NO_POINT)
+            res = kernels.search_and_triangulate(
+                T_a, T_b,
+                jnp.asarray(m.kf_feat_desc[k]), jnp.asarray(m.kf_feat_xyn[k]),
+                jnp.asarray(m.kf_feat_level[k]), jnp.asarray(free_a),
+                jnp.asarray(m.kf_feat_desc[b]), jnp.asarray(m.kf_feat_xyn[b]),
+                jnp.asarray(m.kf_feat_level[b]), jnp.asarray(free_b),
+                inv_s2[m.kf_feat_level[k]], inv_s2[m.kf_feat_level[b]],
+                focal=float(self.cam.fx))
+            ok = np.array(res.ok)
+            X = np.asarray(res.xyz)
+            ok &= np.isfinite(X).all(axis=1)
+            fa = np.where(ok)[0]
+            if len(fa) == 0:
+                continue
+            fb = np.asarray(res.idx_b)[fa]
+            try:
+                pids = m.add_points(X[fa], m.kf_feat_desc[k][fa], ref_kf=k)
+            except RuntimeError:
+                break  # point capacity full; BA/culling will free slots later
+            m.kf_feat_point[k, fa] = pids
+            m.kf_feat_point[b, fb] = pids
+            free_a[fa] = False
+            for pid in pids:
+                self.recent_points[int(pid)] = k
+            m.update_point_stats(pids)
+
+    # ------------------------------------------------------------------
+    def _fuse_neighbors(self, k: int):
+        """Project each neighbor's points into k and fuse duplicates
+        (reference: LocalMapping::SearchInNeighbors + ORBmatcher::Fuse,
+        LocalMapping.cc:917, ORBmatcher.cc:1325)."""
+        m = self.map
+        covis_ids, _ = m.covisibility(k, min_weight=15)
+        neighbors = [int(b) for b in covis_ids[:10]]
+        if not neighbors:
+            return
+        cand = m.local_point_ids(np.asarray(neighbors))
+        own = set(m.kf_feat_point[k][m.kf_feat_point[k] >= 0].tolist())
+        cand = np.asarray([p for p in cand if p not in own], np.int64)
+        if len(cand) == 0:
+            return
+        T_k = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
+        cap = 4096
+        cand = cand[:cap]
+        pad = cap - len(cand)
+        ids = np.concatenate([cand, np.full(pad, -1, np.int64)])
+        safe = np.where(ids >= 0, ids, 0)
+        proj = kernels.project_points(
+            T_k, jnp.asarray(m.pt_xyz[safe]), jnp.asarray(m.pt_normal[safe]),
+            jnp.asarray(m.pt_min_dist[safe]), jnp.asarray(m.pt_max_dist[safe]),
+            jnp.asarray((ids >= 0) & m.pt_valid[safe]), self.cam,
+            m.cfg.scale, m.cfg.n_levels)
+        radius_scale, _ = kernels.level_weights(m.cfg.n_levels, m.cfg.scale)
+        feat = kernels.PreparedFrame(
+            feat=_kf_features(m, k), xy_ud=jnp.asarray(m.kf_feat_xy[k]),
+            xyn=jnp.asarray(m.kf_feat_xyn[k]))
+        res = matching.search_by_projection(
+            proj.uv, proj.visible & (jnp.asarray(ids) >= 0),
+            jnp.asarray(m.pt_desc[safe]), proj.level,
+            feat.feat._replace(xy=feat.xy_ud),
+            3.0 * np.asarray(radius_scale)[np.asarray(proj.level)],
+            max_dist=matching.TH_LOW, ratio=1.0)
+        valid = np.asarray(res.valid)
+        fidx = np.asarray(res.idx)
+        obs = m.observation_counts()
+        for i in np.where(valid)[0]:
+            pid = int(ids[i])
+            f = int(fidx[i])
+            existing = int(m.kf_feat_point[k, f])
+            if existing >= 0:
+                if existing == pid or not m.pt_valid[existing]:
+                    continue
+                keep, kill = (pid, existing) if obs[pid] >= obs[existing] else (existing, pid)
+                m.replace_point(kill, keep)
+            else:
+                m.kf_feat_point[k, f] = pid
+
+    # ------------------------------------------------------------------
+    def _keyframe_culling(self, k: int):
+        """Cull covisible KFs where ~90% of points are seen by >=3 OTHER
+        keyframes at the same or finer pyramid level
+        (reference: LocalMapping::KeyFrameCulling, LocalMapping.cc:1177).
+        The scale condition matters: without it, densely-tracked maps mark
+        nearly every keyframe redundant. Never culls k itself or the newest
+        keyframes (the tracker's reference must survive)."""
+        m = self.map
+        covis_ids, _ = m.covisibility(k)
+        recent = set(int(x) for x in np.argsort(-m.kf_frame_id)[:3])
+        # observation histogram over (point, level) across all valid KFs
+        nl = m.cfg.n_levels
+        P = m.cfg.max_pt
+        kk = np.where(m.kf_valid)[0]
+        fp = m.kf_feat_point[kk]
+        lv = m.kf_feat_level[kk]
+        sel = fp >= 0
+        hist = np.zeros((P, nl), np.int32)
+        np.add.at(hist, (fp[sel], lv[sel]), 1)
+        cum = hist.cumsum(axis=1)                  # obs at level <= l
+        for b in covis_ids:
+            b = int(b)
+            if b <= 1 or b == k or b in recent:
+                continue
+            feats = np.where(m.kf_feat_point[b] >= 0)[0]
+            pts = m.kf_feat_point[b][feats]
+            ok = m.pt_valid[pts]
+            feats, pts = feats[ok], pts[ok]
+            if len(pts) < 20:
+                continue
+            lv_b = np.minimum(m.kf_feat_level[b, feats] + 1, nl - 1)
+            # subtract b's own observation (always within its own level gate)
+            redundant = (cum[pts, lv_b] - 1 >= 3).sum()
+            if redundant > self.cfg.kf_cull_redundancy * len(pts):
+                m.remove_keyframe(b)
+                # keep the histogram consistent after removal
+                fsel = m.kf_feat_level[b, feats]
+                np.subtract.at(hist, (pts, fsel), 1)
+                cum = hist.cumsum(axis=1)
+
+
+def _kf_features(m: MapStore, k: int):
+    from ..ops.extractor import FrameFeatures
+    return FrameFeatures(
+        xy=jnp.asarray(m.kf_feat_xy[k]),
+        level=jnp.asarray(m.kf_feat_level[k]),
+        angle=jnp.asarray(m.kf_feat_angle[k]),
+        score=jnp.zeros(m.cfg.n_feat, jnp.float32),
+        desc=jnp.asarray(m.kf_feat_desc[k]),
+        valid=jnp.asarray(m.kf_feat_valid[k]))
+
+
+def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
+                 max_points: int = 4096, max_obs: int = 16384):
+    """Build a BAProblem from a keyframe window and write results back
+    (reference: Optimizer::LocalBundleAdjustment, Optimizer.cc:1740).
+
+    window: keyframe ids to optimize. fixed: ids held constant (defaults to
+    the frontier — observers of window points that are not in the window —
+    plus the two oldest window KFs if no frontier exists).
+    """
+    window = [int(k) for k in window if m.kf_valid[k]]
+    pt_ids = m.local_point_ids(np.asarray(window))[:max_points]
+    if len(pt_ids) == 0 or len(window) == 0:
+        return
+    pt_slot = {int(p): i for i, p in enumerate(pt_ids)}
+
+    # frontier: other observers of these points
+    inc = m.incidence()
+    observers = np.where(inc[:, pt_ids].any(axis=1))[0]
+    frontier = [int(x) for x in observers if int(x) not in set(window)]
+    if fixed is None:
+        fixed_set = set(frontier)
+        if not fixed_set:
+            fixed_set = set(window[:1]) if len(window) < 3 else set(sorted(window)[:2])
+    else:
+        fixed_set = set(int(x) for x in fixed)
+    cams = window + [f for f in frontier if f not in set(window)]
+    cams = cams[: max(len(window) + 12, 24)]   # cap frontier size
+    cam_slot = {int(c): i for i, c in enumerate(cams)}
+    C = len(cams)
+
+    # observations from kf_feat_point
+    oc, op, ouv, ow = [], [], [], []
+    sf2 = (m.cfg.scale ** np.arange(m.cfg.n_levels)) ** 2
+    for c in cams:
+        fp = m.kf_feat_point[c]
+        sel = np.where((fp >= 0) & np.isin(fp, pt_ids))[0]
+        for f in sel:
+            oc.append(cam_slot[c])
+            op.append(pt_slot[int(fp[f])])
+            ouv.append(m.kf_feat_xy[c, f])
+            ow.append(1.0 / sf2[m.kf_feat_level[c, f]])
+    O = len(oc)
+    if O < 20:
+        return
+    if O > max_obs:
+        keep = np.random.default_rng(0).choice(O, max_obs, replace=False)
+    else:
+        keep = np.arange(O)
+    pad = max_obs - len(keep)
+
+    def pad_arr(a, fill=0):
+        a = np.asarray(a)[keep]
+        return np.concatenate([a, np.full((pad, *a.shape[1:]), fill, a.dtype)])
+
+    P = max_points
+    pt_xyz = np.zeros((P, 3), np.float32)
+    pt_xyz[: len(pt_ids)] = m.pt_xyz[pt_ids]
+    pt_mask = np.zeros(P, bool)
+    pt_mask[: len(pt_ids)] = True
+
+    fixed_mask = np.asarray([c in fixed_set for c in cams])
+    prob = ba.BAProblem(
+        kf_R=jnp.asarray(m.kf_R[cams]), kf_t=jnp.asarray(m.kf_t[cams]),
+        points=jnp.asarray(pt_xyz),
+        obs_cam=jnp.asarray(pad_arr(oc), jnp.int32),
+        obs_pt=jnp.asarray(pad_arr(op), jnp.int32),
+        obs_uv=jnp.asarray(pad_arr(np.stack(ouv) if ouv else np.zeros((0, 2)))),
+        obs_w=jnp.asarray(pad_arr(ow), jnp.float32),
+        obs_valid=jnp.asarray(np.concatenate(
+            [np.ones(len(keep), bool), np.zeros(pad, bool)])),
+        fixed_cam=jnp.asarray(fixed_mask),
+        point_valid=jnp.asarray(pt_mask))
+    res = ba.ba_solve(prob, cam, iters=iters)
+
+    m.kf_R[cams] = np.asarray(res.kf_R)
+    m.kf_t[cams] = np.asarray(res.kf_t)
+    m.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
+
+    # detach outlier observations (reference: Optimizer.cc:2040-2100)
+    inl = np.asarray(res.obs_inlier)[: len(keep)]
+    oc_np = np.asarray(oc)[keep]
+    op_np = np.asarray(op)[keep]
+    bad = np.where(~inl)[0]
+    inv_cam = {i: c for c, i in cam_slot.items()}
+    inv_pt = {i: p for p, i in pt_slot.items()}
+    for o in bad:
+        c = inv_cam[int(oc_np[o])]
+        pid = inv_pt[int(op_np[o])]
+        feats = np.where(m.kf_feat_point[c] == pid)[0]
+        m.kf_feat_point[c, feats] = NO_POINT
+    m.version += 1

@@ -1,0 +1,394 @@
+"""Tracking: the per-frame front end state machine.
+
+Replaces the reference's Tracking thread (src/Tracking.cc:1971 Track() and
+its helpers). The host drives the state machine; every hot loop — feature
+extraction, projection search, pose optimization, two-view reconstruction —
+is a fused jitted device program from pipeline/kernels.py.
+
+States (reference: include/Tracking.h:121-129): NO_IMAGES_YET,
+NOT_INITIALIZED, OK, RECENTLY_LOST, LOST.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import SE3
+from ..models import cameras, twoview
+from ..ops import extractor, matching
+from ..optim import ba
+from ..mapping.mapstore import MapStore, MapConfig, NO_POINT
+from . import kernels
+
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+RECENTLY_LOST = 3
+LOST = 4
+
+
+@dataclass
+class TrackingConfig:
+    n_features: int = 1024
+    max_frames: int = 20          # KF policy c1a: fps (reference mMaxFrames)
+    min_frames: int = 0
+    ref_ratio: float = 0.9        # mono thRefRatio (reference: Tracking.cc:3737)
+    min_init_matches: int = 100   # reference: Tracking.cc:2825,2859
+    motion_radius: float = 15.0   # px search radius, motion model (mono)
+    local_radius: float = 4.0     # px search radius, local map
+    local_pts_cap: int = 4096     # padded local point set size
+    min_inliers_mm: int = 20
+    min_inliers_local: int = 30
+    recently_lost_frames: int = 100  # ~5 s at 20 fps (reference 5 s budget)
+
+
+@dataclass
+class FrameRecord:
+    """Host-side record of the last processed frame."""
+    prepared: kernels.PreparedFrame
+    T_cw: SE3
+    match_pt: np.ndarray    # [N] map point per feature
+    ts: float
+    frame_id: int
+
+
+class Tracker:
+    def __init__(self, cam: cameras.CameraParams, mapstore: MapStore,
+                 cfg: TrackingConfig = TrackingConfig(),
+                 orb_cfg: Optional[extractor.OrbConfig] = None):
+        self.cam = cam
+        self.map = mapstore
+        self.cfg = cfg
+        self.orb_cfg = orb_cfg or extractor.OrbConfig(n_features=cfg.n_features)
+        self.state = NO_IMAGES_YET
+        self.velocity: Optional[SE3] = None
+        self.last: Optional[FrameRecord] = None
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -999
+        self.last_kf_id: int = -1
+        self.init_ref: Optional[FrameRecord] = None
+        self.frame_id = 0
+        self.lost_count = 0
+        self.radius_scale, self.inv_sigma2 = kernels.level_weights(
+            self.orb_cfg.n_levels, self.orb_cfg.scale)
+        # trajectory: (ts, ref_kf, T_cr relative to ref KF, state)
+        self.trajectory: list = []
+        self.new_keyframes: list = []   # queue to local mapping
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, img: np.ndarray, ts: float) -> Optional[np.ndarray]:
+        """Process one grayscale frame; returns T_cw 4x4 or None if lost.
+
+        (reference: Tracking::GrabImageMonocular + Track(), Tracking.cc:1668,1971)
+        """
+        prep = kernels.prepare_frame(
+            jnp.asarray(img, jnp.float32), self.cam, self.orb_cfg)
+        fid = self.frame_id
+        self.frame_id += 1
+
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            self.state = NOT_INITIALIZED
+            self._monocular_initialization(prep, ts, fid)
+            if self.state != OK:
+                return None
+            return self._log_and_return(ts)
+
+        # --- normal tracking ---
+        ok = False
+        if self.velocity is not None and self.state == OK:
+            ok = self._track_with_motion_model(prep, ts, fid)
+        if not ok:
+            ok = self._track_reference_keyframe(prep, ts, fid)
+        if ok:
+            ok = self._track_local_map()
+        if ok:
+            self.state = OK
+            self.lost_count = 0
+            # velocity update (reference: Tracking.cc:2512-2520)
+            if self.last is not None:
+                self.velocity = self.cur_T.compose(self.last.T_cw.inverse())
+            self._update_found_counters()
+            if self._need_new_keyframe():
+                self._create_new_keyframe(ts, fid)
+            self.last = FrameRecord(self.cur_prep, self.cur_T,
+                                    self.cur_match, ts, fid)
+            return self._log_and_return(ts)
+
+        # --- lost handling (reference: Tracking.cc:2203-2262) ---
+        self.lost_count += 1
+        if self.lost_count <= self.cfg.recently_lost_frames and self.map.n_kf > 5:
+            self.state = RECENTLY_LOST
+        else:
+            self.state = LOST
+        self.velocity = None
+        return None
+
+    # ------------------------------------------------------------------
+    def _log_and_return(self, ts):
+        T = self.cur_T
+        Tr = SE3(jnp.asarray(self.map.kf_R[self.ref_kf]),
+                 jnp.asarray(self.map.kf_t[self.ref_kf]))
+        T_cr = T.compose(Tr.inverse())
+        self.trajectory.append(
+            (ts, self.ref_kf, int(self.map.kf_epoch[self.ref_kf]),
+             np.asarray(T_cr.R), np.asarray(T_cr.t), self.state))
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = np.asarray(T.R)
+        M[:3, 3] = np.asarray(T.t)
+        return M
+
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, prep, ts, fid):
+        """(reference: Tracking::MonocularInitialization, Tracking.cc:2818)"""
+        n_valid = int(np.asarray(prep.feat.valid).sum())
+        if self.init_ref is None or n_valid <= self.cfg.min_init_matches:
+            if n_valid > self.cfg.min_init_matches:
+                self.init_ref = FrameRecord(prep, SE3.identity(), None, ts, fid)
+            return
+
+        f1 = self.init_ref.prepared
+        res = matching.search_for_initialization(
+            f1.feat._replace(xy=f1.xy_ud), prep.feat._replace(xy=prep.xy_ud))
+        valid = np.asarray(res.valid)
+        n_matches = int(valid.sum())
+        if n_matches < self.cfg.min_init_matches:
+            self.init_ref = FrameRecord(prep, SE3.identity(), None, ts, fid)
+            return
+
+        idx2 = np.asarray(res.idx)
+        tv = twoview.reconstruct(
+            f1.xyn, prep.xyn[idx2], jnp.asarray(valid),
+            jax.random.PRNGKey(fid), focal=float(self.cam.fx))
+        if not bool(tv.success):
+            return
+        self._create_initial_map(f1, prep, idx2, np.asarray(tv.is_good),
+                                 tv, ts, fid)
+
+    def _create_initial_map(self, f1, f2prep, idx2, good, tv, ts, fid):
+        """(reference: Tracking::CreateInitialMapMonocular, Tracking.cc:2920)"""
+        X = np.asarray(tv.points3d)
+        good = good & np.isfinite(X).all(axis=1)
+        n_good = int(good.sum())
+        if n_good < 50:
+            return
+        # gauge: median depth -> 1
+        depths = X[good][:, 2]
+        med = float(np.median(depths))
+        if med <= 0:
+            return
+        X = X / med
+        t21 = np.asarray(tv.t21) / med
+        R21 = np.asarray(tv.R21)
+
+        N = self.map.cfg.n_feat
+        feat_pt1 = np.full(N, NO_POINT, np.int32)
+        feat_pt2 = np.full(N, NO_POINT, np.int32)
+        gidx1 = np.where(good)[0]
+        pids = self.map.alloc_points(n_good)
+        desc1 = np.asarray(f1.feat.desc)
+        self.map.pt_xyz[pids] = X[gidx1]
+        self.map.pt_desc[pids] = desc1[gidx1]
+        self.map.pt_valid[pids] = True
+        feat_pt1[gidx1] = pids
+        feat_pt2[idx2[gidx1]] = pids
+
+        k1 = self.map.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32), self.init_ref.ts,
+            self.init_ref.frame_id,
+            np.asarray(f1.xy_ud), np.asarray(f1.xyn),
+            np.asarray(f1.feat.level), np.asarray(f1.feat.angle),
+            np.asarray(f1.feat.desc), np.asarray(f1.feat.valid), feat_pt1)
+        k2 = self.map.add_keyframe(
+            R21, t21, ts, fid,
+            np.asarray(f2prep.xy_ud), np.asarray(f2prep.xyn),
+            np.asarray(f2prep.feat.level), np.asarray(f2prep.feat.angle),
+            np.asarray(f2prep.feat.desc), np.asarray(f2prep.feat.valid), feat_pt2)
+        self.map.pt_ref_kf[pids] = k2
+        self.map.pt_first_kf[pids] = k2
+        self.map.update_point_stats(pids)
+
+        # full BA on the initial two-view map (reference runs
+        # GlobalBundleAdjustemnt(20) here)
+        from .local_mapping import run_local_ba
+        run_local_ba(self.map, [k1, k2], fixed=[k1], cam=self.cam, iters=20)
+
+        # rescale again to median depth 1 after BA
+        pvalid = self.map.pt_valid
+        if pvalid.sum() >= 30:
+            med = float(np.median(np.linalg.norm(
+                self.map.pt_xyz[pvalid], axis=-1)))
+            if med > 0:
+                self.map.pt_xyz[pvalid] /= med
+                self.map.kf_t[[k1, k2]] /= med
+        self.map.update_point_stats(np.where(pvalid)[0])
+
+        self.ref_kf = k2
+        self.last_kf_frame_id = fid
+        self.last_kf_id = k2
+        T2 = SE3(jnp.asarray(self.map.kf_R[k2]), jnp.asarray(self.map.kf_t[k2]))
+        self.cur_T = T2
+        self.cur_prep = f2prep
+        self.cur_match = feat_pt2
+        self.last = FrameRecord(f2prep, T2, feat_pt2, ts, fid)
+        self.velocity = None
+        self.state = OK
+        self.new_keyframes.extend([k1, k2])
+
+    # ------------------------------------------------------------------
+    def _candidate_points(self, pt_ids: np.ndarray, T_pred: SE3):
+        """Pad candidate point set + device projection."""
+        cap = self.cfg.local_pts_cap
+        pt_ids = pt_ids[:cap]
+        pad = cap - len(pt_ids)
+        ids = np.concatenate([pt_ids, np.full(pad, -1, np.int64)])
+        safe = np.where(ids >= 0, ids, 0)
+        proj = kernels.project_points(
+            T_pred,
+            jnp.asarray(self.map.pt_xyz[safe]),
+            jnp.asarray(self.map.pt_normal[safe]),
+            jnp.asarray(self.map.pt_min_dist[safe]),
+            jnp.asarray(self.map.pt_max_dist[safe]),
+            jnp.asarray((ids >= 0) & self.map.pt_valid[safe]),
+            self.cam, self.orb_cfg.scale, self.orb_cfg.n_levels)
+        return ids, safe, proj
+
+    def _run_track(self, prep, T_pred, ids, safe, proj, radius_px, prior=None):
+        prior = (jnp.full((self.map.cfg.n_feat,), -1, jnp.int32)
+                 if prior is None else jnp.asarray(prior))
+        res = kernels.match_and_optimize(
+            T_pred, prep, jnp.asarray(ids, jnp.int32), proj,
+            jnp.asarray(self.map.pt_desc[safe]),
+            jnp.asarray(self.map.pt_xyz),
+            radius_px * self.radius_scale, self.inv_sigma2,
+            prior, self.cam)
+        return res
+
+    def _track_with_motion_model(self, prep, ts, fid) -> bool:
+        """(reference: Tracking::TrackWithMotionModel, Tracking.cc:3352)"""
+        T_pred = self.velocity.compose(self.last.T_cw)
+        last_pts = np.unique(self.last.match_pt[self.last.match_pt >= 0])
+        last_pts = last_pts[self.map.pt_valid[last_pts]]
+        if len(last_pts) < 10:
+            return False
+        ids, safe, proj = self._candidate_points(last_pts, T_pred)
+        res = self._run_track(prep, T_pred, ids, safe, proj,
+                              self.cfg.motion_radius)
+        n = int(res.n_inliers)
+        if n < self.cfg.min_inliers_mm:
+            return False
+        self.cur_T = SE3(res.T_cw_R, res.T_cw_t)
+        self.cur_prep = prep
+        self.cur_match = np.asarray(res.match_pt)
+        return True
+
+    def _track_reference_keyframe(self, prep, ts, fid) -> bool:
+        """(reference: Tracking::TrackReferenceKeyFrame, Tracking.cc:3171 —
+        BoW-bucketed matching replaced by dense NN matching)"""
+        if self.ref_kf < 0:
+            return False
+        if not self.map.kf_valid[self.ref_kf]:
+            # reference was culled: fall back to the newest valid keyframe
+            ids = self.map.kf_ids()
+            if len(ids) == 0:
+                return False
+            self.ref_kf = int(ids[np.argmax(self.map.kf_frame_id[ids])])
+        k = self.ref_kf
+        res = matching.match_nn(
+            prep.feat.desc, prep.feat.valid,
+            jnp.asarray(self.map.kf_feat_desc[k]),
+            jnp.asarray(self.map.kf_feat_valid[k]
+                        & (self.map.kf_feat_point[k] >= 0)),
+            max_dist=matching.TH_LOW, ratio=0.7, mutual=True)
+        valid = np.asarray(res.valid)
+        kf_pt = self.map.kf_feat_point[k][np.asarray(res.idx)]
+        match = np.where(valid & (kf_pt >= 0), kf_pt, -1).astype(np.int32)
+        if (match >= 0).sum() < 15:
+            return False
+        T0 = self.last.T_cw if self.last is not None else SE3.identity()
+        from ..optim import pose_opt
+        has = match >= 0
+        safe = np.where(has, match, 0)
+        opt = pose_opt.pose_optimization(
+            T0, jnp.asarray(self.map.pt_xyz[safe]), prep.xy_ud,
+            self.inv_sigma2[prep.feat.level],
+            jnp.asarray(has) & prep.feat.valid, self.cam)
+        if int(opt.n_inliers) < self.cfg.min_inliers_mm:
+            return False
+        inl = np.asarray(opt.inlier)
+        self.cur_T = opt.T_cw
+        self.cur_prep = prep
+        self.cur_match = np.where(inl, match, -1).astype(np.int32)
+        return True
+
+    def _track_local_map(self) -> bool:
+        """(reference: Tracking::TrackLocalMap, Tracking.cc:3474)"""
+        # local keyframes: observers of current points + their covisibles
+        cur_pts = self.cur_match[self.cur_match >= 0]
+        if len(cur_pts) == 0:
+            return False
+        inc = self.map.incidence()
+        obs_counts = inc[:, cur_pts].sum(axis=1)
+        kf_order = np.argsort(-obs_counts)
+        local_kfs = [k for k in kf_order[:10] if obs_counts[k] > 0]
+        if not local_kfs:
+            return False
+        self.ref_kf = int(local_kfs[0])
+        covis = self.map.covisibility_matrix()
+        extra = set()
+        for k in local_kfs:
+            nb = np.argsort(-covis[k])
+            extra.update(int(x) for x in nb[:10] if covis[k, x] >= 15)
+        local_kfs = list(dict.fromkeys(list(local_kfs) + sorted(extra)))
+        pt_ids = self.map.local_point_ids(np.asarray(local_kfs))
+        ids, safe, proj = self._candidate_points(pt_ids, self.cur_T)
+        # visible counter update
+        vis_ids = ids[np.asarray(proj.visible) & (ids >= 0)]
+        self.map.pt_visible[vis_ids] += 1
+        res = self._run_track(self.cur_prep, self.cur_T, ids, safe, proj,
+                              self.cfg.local_radius, prior=self.cur_match)
+        n = int(res.n_inliers)
+        if n < self.cfg.min_inliers_local:
+            return False
+        self.cur_T = SE3(res.T_cw_R, res.T_cw_t)
+        self.cur_match = np.asarray(res.match_pt)
+        return True
+
+    def _update_found_counters(self):
+        pts = self.cur_match[self.cur_match >= 0]
+        self.map.pt_found[pts] += 1
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self) -> bool:
+        """(reference: Tracking::NeedNewKeyFrame, Tracking.cc:3625)"""
+        n_tracked = int((self.cur_match >= 0).sum())
+        # reference counts only ref-KF points with >= minObs observations,
+        # minObs = 3 (2 while the map has <= 2 KFs)
+        # (reference: Tracking::NeedNewKeyFrame nMinObs, Tracking.cc:3659)
+        min_obs = 3 if self.map.n_kf > 2 else 2
+        ref_pts = self.map.kf_feat_point[self.ref_kf]
+        ref_pts = ref_pts[ref_pts >= 0]
+        obs = self.map.observation_counts()
+        ref_tracked = int((obs[ref_pts] >= min_obs).sum())
+        c1a = self.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
+        c1b = self.frame_id >= self.last_kf_frame_id + self.cfg.min_frames + 1
+        c2 = (n_tracked < self.cfg.ref_ratio * ref_tracked) and n_tracked > 15
+        return (c1a or c1b) and c2
+
+    def _create_new_keyframe(self, ts, fid):
+        """(reference: Tracking::CreateNewKeyFrame, Tracking.cc:3826)"""
+        prep = self.cur_prep
+        k = self.map.add_keyframe(
+            np.asarray(self.cur_T.R), np.asarray(self.cur_T.t), ts, fid,
+            np.asarray(prep.xy_ud), np.asarray(prep.xyn),
+            np.asarray(prep.feat.level), np.asarray(prep.feat.angle),
+            np.asarray(prep.feat.desc), np.asarray(prep.feat.valid),
+            self.cur_match.astype(np.int32))
+        self.ref_kf = k
+        self.last_kf_frame_id = fid
+        self.last_kf_id = k
+        self.new_keyframes.append(k)

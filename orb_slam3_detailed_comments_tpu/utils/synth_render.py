@@ -1,0 +1,100 @@
+"""Synthetic multi-plane sequence renderer for integration tests and benches.
+
+Renders a camera moving through a world of textured planes via exact
+plane-induced homographies (cv2.warpPerspective), giving pixel-accurate
+imagery with exact ground-truth trajectories — the integration-test analog
+of the reference's EuRoC dataset runs (SURVEY.md §4), usable offline.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..models import cameras
+
+
+def _texture(rng, size=1200, n_blobs=4000):
+    img = np.full((size, size), 120.0, np.float32)
+    ys = rng.integers(0, size - 24, n_blobs)
+    xs = rng.integers(0, size - 24, n_blobs)
+    for y, x in zip(ys, xs):
+        h, w = rng.integers(4, 22), rng.integers(4, 22)
+        img[y:y + h, x:x + w] = rng.uniform(10, 245)
+    return np.clip(img, 0, 255)
+
+
+@dataclass
+class Plane:
+    origin: np.ndarray      # [3] world point of texture (0,0)
+    e1: np.ndarray          # [3] world direction of texture u axis (per px)
+    e2: np.ndarray          # [3] world direction of texture v axis (per px)
+    texture: np.ndarray
+
+
+def default_world(rng, extent=14.0, tex_size=1200):
+    """A back wall plus two offset foreground panels."""
+    ppm = tex_size / extent  # pixels per meter
+    planes = [
+        Plane(np.array([-extent / 2, -extent / 2, 8.0]),
+              np.array([1 / ppm, 0, 0.0]), np.array([0, 1 / ppm, 0.0]),
+              _texture(rng, tex_size)),
+        Plane(np.array([-5.0, -3.0, 5.5]),
+              np.array([1 / ppm, 0, 0.02 / ppm]), np.array([0, 1 / ppm, 0.0]),
+              _texture(rng, int(tex_size * 0.5), n_blobs=1200)),
+        Plane(np.array([0.5, -2.0, 4.0]),
+              np.array([1 / ppm, 0, -0.03 / ppm]), np.array([0, 1 / ppm, 0.01 / ppm]),
+              _texture(rng, int(tex_size * 0.4), n_blobs=900)),
+    ]
+    return planes
+
+
+def render_frame(cam: cameras.CameraParams, planes, R_cw, t_cw):
+    """Render the planes (painter's order = list order, later on top)."""
+    import cv2
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
+    out = np.zeros((cam.height, cam.width), np.float32)
+    filled = np.zeros((cam.height, cam.width), bool)
+    for pl in planes:
+        # homography texture(u,v) -> image: x ~ K [R e1 | R e2 | R o + t]
+        M = np.stack([R_cw @ pl.e1, R_cw @ pl.e2, R_cw @ pl.origin + t_cw], axis=1)
+        H = K @ M
+        # only render if plane is in front (check center of texture)
+        c = R_cw @ (pl.origin + pl.e1 * pl.texture.shape[1] / 2
+                    + pl.e2 * pl.texture.shape[0] / 2) + t_cw
+        if c[2] < 0.2:
+            continue
+        warped = cv2.warpPerspective(
+            pl.texture, H, (cam.width, cam.height), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0)
+        mask = warped >= 0
+        out[mask] = warped[mask]
+        filled |= mask
+    out[~filled] = 90.0
+    return out
+
+
+def orbit_trajectory(n_frames, radius=0.0, advance=2.5, sway=0.35,
+                     yaw_amp=0.08):
+    """Forward translation with lateral sway + gentle yaw: plenty of parallax,
+    always facing the planes. Returns (R_cw [T,3,3], t_cw [T,3]) world->cam."""
+    from ..lie import so3
+    import jax.numpy as jnp
+    Rs, ts = [], []
+    for i in range(n_frames):
+        a = i / max(n_frames - 1, 1)
+        cw = np.array([sway * np.sin(2 * np.pi * a * 1.5),
+                       0.15 * np.sin(2 * np.pi * a * 0.8),
+                       advance * a])
+        yaw = yaw_amp * np.sin(2 * np.pi * a)
+        pitch = 0.03 * np.sin(2 * np.pi * a * 1.3)
+        R_wc = np.asarray(so3.exp(jnp.asarray([pitch, yaw, 0.0], jnp.float32)))
+        R_cw = R_wc.T
+        t_cw = -R_cw @ cw
+        Rs.append(R_cw.astype(np.float32))
+        ts.append(t_cw.astype(np.float32))
+    return np.stack(Rs), np.stack(ts)
+
+
+def camera_centers(R_cw, t_cw):
+    return -np.einsum("tij,ti->tj", R_cw, t_cw)

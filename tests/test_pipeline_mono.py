@@ -1,0 +1,46 @@
+"""End-to-end monocular SLAM on a rendered synthetic sequence:
+initialization, tracking, keyframe creation, local mapping, and final ATE
+against exact ground truth (the integration test tier of SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from orb_slam3_detailed_comments_tpu.models import cameras
+from orb_slam3_detailed_comments_tpu.pipeline.system import System, MONOCULAR
+from orb_slam3_detailed_comments_tpu.utils import evaluate_ate, synth_render
+
+CAM = cameras.pinhole(fx=458.0, fy=457.0, cx=376.0, cy=240.0, width=752, height=480)
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    rng = np.random.default_rng(7)
+    planes = synth_render.default_world(rng)
+    n = 60
+    R, t = synth_render.orbit_trajectory(n)
+    frames = [synth_render.render_frame(CAM, planes, R[i], t[i]) for i in range(n)]
+    return frames, R, t
+
+
+def test_mono_end_to_end(sequence):
+    frames, R_gt, t_gt = sequence
+    slam = System(CAM, MONOCULAR)
+    ts = np.arange(len(frames)) * 0.05
+    poses = []
+    for i, img in enumerate(frames):
+        T = slam.track_monocular(img, float(ts[i]))
+        poses.append(T)
+
+    tracked = [i for i, p in enumerate(poses) if p is not None]
+    assert len(tracked) > 0.7 * len(frames), f"tracked {len(tracked)}/{len(frames)}"
+    assert slam.n_keyframes >= 3
+    assert slam.n_map_points > 200
+
+    rows = slam.trajectory_tum()
+    assert len(rows) > 0.7 * len(frames)
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    gt_xyz = synth_render.camera_centers(R_gt, t_gt)
+    rmse, n, scale = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz)
+    # trajectory is ~2.5 m long; require cm-level ATE after scale alignment
+    assert n > 0.6 * len(frames)
+    assert rmse < 0.05, f"ATE {rmse:.4f} m over {n} poses (scale {scale:.3f})"
