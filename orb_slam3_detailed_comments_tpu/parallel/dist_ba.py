@@ -1,0 +1,129 @@
+"""Distributed bundle adjustment over a device mesh.
+
+The reference has no distributed compute at all (SURVEY.md §2.9); this module
+is the TPU-native scaling path it lacks: observations are sharded across
+devices along the mesh axis "obs", each device assembles its partial normal
+equations (U, V, W, rhs) from its observation shard, and the camera-camera
+Schur system is reduced with psum over ICI. The dense [6C, 6C] solve is
+replicated (C is the local-BA window; tiny next to the reduction).
+
+This is landmark/observation sharding — the SLAM analog of data parallelism
+with a model-parallel-style psum reduction of the shared Hessian.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..lie import SE3, se3
+from ..models import cameras
+from ..optim import ba as ba_mod
+from ..optim import reproj
+
+OBS_AXIS = "obs"
+
+
+def _partial_normal_eqs(kf_R, kf_t, points, obs_cam, obs_pt, obs_uv, obs_w,
+                        obs_valid, point_valid, cam, delta2):
+    """Per-shard assembly of U, b_c, V, b_p, Wd from an observation shard."""
+    C = kf_R.shape[0]
+    Pn = points.shape[0]
+    T = SE3(kf_R[obs_cam], kf_t[obs_cam])
+    X = points[obs_pt]
+    r, Jc, Jp, depth_ok = reproj.residual_full(T, X, obs_uv, cam)
+    ok = obs_valid & depth_ok & point_valid[obs_pt]
+    chi2 = jnp.sum(r * r, axis=-1) * obs_w
+    w = obs_w * reproj.huber_weight(chi2, delta2) * ok
+    JcW = Jc * w[:, None, None]
+    JpW = Jp * w[:, None, None]
+    U = jnp.zeros((C, 6, 6)).at[obs_cam].add(jnp.einsum("oki,okj->oij", JcW, Jc))
+    b_c = jnp.zeros((C, 6)).at[obs_cam].add(jnp.einsum("oki,ok->oi", JcW, r))
+    V = jnp.zeros((Pn, 3, 3)).at[obs_pt].add(jnp.einsum("oki,okj->oij", JpW, Jp))
+    b_p = jnp.zeros((Pn, 3)).at[obs_pt].add(jnp.einsum("oki,ok->oi", JpW, r))
+    Wo = jnp.einsum("oki,okj->oij", JcW, Jp)
+    Wd = jnp.zeros((Pn, C, 6, 3)).at[obs_pt, obs_cam].add(Wo)
+    return U, b_c, V, b_p, Wd
+
+
+def make_dist_ba_step(mesh: Mesh, cam: cameras.CameraParams,
+                      delta2: float = reproj.CHI2_MONO,
+                      lm_lambda: float = 1e-4):
+    """Build a pjit-compiled single GN/LM iteration with obs sharded on
+    `mesh` axis OBS_AXIS. Poses/points replicated; returns updated poses and
+    points. Call repeatedly from the host LM loop."""
+
+    def shard_body(kf_R, kf_t, points, obs_cam, obs_pt, obs_uv, obs_w,
+                   obs_valid, fixed_cam, point_valid):
+        U, b_c, V, b_p, Wd = _partial_normal_eqs(
+            kf_R, kf_t, points, obs_cam, obs_pt, obs_uv, obs_w, obs_valid,
+            point_valid, cam, delta2)
+        # reduce partial normal equations over the observation shards (ICI)
+        U = jax.lax.psum(U, OBS_AXIS)
+        b_c = jax.lax.psum(b_c, OBS_AXIS)
+        V = jax.lax.psum(V, OBS_AXIS)
+        b_p = jax.lax.psum(b_p, OBS_AXIS)
+        Wd = jax.lax.psum(Wd, OBS_AXIS)
+
+        C = kf_R.shape[0]
+        lam = lm_lambda
+        Ud = U + lam * jnp.eye(6) * jnp.maximum(
+            jnp.einsum("cii->c", U), 1e-3)[:, None, None] / 6.0
+        Vd = V + lam * jnp.eye(3) * jnp.maximum(
+            jnp.einsum("pii->p", V), 1e-3)[:, None, None] / 3.0
+        Vinv = ba_mod._inv3x3(Vd)
+        Vinv = jnp.where(point_valid[:, None, None], Vinv, 0.0)
+        Y = jnp.einsum("pcix,pxy->pciy", Wd, Vinv)
+        S = -jnp.einsum("pciy,pdjy->cidj", Y, Wd)
+        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Ud)
+        rhs = b_c - jnp.einsum("pciy,py->ci", Y, b_p)
+        free = ~fixed_cam
+        fmask = free[:, None].astype(S.dtype)
+        S = S * fmask[:, :, None, None] * fmask[None, None, :, :]
+        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(
+            jnp.eye(6) * (~free)[:, None, None].astype(S.dtype))
+        rhs = rhs * fmask
+        Sm = S.reshape(6 * C, 6 * C)
+        jitter = 1e-5 * jnp.max(jnp.diag(Sm)) + 1e-3
+        dc = jax.scipy.linalg.cho_solve(
+            (jax.scipy.linalg.cholesky(Sm + jitter * jnp.eye(6 * C), lower=True),
+             True), rhs.reshape(-1)).reshape(C, 6)
+        dc = jnp.where(free[:, None], dc, 0.0)
+        WTdc = jnp.einsum("pcix,ci->px", Wd, dc)
+        dp = jnp.einsum("pxy,py->px", Vinv, b_p - WTdc)
+        dp = jnp.where(point_valid[:, None], dp, 0.0)
+        T_new = se3.exp(dc).compose(SE3(kf_R, kf_t))
+        return T_new.R, T_new.t, points + dp
+
+    sharded = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(), P(),               # poses/points replicated
+                  P(OBS_AXIS), P(OBS_AXIS), P(OBS_AXIS), P(OBS_AXIS),
+                  P(OBS_AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_frame_parallel_pose_opt(mesh: Mesh, cam: cameras.CameraParams,
+                                 axis: str = "frames"):
+    """Frame-parallel motion-only optimization: a batch of frames sharded
+    across chips (the SLAM analog of the data-parallel axis; per
+    BASELINE.json 'tracking runs frames in parallel per chip')."""
+    from ..optim import pose_opt
+
+    def one_frame(R0, t0, X, uv, w, valid):
+        res = pose_opt.pose_optimization(SE3(R0, t0), X, uv, w, valid, cam)
+        return res.T_cw.R, res.T_cw.t, res.n_inliers
+
+    def body(R0, t0, X, uv, w, valid):
+        return jax.vmap(one_frame)(R0, t0, X, uv, w, valid)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False)
+    return jax.jit(sharded)
