@@ -61,11 +61,14 @@ def exp(w: jnp.ndarray) -> jnp.ndarray:
 def log(R: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map: rotation matrix [..., 3, 3] -> rotation vector [..., 3].
 
-    Numerically-robust version covering theta near 0 and near pi.
+    Numerically robust near theta = 0 and theta = pi, AND differentiation-
+    safe: optimizers (pose graph, inertial alignment) take jacfwd/jacrev of
+    rotation residuals that sit exactly at identity, so every branch here
+    uses the safe-where pattern (guard the *input* of sqrt/atan2 so the
+    untaken branch cannot generate NaN tangents).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     # Antisymmetric part gives sin(theta) * axis.
     w_sin = 0.5 * jnp.stack(
         [
@@ -75,13 +78,18 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
+    s2 = jnp.sum(w_sin * w_sin, axis=-1)          # sin^2(theta), smooth
+    small = (s2 < 1e-10) & (cos_theta > 0.0)      # theta ~ 0 (sin~0 & cos~+1)
+    near_pi = cos_theta < -1.0 + 1e-6
+    # theta via atan2 (smooth); guard sqrt input for the small branch
+    sin_theta = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(jnp.where(small, 0.0, sin_theta), cos_theta)
 
-    # Generic: w = theta / sin(theta) * w_sin ; small: w ~= (1 + t^2/6) * w_sin
-    safe_sin = jnp.where(small | near_pi, 1.0, sin_theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / safe_sin)
+    # Generic: w = theta / sin(theta) * w_sin; small: (1 + s2/6) * w_sin
+    # (for small angles theta^2 ~= s2, so the Taylor factor uses s2 directly
+    # — no dependence on the non-differentiable theta-at-zero)
+    scale = jnp.where(small, 1.0 + s2 / 6.0,
+                      theta / jnp.where(small, 1.0, sin_theta))
     w_generic = scale[..., None] * w_sin
 
     # Near pi: use the symmetric part. R + I = (1 + cos t) I + (1 - cos t) aa^T + sin t hat(a)
