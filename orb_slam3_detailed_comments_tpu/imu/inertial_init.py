@@ -50,6 +50,30 @@ def initial_gravity_estimate(R_wb: jnp.ndarray, pres: Preintegrated) -> jnp.ndar
     return so3.exp(axis * ang)
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def estimate_gyro_bias(R_wb: jnp.ndarray, pres: Preintegrated,
+                       iters: int = 4) -> jnp.ndarray:
+    """Gyro bias from rotation-only alignment of preintegrations to the
+    visual rotations: min_bg sum ||Log(dR(bg)^T R_i^T R_j)||^2.
+    (stage 1 of the reference's IMU init; also used standalone before
+    FullInertialBA so the joint problem starts inside its basin)."""
+    K = R_wb.shape[0]
+
+    def rot_residuals(bg):
+        def pair(i):
+            pre_i = jax.tree.map(lambda x: x[i], pres)
+            dR = pre_mod.delta_rotation(pre_i, bg)
+            return so3.log(dR.T @ R_wb[i].T @ R_wb[i + 1])
+        return jax.vmap(pair)(jnp.arange(K - 1)).reshape(-1)
+
+    def step(i, bg):
+        r = rot_residuals(bg)
+        J = jax.jacfwd(rot_residuals)(bg)
+        return bg - jnp.linalg.solve(J.T @ J + 1e-8 * jnp.eye(3), J.T @ r)
+
+    return jax.lax.fori_loop(0, iters, step, jnp.zeros(3))
+
+
 @partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def inertial_optimization(R_wb: jnp.ndarray, p_w: jnp.ndarray,
                           pres: Preintegrated,
@@ -95,19 +119,7 @@ def inertial_optimization(R_wb: jnp.ndarray, p_w: jnp.ndarray,
         return jnp.concatenate([rs, prior])
 
     # ---- stage 1: gyro bias from rotation-only alignment --------------
-    # min_bg sum || Log( dR(bg)^T R_i^T R_j ) ||^2 — 3 variables, GN
-    def rot_residuals(bg):
-        def pair(i):
-            pre_i = jax.tree.map(lambda x: x[i], pres)
-            dR = pre_mod.delta_rotation(pre_i, bg)
-            return so3.log(dR.T @ R_wb[i].T @ R_wb[i + 1])
-        return jax.vmap(pair)(jnp.arange(K - 1)).reshape(-1)
-
-    bg_est = jnp.zeros(3)
-    for _ in range(4):
-        r = rot_residuals(bg_est)
-        J = jax.jacfwd(rot_residuals)(bg_est)
-        bg_est = bg_est - jnp.linalg.solve(J.T @ J + 1e-8 * jnp.eye(3), J.T @ r)
+    bg_est = estimate_gyro_bias(R_wb, pres)
 
     # ---- stage 2: closed-form linear solve for (s, g_w, v_k) ----------
     # ev: R_i^T (v_j - v_i - g dt)                    = dV(bg)
