@@ -1,0 +1,129 @@
+"""Place recognition tests: vocabulary discrimination, keyframe-db retrieval,
+Sim3 RANSAC, PnP relocalization."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_detailed_comments_tpu.lie import so3
+from orb_slam3_detailed_comments_tpu.placerec import pnp, sim3_solver, vocab
+
+
+def random_desc(rng, n):
+    return rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
+
+
+def perturb_desc(rng, d, bits=10):
+    """Flip `bits` random bits per descriptor."""
+    out = d.copy()
+    for i in range(len(out)):
+        for _ in range(bits):
+            w = rng.integers(0, 8)
+            out[i, w] ^= np.uint32(1) << np.uint32(rng.integers(0, 32))
+    return out
+
+
+class TestVocab:
+    @pytest.fixture(scope="class")
+    def voc(self):
+        rng = np.random.default_rng(0)
+        train_desc = random_desc(rng, 8000)
+        return vocab.train(train_desc, k=8, levels=3, seed=1)
+
+    def test_transform_shapes(self, voc, rng):
+        d = random_desc(rng, 100)
+        w = np.asarray(vocab.transform(voc, jnp.asarray(d), jnp.ones(100, bool)))
+        assert w.shape == (100,)
+        assert (w >= 0).all() and (w < voc.n_words).all()
+
+    def test_similar_descriptors_same_word(self, voc, rng):
+        d = random_desc(rng, 200)
+        d2 = perturb_desc(rng, d, bits=4)
+        w1 = np.asarray(vocab.transform(voc, jnp.asarray(d), jnp.ones(200, bool)))
+        w2 = np.asarray(vocab.transform(voc, jnp.asarray(d2), jnp.ones(200, bool)))
+        assert (w1 == w2).mean() > 0.5   # small perturbations mostly stay
+
+    def test_bow_scoring_discriminates(self, voc, rng):
+        a = random_desc(rng, 300)
+        a_noisy = perturb_desc(rng, a, bits=6)
+        b = random_desc(rng, 300)
+        va = vocab.bow_vector(voc, vocab.transform(voc, jnp.asarray(a), jnp.ones(300, bool)))
+        va2 = vocab.bow_vector(voc, vocab.transform(voc, jnp.asarray(a_noisy), jnp.ones(300, bool)))
+        vb = vocab.bow_vector(voc, vocab.transform(voc, jnp.asarray(b), jnp.ones(300, bool)))
+        s_same = float(va @ va2)
+        s_diff = float(va @ vb)
+        # uniform-random descriptors are the worst case for a learned tree;
+        # real ORB descriptors cluster far more strongly
+        assert s_same > 1.5 * s_diff
+
+    def test_save_load_roundtrip(self, voc, tmp_path, rng):
+        p = str(tmp_path / "voc.npz")
+        vocab.save(voc, p)
+        voc2 = vocab.load(p)
+        d = random_desc(rng, 50)
+        w1 = np.asarray(vocab.transform(voc, jnp.asarray(d), jnp.ones(50, bool)))
+        w2 = np.asarray(vocab.transform(voc2, jnp.asarray(d), jnp.ones(50, bool)))
+        assert (w1 == w2).all()
+
+
+class TestSim3:
+    def test_recovers_similarity(self, rng):
+        N = 120
+        x2 = rng.uniform(-2, 2, (N, 3)).astype(np.float32) + [0, 0, 5]
+        R = np.asarray(so3.exp(jnp.asarray([0.1, -0.2, 0.05], jnp.float32)))
+        s = 1.4
+        t = np.array([0.4, -0.2, 0.6], np.float32)
+        x1 = s * x2 @ R.T + t
+        xn1 = x1[:, :2] / x1[:, 2:3] + rng.normal(0, 0.3 / 460, (N, 2))
+        xn2 = x2[:, :2] / x2[:, 2:3] + rng.normal(0, 0.3 / 460, (N, 2))
+        # 25% outliers
+        n_bad = 30
+        x2c = x2.copy()
+        x2c[:n_bad] += rng.uniform(0.5, 2.0, (n_bad, 3))
+        res = sim3_solver.solve_sim3_ransac(
+            jnp.asarray(x1), jnp.asarray(x2c), jnp.ones(N, bool),
+            jnp.asarray(xn1.astype(np.float32)), jnp.asarray(xn2.astype(np.float32)),
+            jax.random.PRNGKey(0))
+        assert bool(res.ok)
+        assert abs(float(res.s) - s) < 0.02
+        np.testing.assert_allclose(np.asarray(res.R), R, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.t), t, atol=3e-2)
+        assert np.asarray(res.inliers)[:n_bad].sum() < 5
+
+    def test_fix_scale(self, rng):
+        N = 60
+        x2 = rng.uniform(-2, 2, (N, 3)).astype(np.float32) + [0, 0, 5]
+        R = np.asarray(so3.exp(jnp.asarray([0.05, 0.1, -0.03], jnp.float32)))
+        t = np.array([0.3, 0.1, -0.2], np.float32)
+        x1 = x2 @ R.T + t
+        xn1 = x1[:, :2] / x1[:, 2:3]
+        xn2 = x2[:, :2] / x2[:, 2:3]
+        res = sim3_solver.solve_sim3_ransac(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.ones(N, bool),
+            jnp.asarray(xn1), jnp.asarray(xn2), jax.random.PRNGKey(1),
+            fix_scale=True)
+        assert bool(res.ok)
+        assert float(res.s) == 1.0
+        np.testing.assert_allclose(np.asarray(res.R), R, atol=1e-3)
+
+
+class TestPnP:
+    def test_relocalization_pose(self, rng):
+        N = 200
+        X = np.stack([rng.uniform(-3, 3, N), rng.uniform(-2, 2, N),
+                      rng.uniform(0, 2, N)], 1).astype(np.float32)
+        R = np.asarray(so3.exp(jnp.asarray([0.2, -0.3, 0.1], jnp.float32)))
+        t = np.array([0.5, -0.3, 6.0], np.float32)
+        pc = X @ R.T + t
+        xn = pc[:, :2] / pc[:, 2:3] + rng.normal(0, 0.4 / 460, (N, 2))
+        # 30% mismatches
+        n_bad = 60
+        xn[:n_bad] = rng.uniform(-0.4, 0.4, (n_bad, 2))
+        res = pnp.solve_pnp_ransac(jnp.asarray(X), jnp.asarray(xn.astype(np.float32)),
+                                   jnp.ones(N, bool), jax.random.PRNGKey(0))
+        assert bool(res.ok)
+        dR = np.asarray(res.R) @ R.T
+        ang = np.linalg.norm(np.asarray(so3.log(jnp.asarray(dR))))
+        assert ang < 0.01, ang
+        assert np.linalg.norm(np.asarray(res.t) - t) < 0.05
+        assert int(res.n_inliers) > 0.8 * (N - n_bad)
