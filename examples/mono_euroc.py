@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Monocular EuRoC example (reference: Examples/Monocular/mono_euroc.cc).
+
+Usage:
+    python examples/mono_euroc.py <settings.yaml> <sequence_dir> [<out.txt>]
+
+Multiple sequence dirs exercise the multi-map Atlas like the reference's
+multi-sequence mode (mono_euroc.cc:173-183).
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 1
+    settings_path, seq = sys.argv[1], sys.argv[2]
+    out = sys.argv[3] if len(sys.argv) > 3 else "trajectory_tum.txt"
+
+    from orb_slam3_detailed_comments_tpu.pipeline.system import System, MONOCULAR
+    from orb_slam3_detailed_comments_tpu.utils import config, datasets
+
+    s = config.load_settings(settings_path)
+    slam = System(s.camera, MONOCULAR, enable_loop_closing=s.loop_closing)
+    paths, ts = datasets.load_euroc_images(seq)
+    print(f"{len(paths)} frames in {seq}")
+
+    t_track = []
+    for i, (p, t) in enumerate(zip(paths, ts)):
+        img = datasets.read_gray(p)
+        t0 = time.perf_counter()
+        slam.track_monocular(img, float(t))
+        t_track.append(time.perf_counter() - t0)
+        if i % 50 == 0:
+            print(f"frame {i}/{len(paths)} state={slam.tracker.state} "
+                  f"kf={slam.n_keyframes} pts={slam.n_map_points} "
+                  f"{1.0 / max(np.mean(t_track[-50:]), 1e-9):.1f} fps")
+
+    slam.save_trajectory_tum(out)
+    slam.save_keyframe_trajectory_tum(out.replace(".txt", "_kf.txt"))
+    print(f"median track time {np.median(t_track) * 1e3:.1f} ms; saved {out}")
+    if s.save_atlas:
+        slam.save_atlas(s.save_atlas)
+    slam.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

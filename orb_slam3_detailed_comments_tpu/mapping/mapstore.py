@@ -189,13 +189,18 @@ class MapStore:
 
     def replace_point(self, old_id: int, new_id: int):
         """Fuse old into new (reference: MapPoint::Replace)."""
-        mask = self.kf_feat_point == old_id
-        # avoid duplicate observation of new_id in the same KF
-        for k in np.where(mask.any(axis=1))[0]:
-            if (self.kf_feat_point[k] == new_id).any():
-                self.kf_feat_point[k][self.kf_feat_point[k] == old_id] = NO_POINT
-            else:
-                self.kf_feat_point[k][self.kf_feat_point[k] == old_id] = new_id
+        from .. import native
+        if native.available:
+            native.replace_point(self.kf_valid, self.kf_feat_point,
+                                 old_id, new_id)
+        else:
+            mask = self.kf_feat_point == old_id
+            # avoid duplicate observation of new_id in the same KF
+            for k in np.where(mask.any(axis=1))[0]:
+                if (self.kf_feat_point[k] == new_id).any():
+                    self.kf_feat_point[k][self.kf_feat_point[k] == old_id] = NO_POINT
+                else:
+                    self.kf_feat_point[k][self.kf_feat_point[k] == old_id] = new_id
         self.pt_found[new_id] += self.pt_found[old_id]
         self.pt_visible[new_id] += self.pt_visible[old_id]
         self.pt_valid[old_id] = False
@@ -205,18 +210,26 @@ class MapStore:
 
     def observation_counts(self) -> np.ndarray:
         """[P] number of keyframes observing each point."""
+        from .. import native
+        if native.available:
+            return native.observation_counts(self.kf_valid, self.kf_feat_point,
+                                             self.cfg.max_pt)
         P = self.cfg.max_pt
         flat = self.kf_feat_point[self.kf_valid].ravel()
         flat = flat[flat >= 0]
         return np.bincount(flat, minlength=P)
 
     def incidence(self) -> np.ndarray:
-        """[K, P] bool: KF k observes point p."""
+        """[K, P] bool: KF k observes point p. Cached per map version."""
+        if getattr(self, "_inc_cache_v", -1) == self.version:
+            return self._inc_cache
         K, P = self.cfg.max_kf, self.cfg.max_pt
         inc = np.zeros((K, P), bool)
         kk, ff = np.where(self.kf_feat_point >= 0)
         inc[kk, self.kf_feat_point[kk, ff]] = True
         inc &= self.kf_valid[:, None]
+        self._inc_cache = inc
+        self._inc_cache_v = self.version
         return inc
 
     def covisibility(self, k: int, min_weight: int = 15) -> tuple:
@@ -230,9 +243,19 @@ class MapStore:
         return ids[order], w[ids][order]
 
     def covisibility_matrix(self) -> np.ndarray:
-        """[K, K] shared-point counts (int32)."""
-        inc = self.incidence().astype(np.int32)
-        return inc @ inc.T
+        """[K, K] shared-point counts (int32). Cached per map version; the
+        [K, P] @ [P, K] product only spans the live keyframes."""
+        if getattr(self, "_cov_cache_v", -1) == self.version:
+            return self._cov_cache
+        K = self.cfg.max_kf
+        ids = self.kf_ids()
+        cov = np.zeros((K, K), np.int32)
+        if len(ids):
+            inc = self.incidence()[ids].astype(np.int32)
+            cov[np.ix_(ids, ids)] = inc @ inc.T
+        self._cov_cache = cov
+        self._cov_cache_v = self.version
+        return cov
 
     def point_observers(self, pid: int) -> np.ndarray:
         return np.where((self.kf_feat_point == pid).any(axis=1) & self.kf_valid)[0]
@@ -251,6 +274,16 @@ class MapStore:
         (reference: MapPoint::ComputeDistinctiveDescriptors /
         UpdateNormalAndDepth)."""
         if len(pids) == 0:
+            return
+        from .. import native
+        if native.available:
+            native.update_point_stats(
+                self.kf_valid, self.kf_feat_point, self.kf_feat_desc,
+                self.kf_feat_level, self.kf_R, self.kf_t, self.pt_xyz,
+                self.pt_ref_kf, np.asarray(pids, np.int64),
+                self._scale_factors.astype(np.float32),
+                self.pt_desc, self.pt_normal, self.pt_min_dist,
+                self.pt_max_dist)
             return
         inc_kf = {p: [] for p in pids}
         kk, ff = np.where(np.isin(self.kf_feat_point, pids) & (self.kf_feat_point >= 0))

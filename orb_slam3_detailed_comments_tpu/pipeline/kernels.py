@@ -38,6 +38,42 @@ def prepare_frame(img: jnp.ndarray, cam: cameras.CameraParams,
     return PreparedFrame(feat, xy_ud, xyn)
 
 
+@partial(jax.jit, static_argnames=("cam", "cfg", "n_levels", "scale", "bf"))
+def prepare_frame_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                         cam: cameras.CameraParams, bf: float,
+                         cfg: extractor.OrbConfig,
+                         n_levels: int = 8, scale: float = 1.2):
+    """Stereo frame prep: extract both images, row-match, attach depth
+    (reference: Frame stereo ctor + ComputeStereoMatches, Frame.cc:1102).
+    Returns (PreparedFrame of the left image, depth [N], u_right [N])."""
+    from . import kernels as _self  # for clarity; same module
+    from ..ops import stereo as stereo_mod
+    prep = prepare_frame(img_l, cam, cfg)
+    feat_r = extractor.extract(img_r, cfg)
+    sm = stereo_mod.stereo_match(
+        prep.xy_ud, prep.feat.level, prep.feat.desc, prep.feat.valid,
+        feat_r.xy, feat_r.level, feat_r.desc, feat_r.valid,
+        img_l, img_r, bf, min_z=max(bf / cam.fx * 2.0, 0.3),
+        n_levels=n_levels, scale=scale)
+    return prep, sm.depth, sm.u_right
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def prepare_frame_rgbd(img: jnp.ndarray, depth_img: jnp.ndarray,
+                       cam: cameras.CameraParams, bf: float,
+                       cfg: extractor.OrbConfig):
+    """RGB-D frame prep: sample the registered depth map at each keypoint
+    (reference: Frame RGB-D ctor ComputeStereoFromRGBD, Frame.cc:1487).
+    Returns (PreparedFrame, depth [N], virtual u_right [N])."""
+    prep = prepare_frame(img, cam, cfg)
+    u = jnp.clip(prep.feat.xy[:, 0].astype(jnp.int32), 0, depth_img.shape[1] - 1)
+    v = jnp.clip(prep.feat.xy[:, 1].astype(jnp.int32), 0, depth_img.shape[0] - 1)
+    z = depth_img[v, u]
+    z = jnp.where(z > 0.05, z, 0.0)
+    u_r = jnp.where(z > 0, prep.xy_ud[:, 0] - bf / jnp.maximum(z, 1e-6), -1.0)
+    return prep, z, u_r
+
+
 class ProjectedPoints(NamedTuple):
     uv: jnp.ndarray        # [P, 2] predicted pixel (undistorted frame)
     dist: jnp.ndarray      # [P] distance to camera center

@@ -271,7 +271,10 @@ def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
     cams = window + [f for f in frontier if f not in set(window)]
     cams = cams[: max(len(window) + 12, 24)]   # cap frontier size
     cam_slot = {int(c): i for i, c in enumerate(cams)}
-    C = len(cams)
+    # bucket the camera count so XLA compiles one ba_solve per bucket, not
+    # one per window size (dummy cameras are fixed and observation-free)
+    n_real = len(cams)
+    C = ((n_real + 7) // 8) * 8
 
     # observations from kf_feat_point
     oc, op, ouv, ow = [], [], [], []
@@ -303,9 +306,13 @@ def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
     pt_mask = np.zeros(P, bool)
     pt_mask[: len(pt_ids)] = True
 
-    fixed_mask = np.asarray([c in fixed_set for c in cams])
+    fixed_mask = np.asarray([c in fixed_set for c in cams]
+                            + [True] * (C - n_real))
+    kf_R_in = np.concatenate(
+        [m.kf_R[cams], np.tile(np.eye(3, dtype=np.float32), (C - n_real, 1, 1))])
+    kf_t_in = np.concatenate([m.kf_t[cams], np.zeros((C - n_real, 3), np.float32)])
     prob = ba.BAProblem(
-        kf_R=jnp.asarray(m.kf_R[cams]), kf_t=jnp.asarray(m.kf_t[cams]),
+        kf_R=jnp.asarray(kf_R_in), kf_t=jnp.asarray(kf_t_in),
         points=jnp.asarray(pt_xyz),
         obs_cam=jnp.asarray(pad_arr(oc), jnp.int32),
         obs_pt=jnp.asarray(pad_arr(op), jnp.int32),
@@ -317,8 +324,8 @@ def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
         point_valid=jnp.asarray(pt_mask))
     res = ba.ba_solve(prob, cam, iters=iters)
 
-    m.kf_R[cams] = np.asarray(res.kf_R)
-    m.kf_t[cams] = np.asarray(res.kf_t)
+    m.kf_R[cams] = np.asarray(res.kf_R)[:n_real]
+    m.kf_t[cams] = np.asarray(res.kf_t)[:n_real]
     m.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
 
     # detach outlier observations (reference: Optimizer.cc:2040-2100)

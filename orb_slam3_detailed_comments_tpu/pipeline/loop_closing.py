@@ -1,0 +1,334 @@
+"""Loop closing: place-recognition candidates -> Sim3 verification ->
+loop correction -> essential-graph optimization -> global BA.
+
+Replaces the reference's LoopClosing thread (src/LoopClosing.cc:100 Run,
+NewDetectCommonRegions:383, CorrectLoop:1273). Multi-map merge
+(MergeLocal/MergeLocal2) lives in pipeline/atlas.py.
+
+Host code orchestrates; candidate scoring (KFDB matmul), descriptor matching,
+Sim3 RANSAC, pose-graph GN and global BA are device programs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import SE3, Sim3, sim3
+from ..models import cameras
+from ..ops import matching
+from ..placerec import sim3_solver
+from ..placerec.keyframe_db import KeyFrameDatabase
+from ..mapping.mapstore import MapStore, NO_POINT
+from . import kernels
+from .local_mapping import run_local_ba
+
+
+@dataclass
+class LoopClosingConfig:
+    n_candidates: int = 3
+    min_bow_matches: int = 20     # reference nBoWMatches (LoopClosing.cc:746)
+    min_sim3_inliers: int = 20    # nSim3Inliers
+    min_proj_matches: int = 50    # nProjMatches
+    consistency_needed: int = 3   # temporally consistent detections
+    covis_edge_min_weight: int = 100  # essential-graph covis edges
+    run_global_ba: bool = True
+    gba_iters: int = 10
+
+
+class LoopCloser:
+    def __init__(self, mapstore: MapStore, cam: cameras.CameraParams,
+                 kfdb: KeyFrameDatabase, cfg: LoopClosingConfig = LoopClosingConfig()):
+        self.map = mapstore
+        self.cam = cam
+        self.kfdb = kfdb
+        self.cfg = cfg
+        self.consistency_count = 0
+        self.last_candidate = -1
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, k: int) -> bool:
+        """One LoopClosing iteration; returns True if a loop was closed."""
+        closed = False
+        cand = self._detect(k)
+        if cand is not None:
+            match_kf, S_kc = cand
+            self.consistency_count += 1
+            if self.consistency_count >= self.cfg.consistency_needed:
+                self._correct_loop(k, match_kf, S_kc)
+                self.consistency_count = 0
+                self.n_loops_closed += 1
+                closed = True
+        else:
+            self.consistency_count = 0
+        self.kfdb.add(k, self.map.kf_feat_desc[k], self.map.kf_feat_valid[k])
+        return closed
+
+    # ------------------------------------------------------------------
+    def _detect(self, k: int):
+        """BoW candidates + Sim3 geometric verification
+        (reference: NewDetectCommonRegions + DetectCommonRegionsFromBoW)."""
+        m = self.map
+        cands = self.kfdb.detect_candidates(m, k, self.cfg.n_candidates)
+        for c in cands:
+            out = self._verify_candidate(k, c)
+            if out is not None:
+                return out
+        return None
+
+    def _verify_candidate(self, k: int, c: int):
+        m = self.map
+        # descriptor matches between features WITH map points on both sides
+        res = matching.match_nn(
+            jnp.asarray(m.kf_feat_desc[k]),
+            jnp.asarray(m.kf_feat_valid[k] & (m.kf_feat_point[k] >= 0)),
+            jnp.asarray(m.kf_feat_desc[c]),
+            jnp.asarray(m.kf_feat_valid[c] & (m.kf_feat_point[c] >= 0)),
+            max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
+        valid = np.asarray(res.valid)
+        if valid.sum() < self.cfg.min_bow_matches:
+            return None
+        idx_c = np.asarray(res.idx)
+        fk = np.where(valid)[0]
+        fc = idx_c[fk]
+        pk = m.kf_feat_point[k][fk]
+        pc = m.kf_feat_point[c][fc]
+        ok = (pk >= 0) & (pc >= 0) & m.pt_valid[pk] & m.pt_valid[pc]
+        fk, fc, pk, pc = fk[ok], fc[ok], pk[ok], pc[ok]
+        if len(fk) < self.cfg.min_bow_matches:
+            return None
+        # 3D points in each keyframe's camera frame
+        Tk = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
+        Tc = SE3(jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]))
+        xk = np.asarray(Tk.apply(jnp.asarray(m.pt_xyz[pk])))
+        xc = np.asarray(Tc.apply(jnp.asarray(m.pt_xyz[pc])))
+        N = 256
+        pad = max(N - len(fk), 0)
+
+        def padarr(a, d=0.0):
+            a = np.asarray(a, np.float32)[:N]
+            return np.concatenate([a, np.full((pad, *a.shape[1:]), d, np.float32)])
+
+        vmask = np.concatenate([np.ones(min(len(fk), N), bool), np.zeros(pad, bool)])
+        s3 = sim3_solver.solve_sim3_ransac(
+            jnp.asarray(padarr(xk)), jnp.asarray(padarr(xc)),
+            jnp.asarray(vmask),
+            jnp.asarray(padarr(m.kf_feat_xyn[k][fk])),
+            jnp.asarray(padarr(m.kf_feat_xyn[c][fc])),
+            jax.random.PRNGKey(k * 977 + c),
+            focal=float(self.cam.fx),
+            min_inliers=self.cfg.min_sim3_inliers)
+        if not bool(s3.ok):
+            return None
+        # guided projection re-verification: project candidate-side local
+        # points through S into k and count matches (reference nProjMatches)
+        S_kc = Sim3(s3.R, s3.t, s3.s)   # maps c-frame points -> k-frame
+        n_proj = self._count_projection_matches(k, c, S_kc)
+        if n_proj < self.cfg.min_proj_matches:
+            return None
+        return c, S_kc
+
+    def _count_projection_matches(self, k: int, c: int, S_kc: Sim3) -> int:
+        m = self.map
+        covis_c, _ = m.covisibility(c, min_weight=10)
+        kfs = [c] + [int(x) for x in covis_c[:10]]
+        pts = m.local_point_ids(np.asarray(kfs))[:2048]
+        if len(pts) == 0:
+            return 0
+        Tc = SE3(jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]))
+        xc = np.asarray(Tc.apply(jnp.asarray(m.pt_xyz[pts])))
+        xk = np.asarray(S_kc.apply(jnp.asarray(xc)))
+        uv = np.asarray(cameras.project(self.cam, jnp.asarray(xk)))
+        vis = (xk[:, 2] > 0.1) & np.asarray(cameras.in_image(self.cam, jnp.asarray(uv)))
+        P = 2048
+        pad = P - len(pts)
+        projf = kernels.ProjectedPoints(
+            uv=jnp.asarray(np.concatenate([uv, np.zeros((pad, 2), np.float32)])),
+            dist=jnp.zeros(P),
+            level=jnp.zeros(P, jnp.int32),
+            visible=jnp.asarray(np.concatenate([vis, np.zeros(pad, bool)])))
+        res = matching.search_by_projection(
+            projf.uv, projf.visible,
+            jnp.asarray(np.concatenate([m.pt_desc[pts],
+                                        np.zeros((pad, 8), np.uint32)])),
+            projf.level,
+            _kf_feat(m, k), 8.0, level_lo=-8, level_hi=8,
+            max_dist=matching.TH_LOW, ratio=1.0)
+        return int(np.asarray(res.valid).sum())
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, k: int, match_kf: int, S_kc: Sim3):
+        """(reference: LoopClosing::CorrectLoop, LoopClosing.cc:1273)"""
+        m = self.map
+        # corrected similarity of k: S_kw_corr = S_kc ∘ S_cw  (treat the
+        # matched side as drift-free)
+        S_cw = Sim3(jnp.asarray(m.kf_R[match_kf]), jnp.asarray(m.kf_t[match_kf]),
+                    jnp.asarray(1.0))
+        S_kw_corr = S_kc.compose(S_cw)
+
+        kf_ids = m.kf_ids()
+        K = len(kf_ids)
+        slot = {int(x): i for i, x in enumerate(kf_ids)}
+        R0 = m.kf_R[kf_ids].copy()
+        t0 = m.kf_t[kf_ids].copy()
+        s0 = np.ones(K, np.float32)
+
+        # propagate the correction to k's covisible group before the graph
+        # optimization (reference corrects the local window with the Sim3)
+        covis_k, _ = m.covisibility(k, min_weight=15)
+        window = [k] + [int(x) for x in covis_k]
+        T_kw = Sim3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]), jnp.asarray(1.0))
+        delta = S_kw_corr.compose(T_kw.inverse())    # correction in world
+        for w in window:
+            Sw = Sim3(jnp.asarray(m.kf_R[w]), jnp.asarray(m.kf_t[w]), jnp.asarray(1.0))
+            Sc = Sw.compose(delta.inverse())
+            R0[slot[w]] = np.asarray(Sc.R)
+            t0[slot[w]] = np.asarray(Sc.t)
+            s0[slot[w]] = float(Sc.s)
+
+        # essential graph edges: covisibility (pre-correction measurements)
+        ei, ej, eR, et, es, ew = [], [], [], [], [], []
+        covm = m.covisibility_matrix()
+        for a_i, a in enumerate(kf_ids):
+            for b_i, b in enumerate(kf_ids):
+                if b_i <= a_i:
+                    continue
+                w_ab = covm[a, b]
+                if w_ab < self.cfg.covis_edge_min_weight and b_i != a_i + 1:
+                    continue   # keep strong covis edges + sequential chain
+                Sa = Sim3(jnp.asarray(m.kf_R[a]), jnp.asarray(m.kf_t[a]), jnp.asarray(1.0))
+                Sb = Sim3(jnp.asarray(m.kf_R[b]), jnp.asarray(m.kf_t[b]), jnp.asarray(1.0))
+                mm = Sa.compose(Sb.inverse())
+                ei.append(a_i); ej.append(b_i)
+                eR.append(np.asarray(mm.R)); et.append(np.asarray(mm.t))
+                es.append(1.0); ew.append(1.0)
+        # loop edge k <-> match_kf with the verified relative similarity
+        Sc_m = Sim3(jnp.asarray(m.kf_R[match_kf]), jnp.asarray(m.kf_t[match_kf]),
+                    jnp.asarray(1.0))
+        m_loop = S_kw_corr.compose(Sc_m.inverse())
+        ei.append(slot[k]); ej.append(slot[match_kf])
+        eR.append(np.asarray(m_loop.R)); et.append(np.asarray(m_loop.t))
+        es.append(float(m_loop.s)); ew.append(5.0)
+
+        fixed = np.zeros(K, bool)
+        fixed[slot[match_kf]] = True
+
+        # bucket K and E so the pose-graph jit compiles once per bucket
+        Kp = ((K + 15) // 16) * 16
+        Ep = ((len(ei) + 127) // 128) * 128
+        padK = Kp - K
+        padE = Ep - len(ei)
+        R0p = np.concatenate([R0, np.tile(np.eye(3, dtype=np.float32), (padK, 1, 1))])
+        t0p = np.concatenate([t0, np.zeros((padK, 3), np.float32)])
+        s0p = np.concatenate([s0, np.ones(padK, np.float32)])
+        fixedp = np.concatenate([fixed, np.ones(padK, bool)])
+        eip = np.concatenate([ei, np.zeros(padE, np.int64)])
+        ejp = np.concatenate([ej, np.zeros(padE, np.int64)])
+        eRp = np.concatenate([np.stack(eR),
+                              np.tile(np.eye(3, dtype=np.float32), (padE, 1, 1))])
+        etp = np.concatenate([np.stack(et), np.zeros((padE, 3), np.float32)])
+        esp = np.concatenate([es, np.ones(padE, np.float32)])
+        ewp = np.concatenate([ew, np.zeros(padE, np.float32)])
+
+        from ..optim import pose_graph
+        res = pose_graph.optimize_sim3_graph(
+            jnp.asarray(R0p), jnp.asarray(t0p), jnp.asarray(s0p),
+            jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
+            jnp.asarray(eRp), jnp.asarray(etp),
+            jnp.asarray(esp, jnp.float32), jnp.asarray(ewp, jnp.float32),
+            jnp.asarray(fixedp), iters=15)
+
+        # apply: correct map points through their reference KF's correction
+        # (reference: CorrectLoop's eigSwc-based point update)
+        R_new = np.asarray(res.R)[:K]
+        t_new = np.asarray(res.t)[:K]
+        s_new = np.asarray(res.s)[:K]
+        pts = np.where(m.pt_valid)[0]
+        ref = m.pt_ref_kf[pts]
+        # points whose ref KF is not alive are re-anchored to any observer
+        for i, p in enumerate(pts):
+            if ref[i] not in slot:
+                obs = m.point_observers(p)
+                ref[i] = obs[0] if len(obs) else kf_ids[0]
+        ref_slots = np.asarray([slot[int(r)] for r in ref])
+        S_old = Sim3(jnp.asarray(m.kf_R[kf_ids][ref_slots]),
+                     jnp.asarray(m.kf_t[kf_ids][ref_slots]),
+                     jnp.ones(len(pts)))
+        S_new = Sim3(jnp.asarray(R_new[ref_slots]), jnp.asarray(t_new[ref_slots]),
+                     jnp.asarray(s_new[ref_slots]))
+        x_local = S_old.apply(jnp.asarray(m.pt_xyz[pts]))
+        x_corr = S_new.inverse().apply(x_local)
+        m.pt_xyz[pts] = np.asarray(x_corr)
+
+        # write keyframe poses: fold scale into translation (SE3 map store)
+        m.kf_R[kf_ids] = R_new
+        m.kf_t[kf_ids] = t_new / np.maximum(s_new[:, None], 1e-9)
+        m.version += 1
+
+        # fuse duplicated points around the loop (reference: SearchAndFuse)
+        self._fuse_loop_points(k, match_kf)
+        m.update_point_stats(np.where(m.pt_valid)[0])
+
+        # global BA on the corrected map (reference: RunGlobalBundleAdjustment)
+        if self.cfg.run_global_ba:
+            window = [int(x) for x in m.kf_ids()]
+            anchor = [match_kf] if match_kf in window else window[:1]
+            run_local_ba(m, window, fixed=anchor, cam=self.cam,
+                         iters=self.cfg.gba_iters,
+                         max_points=m.cfg.max_pt // 2, max_obs=32768)
+
+    def _fuse_loop_points(self, k: int, c: int):
+        """Project loop-side points into k's covisible window and merge
+        duplicates (reference: LoopClosing::SearchAndFuse)."""
+        m = self.map
+        covis_c, _ = m.covisibility(c, min_weight=10)
+        loop_pts = m.local_point_ids(np.asarray([c] + [int(x) for x in covis_c[:10]]))
+        covis_k, _ = m.covisibility(k, min_weight=10)
+        for w in [k] + [int(x) for x in covis_k[:5]]:
+            own = m.kf_feat_point[w]
+            own_set = set(own[own >= 0].tolist())
+            cand = np.asarray([p for p in loop_pts if p not in own_set], np.int64)
+            if len(cand) == 0:
+                continue
+            cap = 2048
+            cand = cand[:cap]
+            pad = cap - len(cand)
+            ids = np.concatenate([cand, np.full(pad, -1, np.int64)])
+            safe = np.where(ids >= 0, ids, 0)
+            T_w = SE3(jnp.asarray(m.kf_R[w]), jnp.asarray(m.kf_t[w]))
+            proj = kernels.project_points(
+                T_w, jnp.asarray(m.pt_xyz[safe]), jnp.asarray(m.pt_normal[safe]),
+                jnp.asarray(m.pt_min_dist[safe]), jnp.asarray(m.pt_max_dist[safe]),
+                jnp.asarray((ids >= 0) & m.pt_valid[safe]), self.cam,
+                m.cfg.scale, m.cfg.n_levels)
+            res = matching.search_by_projection(
+                proj.uv, proj.visible & (jnp.asarray(ids) >= 0),
+                jnp.asarray(m.pt_desc[safe]), proj.level,
+                _kf_feat(m, w), 6.0, level_lo=-2, level_hi=2,
+                max_dist=matching.TH_LOW, ratio=1.0)
+            valid = np.asarray(res.valid)
+            fidx = np.asarray(res.idx)
+            obs = m.observation_counts()
+            for i in np.where(valid)[0]:
+                pid = int(ids[i]); f = int(fidx[i])
+                existing = int(m.kf_feat_point[w, f])
+                if existing >= 0 and m.pt_valid[existing] and existing != pid:
+                    keep, kill = ((pid, existing) if obs[pid] >= obs[existing]
+                                  else (existing, pid))
+                    m.replace_point(kill, keep)
+                elif existing < 0:
+                    m.kf_feat_point[w, f] = pid
+
+
+def _kf_feat(m: MapStore, k: int):
+    from ..ops.extractor import FrameFeatures
+    return FrameFeatures(
+        xy=jnp.asarray(m.kf_feat_xy[k]),
+        level=jnp.asarray(m.kf_feat_level[k]),
+        angle=jnp.asarray(m.kf_feat_angle[k]),
+        score=jnp.zeros(m.cfg.n_feat, jnp.float32),
+        desc=jnp.asarray(m.kf_feat_desc[k]),
+        valid=jnp.asarray(m.kf_feat_valid[k]))

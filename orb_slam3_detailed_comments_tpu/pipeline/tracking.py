@@ -57,13 +57,25 @@ class FrameRecord:
     frame_id: int
 
 
+SENSOR_MONO = 0
+SENSOR_STEREO = 1
+SENSOR_RGBD = 2
+
+
 class Tracker:
     def __init__(self, cam: cameras.CameraParams, mapstore: MapStore,
                  cfg: TrackingConfig = TrackingConfig(),
-                 orb_cfg: Optional[extractor.OrbConfig] = None):
+                 orb_cfg: Optional[extractor.OrbConfig] = None,
+                 sensor: int = SENSOR_MONO, bf: float = 0.0,
+                 th_depth: float = 35.0):
         self.cam = cam
         self.map = mapstore
         self.cfg = cfg
+        self.sensor = sensor
+        self.bf = bf                      # baseline * fx (stereo/RGBD)
+        # close-point threshold = th_depth * baseline (reference ThDepth)
+        self.th_depth = th_depth * (bf / cam.fx) if bf > 0 else 0.0
+        self.cur_depth = None             # [N] per-feature depth or None
         self.orb_cfg = orb_cfg or extractor.OrbConfig(n_features=cfg.n_features)
         self.state = NO_IMAGES_YET
         self.velocity: Optional[SE3] = None
@@ -76,6 +88,9 @@ class Tracker:
         self.lost_count = 0
         self.radius_scale, self.inv_sigma2 = kernels.level_weights(
             self.orb_cfg.n_levels, self.orb_cfg.scale)
+        # set by System: prep -> (R, t, match_pt, ref_kf) or None
+        self.relocalizer = None
+        self.n_relocalizations = 0
         # trajectory: (ts, ref_kf, T_cr relative to ref KF, state)
         self.trajectory: list = []
         self.new_keyframes: list = []   # queue to local mapping
@@ -88,12 +103,36 @@ class Tracker:
         """
         prep = kernels.prepare_frame(
             jnp.asarray(img, jnp.float32), self.cam, self.orb_cfg)
+        return self._track_frame(prep, None, ts)
+
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
+                     ts: float) -> Optional[np.ndarray]:
+        """(reference: Tracking::GrabImageStereo, Tracking.cc:1523)"""
+        prep, depth, _ = kernels.prepare_frame_stereo(
+            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            self.cam, self.bf, self.orb_cfg,
+            self.orb_cfg.n_levels, self.orb_cfg.scale)
+        return self._track_frame(prep, np.asarray(depth), ts)
+
+    def track_rgbd(self, img: np.ndarray, depth_img: np.ndarray,
+                   ts: float) -> Optional[np.ndarray]:
+        """(reference: Tracking::GrabImageRGBD, Tracking.cc:1613)"""
+        prep, depth, _ = kernels.prepare_frame_rgbd(
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth_img, jnp.float32),
+            self.cam, self.bf, self.orb_cfg)
+        return self._track_frame(prep, np.asarray(depth), ts)
+
+    def _track_frame(self, prep, depth, ts: float) -> Optional[np.ndarray]:
         fid = self.frame_id
         self.frame_id += 1
+        self.cur_depth = depth
 
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             self.state = NOT_INITIALIZED
-            self._monocular_initialization(prep, ts, fid)
+            if depth is None:
+                self._monocular_initialization(prep, ts, fid)
+            else:
+                self._stereo_initialization(prep, depth, ts, fid)
             if self.state != OK:
                 return None
             return self._log_and_return(ts)
@@ -104,6 +143,8 @@ class Tracker:
             ok = self._track_with_motion_model(prep, ts, fid)
         if not ok:
             ok = self._track_reference_keyframe(prep, ts, fid)
+        if not ok and self.state in (RECENTLY_LOST, LOST) and self.relocalizer:
+            ok = self._relocalization(prep, ts, fid)
         if ok:
             ok = self._track_local_map()
         if ok:
@@ -240,6 +281,78 @@ class Tracker:
         self.new_keyframes.extend([k1, k2])
 
     # ------------------------------------------------------------------
+    def _stereo_initialization(self, prep, depth, ts, fid):
+        """Instant map init from stereo/RGB-D depth
+        (reference: Tracking::StereoInitialization, Tracking.cc:2678)."""
+        good = (depth > 0) & np.asarray(prep.feat.valid)
+        if good.sum() < 300:   # reference requires >500 kps; depth-valid subset
+            return
+        N = self.map.cfg.n_feat
+        idx = np.where(good)[0]
+        xyn = np.asarray(prep.xyn)[idx]
+        z = depth[idx]
+        X = np.stack([xyn[:, 0] * z, xyn[:, 1] * z, z], axis=1).astype(np.float32)
+        feat_pt = np.full(N, NO_POINT, np.int32)
+        pids = self.map.alloc_points(len(idx))
+        self.map.pt_xyz[pids] = X
+        self.map.pt_desc[pids] = np.asarray(prep.feat.desc)[idx]
+        self.map.pt_valid[pids] = True
+        feat_pt[idx] = pids
+        k = self.map.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32), ts, fid,
+            np.asarray(prep.xy_ud), np.asarray(prep.xyn),
+            np.asarray(prep.feat.level), np.asarray(prep.feat.angle),
+            np.asarray(prep.feat.desc), np.asarray(prep.feat.valid), feat_pt)
+        self.map.pt_ref_kf[pids] = k
+        self.map.pt_first_kf[pids] = k
+        self.map.update_point_stats(pids)
+        self.ref_kf = k
+        self.last_kf_frame_id = fid
+        self.last_kf_id = k
+        self.cur_T = SE3.identity()
+        self.cur_prep = prep
+        self.cur_match = feat_pt
+        self.last = FrameRecord(prep, SE3.identity(), feat_pt, ts, fid)
+        self.velocity = None
+        self.state = OK
+        self.new_keyframes.append(k)
+
+    def _create_depth_points(self, k: int, max_new: int = 100):
+        """Create close map points from the frame's depth for features that
+        have no match yet (reference: CreateNewKeyFrame's stereo/RGBD point
+        creation, Tracking.cc:3865-3950: sorted by depth, close-first)."""
+        if self.cur_depth is None or self.bf <= 0:
+            return
+        m = self.map
+        prep = self.cur_prep
+        free = ((m.kf_feat_point[k] == NO_POINT)
+                & np.asarray(prep.feat.valid)
+                & (self.cur_depth > 0))
+        idx = np.where(free)[0]
+        if len(idx) == 0:
+            return
+        z = self.cur_depth[idx]
+        order = np.argsort(z)
+        sel = []
+        for i in order:
+            if z[i] <= self.th_depth or len(sel) < max_new:
+                sel.append(i)
+            if len(sel) >= max_new and z[i] > self.th_depth:
+                break
+        idx = idx[np.asarray(sel, np.int64)]
+        z = self.cur_depth[idx]
+        xyn = np.asarray(prep.xyn)[idx]
+        Xc = np.stack([xyn[:, 0] * z, xyn[:, 1] * z, z], 1).astype(np.float32)
+        T_wc = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k])).inverse()
+        Xw = np.asarray(T_wc.apply(jnp.asarray(Xc)))
+        try:
+            pids = m.add_points(Xw, np.asarray(prep.feat.desc)[idx], ref_kf=k)
+        except RuntimeError:
+            return
+        m.kf_feat_point[k, idx] = pids
+        m.update_point_stats(pids)
+
+    # ------------------------------------------------------------------
     def _candidate_points(self, pt_ids: np.ndarray, T_pred: SE3):
         """Pad candidate point set + device projection."""
         cap = self.cfg.local_pts_cap
@@ -325,6 +438,30 @@ class Tracker:
         self.cur_match = np.where(inl, match, -1).astype(np.int32)
         return True
 
+    def _relocalization(self, prep, ts, fid) -> bool:
+        """(reference: Tracking::Relocalization, Tracking.cc:4324 — BoW
+        candidates + PnP RANSAC, delegated to the System's recognizer)"""
+        out = self.relocalizer(prep)
+        if out is None:
+            return False
+        R, t, match_pt, ref = out
+        from ..optim import pose_opt
+        has = match_pt >= 0
+        safe = np.where(has, match_pt, 0)
+        opt = pose_opt.pose_optimization(
+            SE3(jnp.asarray(R), jnp.asarray(t)),
+            jnp.asarray(self.map.pt_xyz[safe]), prep.xy_ud,
+            self.inv_sigma2[prep.feat.level],
+            jnp.asarray(has) & prep.feat.valid, self.cam)
+        if int(opt.n_inliers) < 15:
+            return False
+        self.cur_T = opt.T_cw
+        self.cur_prep = prep
+        self.cur_match = np.where(np.asarray(opt.inlier), match_pt, -1).astype(np.int32)
+        self.ref_kf = int(ref)
+        self.n_relocalizations += 1
+        return True
+
     def _track_local_map(self) -> bool:
         """(reference: Tracking::TrackLocalMap, Tracking.cc:3474)"""
         # local keyframes: observers of current points + their covisibles
@@ -391,4 +528,5 @@ class Tracker:
         self.ref_kf = k
         self.last_kf_frame_id = fid
         self.last_kf_id = k
+        self._create_depth_points(k)
         self.new_keyframes.append(k)

@@ -1,0 +1,129 @@
+"""Settings: typed YAML configuration with the reference's key names.
+
+Replaces Settings (reference: src/Settings.cc readCamera1/readImageInfo/
+readIMU/readORB/... and the legacy in-Tracking parser). Accepts the
+reference's own YAML files (EuRoC.yaml, TUM-VI.yaml — cv::FileStorage
+"%YAML:1.0" headers are handled) so a user can point this framework at
+their existing ORB-SLAM3 configs unchanged.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import yaml
+
+from ..models import cameras
+
+
+@dataclass
+class Settings:
+    camera: cameras.CameraParams = None
+    camera2: Optional[cameras.CameraParams] = None
+    fps: float = 30.0
+    rgb: bool = True
+    # stereo
+    baseline: float = 0.0       # meters
+    th_depth: float = 35.0
+    # depth
+    depth_map_factor: float = 1.0
+    # ORB
+    n_features: int = 1200
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    # IMU
+    imu_noise_gyro: float = 1.7e-4
+    imu_noise_acc: float = 2.0e-3
+    imu_walk_gyro: float = 1.9e-5
+    imu_walk_acc: float = 3.0e-3
+    imu_frequency: float = 200.0
+    T_bc: Optional[np.ndarray] = None   # 4x4 camera-in-body
+    insert_kfs_when_lost: bool = True
+    # system
+    load_atlas: Optional[str] = None
+    save_atlas: Optional[str] = None
+    loop_closing: bool = True
+    raw: dict = field(default_factory=dict)
+
+
+def _load_yaml(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    # cv::FileStorage headers/directives that PyYAML rejects
+    text = re.sub(r"^%YAML:.*$", "", text, flags=re.M)
+    text = text.replace("!!opencv-matrix", "")
+    return yaml.safe_load(text) or {}
+
+
+def _get(d: dict, *keys, default=None):
+    for k in keys:
+        if k in d and d[k] is not None:
+            return d[k]
+    return default
+
+
+def _read_camera(d: dict, prefix: str = "Camera") -> Optional[cameras.CameraParams]:
+    """Reads both v1.0 ('Camera1.fx') and legacy ('Camera.fx') key styles."""
+    def g(name, default=None):
+        return _get(d, f"{prefix}1.{name}", f"{prefix}.{name}", default=default)
+
+    fx = g("fx")
+    if fx is None:
+        return None
+    fy, cx, cy = g("fy"), g("cx"), g("cy")
+    w = _get(d, "Camera.width", "Camera.newWidth", default=752)
+    h = _get(d, "Camera.height", "Camera.newHeight", default=480)
+    cam_type = _get(d, "Camera.type", "File.type", default="PinHole")
+    k1 = g("k1", 0.0) or 0.0
+    k2 = g("k2", 0.0) or 0.0
+    if str(cam_type).lower() in ("kannalabrandt8", "fisheye"):
+        return cameras.fisheye_kb8(fx, fy, cx, cy, w, h,
+                                   k1=k1, k2=k2,
+                                   k3=g("k3", 0.0) or 0.0, k4=g("k4", 0.0) or 0.0)
+    return cameras.pinhole(fx, fy, cx, cy, w, h, k1=k1, k2=k2,
+                           p1=g("p1", 0.0) or 0.0, p2=g("p2", 0.0) or 0.0,
+                           k3=g("k3", 0.0) or 0.0)
+
+
+def load_settings(path: str) -> Settings:
+    d = _load_yaml(path)
+    s = Settings(raw=d)
+    s.camera = _read_camera(d)
+    s.fps = float(_get(d, "Camera.fps", default=30.0))
+    s.rgb = bool(_get(d, "Camera.RGB", default=1))
+    bf = _get(d, "Camera.bf")
+    if bf is not None and s.camera is not None:
+        s.baseline = float(bf) / s.camera.fx
+    st_b = _get(d, "Stereo.b")
+    if st_b is not None:
+        s.baseline = float(st_b)
+    s.th_depth = float(_get(d, "ThDepth", "Stereo.ThDepth", "Camera.ThDepth",
+                            default=35.0))
+    dmf = _get(d, "DepthMapFactor", "RGBD.DepthMapFactor")
+    if dmf:
+        s.depth_map_factor = float(dmf)
+    s.n_features = int(_get(d, "ORBextractor.nFeatures", default=1200))
+    s.scale_factor = float(_get(d, "ORBextractor.scaleFactor", default=1.2))
+    s.n_levels = int(_get(d, "ORBextractor.nLevels", default=8))
+    s.ini_th_fast = float(_get(d, "ORBextractor.iniThFAST", default=20))
+    s.min_th_fast = float(_get(d, "ORBextractor.minThFAST", default=7))
+    s.imu_noise_gyro = float(_get(d, "IMU.NoiseGyro", default=1.7e-4))
+    s.imu_noise_acc = float(_get(d, "IMU.NoiseAcc", default=2.0e-3))
+    s.imu_walk_gyro = float(_get(d, "IMU.GyroWalk", default=1.9e-5))
+    s.imu_walk_acc = float(_get(d, "IMU.AccWalk", default=3.0e-3))
+    s.imu_frequency = float(_get(d, "IMU.Frequency", default=200.0))
+    tbc = _get(d, "IMU.T_b_c1", "Tbc")
+    if isinstance(tbc, dict) and "data" in tbc:
+        s.T_bc = np.asarray(tbc["data"], np.float32).reshape(4, 4)
+    elif isinstance(tbc, (list, tuple)):
+        s.T_bc = np.asarray(tbc, np.float32).reshape(4, 4)
+    s.insert_kfs_when_lost = bool(_get(d, "IMU.InsertKFsWhenLost", default=1))
+    s.load_atlas = _get(d, "System.LoadAtlasFromFile")
+    s.save_atlas = _get(d, "System.SaveAtlasToFile")
+    lc = _get(d, "loopClosing", default=1)
+    s.loop_closing = bool(lc)
+    return s

@@ -98,3 +98,83 @@ def orbit_trajectory(n_frames, radius=0.0, advance=2.5, sway=0.35,
 
 def camera_centers(R_cw, t_cw):
     return -np.einsum("tij,ti->tj", R_cw, t_cw)
+
+
+def render_stereo_pair(cam, planes, R_cw, t_cw, baseline: float):
+    """Left/right rectified pair: right camera displaced along camera +x."""
+    left = render_frame(cam, planes, R_cw, t_cw)
+    c = -R_cw.T @ t_cw
+    c_r = c + R_cw.T @ np.array([baseline, 0.0, 0.0])
+    t_r = -R_cw @ c_r
+    right = render_frame(cam, planes, R_cw, t_r)
+    return left, right
+
+
+def render_depth(cam, planes, R_cw, t_cw):
+    """Exact per-pixel depth map for the planar world (z of the nearest
+    rendered plane; painter's order = list order, later planes overwrite)."""
+    import cv2
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
+    depth = np.zeros((cam.height, cam.width), np.float32)
+    for pl in planes:
+        h, w = pl.texture.shape
+        M = np.stack([R_cw @ pl.e1, R_cw @ pl.e2, R_cw @ pl.origin + t_cw], axis=1)
+        H = K @ M
+        # z is affine in texture coords: z(u,v) = (R e1).z u + (R e2).z v + (R o + t).z
+        uu, vv = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        zmap = (M[2, 0] * uu + M[2, 1] * vv + M[2, 2]).astype(np.float32)
+        c = R_cw @ (pl.origin + pl.e1 * w / 2 + pl.e2 * h / 2) + t_cw
+        if c[2] < 0.2:
+            continue
+        warped = cv2.warpPerspective(zmap, H, (cam.width, cam.height),
+                                     flags=cv2.INTER_LINEAR,
+                                     borderMode=cv2.BORDER_CONSTANT,
+                                     borderValue=-1.0)
+        mask = warped > 0
+        depth[mask] = warped[mask]
+    return depth
+
+
+def box_world(rng, half=8.0, tex_size=1400):
+    """Four textured walls of a box in x-z (y vertical): a loop-closure
+    world — a camera circling inside and facing outward revisits the first
+    wall after 360 degrees."""
+    ppm = tex_size / (2 * half)
+    e_y = np.array([0, 1 / ppm, 0.0])
+    walls = [
+        # +z wall: spans x in [-half, half] at z=half
+        Plane(np.array([-half, -half, half]), np.array([1 / ppm, 0, 0]), e_y,
+              _texture(rng, tex_size)),
+        # +x wall: spans z from half to -half
+        Plane(np.array([half, -half, half]), np.array([0, 0, -1 / ppm]), e_y,
+              _texture(rng, tex_size)),
+        # -z wall
+        Plane(np.array([half, -half, -half]), np.array([-1 / ppm, 0, 0]), e_y,
+              _texture(rng, tex_size)),
+        # -x wall
+        Plane(np.array([-half, -half, -half]), np.array([0, 0, 1 / ppm]), e_y,
+              _texture(rng, tex_size)),
+    ]
+    return walls
+
+
+def loop_trajectory(n_frames, radius=3.0, closes: float = 1.0):
+    """Circle of `closes` revolutions in the x-z plane, camera facing
+    radially outward. Returns world->cam (R_cw [T,3,3], t_cw [T,3])."""
+    from ..lie import so3
+    import jax.numpy as jnp
+    Rs, ts = [], []
+    for i in range(n_frames):
+        a = 2 * np.pi * closes * i / n_frames
+        cw = np.array([radius * np.sin(a), 0.0, radius * np.cos(a)])
+        # camera z axis points outward (radially), x to the right, y down
+        z = np.array([np.sin(a), 0.0, np.cos(a)])
+        x = np.array([np.cos(a), 0.0, -np.sin(a)])
+        y = np.cross(z, x)
+        R_wc = np.stack([x, y, z], axis=1)   # columns = camera axes in world
+        R_cw = R_wc.T
+        t_cw = -R_cw @ cw
+        Rs.append(R_cw.astype(np.float32))
+        ts.append(t_cw.astype(np.float32))
+    return np.stack(Rs), np.stack(ts)

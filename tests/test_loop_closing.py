@@ -1,0 +1,72 @@
+"""Loop-closing integration test: camera circles inside a textured box and
+revisits the start; the system must keep tracking all the way around,
+detect the loop via place recognition, and keep/restore global consistency.
+Also tests relocalization after a tracking blackout."""
+import numpy as np
+import pytest
+
+from orb_slam3_detailed_comments_tpu.models import cameras
+from orb_slam3_detailed_comments_tpu.pipeline.system import System, MONOCULAR
+from orb_slam3_detailed_comments_tpu.utils import evaluate_ate, synth_render
+
+CAM = cameras.pinhole(fx=400.0, fy=400.0, cx=376.0, cy=240.0, width=752, height=480)
+
+
+@pytest.fixture(scope="module")
+def loop_sequence():
+    rng = np.random.default_rng(11)
+    walls = synth_render.box_world(rng)
+    n = 140
+    R, t = synth_render.loop_trajectory(n, radius=3.0, closes=1.05)
+    frames = [synth_render.render_frame(CAM, walls, R[i], t[i]) for i in range(n)]
+    return frames, R, t
+
+
+def test_loop_detected_and_trajectory_consistent(loop_sequence):
+    frames, R_gt, t_gt = loop_sequence
+    slam = System(CAM, MONOCULAR, enable_loop_closing=True)
+    ts = np.arange(len(frames)) * 0.05
+    n_ok = 0
+    for i, img in enumerate(frames):
+        if slam.track_monocular(img, float(ts[i])) is not None:
+            n_ok += 1
+    assert n_ok > 0.7 * len(frames), f"tracked {n_ok}/{len(frames)}"
+
+    # place recognition must have fired at least once near the revisit
+    assert slam.loop_closer is not None
+    assert slam.loop_closer.n_loops_closed >= 1
+
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    gt_xyz = synth_render.camera_centers(R_gt, t_gt)
+    rmse, n, scale = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz)
+    # loop radius 3 m, full circle ~19 m path: ATE must stay small after closure
+    assert rmse < 0.20, f"ATE {rmse:.3f} m over {n} poses (scale {scale:.3f})"
+
+
+def test_relocalization_after_blackout():
+    rng = np.random.default_rng(5)
+    planes = synth_render.default_world(rng)
+    n = 46
+    R, t = synth_render.orbit_trajectory(n)
+    frames = [synth_render.render_frame(CAM, planes, R[i], t[i]) for i in range(n)]
+    slam = System(CAM, MONOCULAR, enable_loop_closing=True)
+    ts = np.arange(n) * 0.05
+    # phase 1: track normally
+    for i in range(30):
+        slam.track_monocular(frames[i], float(ts[i]))
+    assert slam.tracker.state == 2  # OK
+    # phase 2: blackout (featureless frames) -> lost
+    blank = np.full_like(frames[0], 128.0)
+    for i in range(30, 36):
+        slam.track_monocular(blank, float(ts[i]))
+    assert slam.tracker.state != 2
+    # phase 3: return to a previously seen view -> must relocalize
+    recovered = False
+    for i in range(26, 30):
+        if slam.track_monocular(frames[i], float(ts[i] + 0.6)) is not None:
+            recovered = True
+            break
+    assert recovered
+    assert slam.tracker.n_relocalizations >= 1

@@ -1,0 +1,175 @@
+"""Serialization (atlas save/load + checksum guard), YAML settings parsing
+against a reference-format EuRoC yaml, Atlas multi-map merging, and the
+native host library vs the numpy fallback."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_detailed_comments_tpu.lie import Sim3, so3
+from orb_slam3_detailed_comments_tpu.mapping.atlas import Atlas
+from orb_slam3_detailed_comments_tpu.mapping.mapstore import MapConfig, MapStore
+from orb_slam3_detailed_comments_tpu.utils import config, serialization
+
+CFG = MapConfig(max_kf=16, max_pt=256, n_feat=64)
+
+
+def tiny_map(rng, n_kf=3, origin=0.0):
+    m = MapStore(CFG)
+    for k in range(n_kf):
+        fp = np.full(64, -1, np.int32)
+        fp[:20] = np.arange(20)
+        m.add_keyframe(
+            np.eye(3, dtype=np.float32),
+            np.array([origin + 0.1 * k, 0, 0], np.float32), k * 0.1, k,
+            rng.normal(300, 50, (64, 2)).astype(np.float32),
+            rng.normal(0, 0.3, (64, 2)).astype(np.float32),
+            rng.integers(0, 8, 64).astype(np.int32),
+            np.zeros(64, np.float32),
+            rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32),
+            np.ones(64, bool), fp)
+    m.pt_xyz[:20] = (rng.normal(0, 1, (20, 3)) + [origin, 0, 5]).astype(np.float32)
+    m.pt_valid[:20] = True
+    m.pt_ref_kf[:20] = 0
+    m.update_point_stats(np.arange(20))
+    return m
+
+
+class TestSerialization:
+    def test_atlas_roundtrip(self, rng, tmp_path):
+        a = Atlas(CFG)
+        a.maps = [tiny_map(rng), tiny_map(rng, origin=5.0)]
+        a.active_id = 1
+        p = str(tmp_path / "atlas.zip")
+        serialization.save_atlas(a, p)
+        b = serialization.load_atlas(p)
+        assert b.active_id == 1
+        assert len(b.maps) == 2
+        np.testing.assert_array_equal(b.maps[0].pt_xyz, a.maps[0].pt_xyz)
+        np.testing.assert_array_equal(b.maps[1].kf_feat_desc,
+                                      a.maps[1].kf_feat_desc)
+        assert b.maps[0].n_kf == 3
+
+    def test_checksum_guard(self, rng, tmp_path):
+        a = Atlas(CFG)
+        a.maps = [tiny_map(rng)]
+        p = str(tmp_path / "atlas.zip")
+        serialization.save_atlas(a, p)
+        # corrupt a byte in the stored npz
+        import zipfile
+        data = open(p, "rb").read()
+        idx = data.find(b"map_0.npz") + 2000
+        corrupted = data[:idx] + bytes([data[idx] ^ 0xFF]) + data[idx + 1:]
+        p2 = str(tmp_path / "bad.zip")
+        open(p2, "wb").write(corrupted)
+        with pytest.raises(Exception):
+            serialization.load_atlas(p2)
+
+
+class TestConfig:
+    def test_parses_reference_style_yaml(self, tmp_path):
+        y = tmp_path / "euroc.yaml"
+        y.write_text("""%YAML:1.0
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: 458.654
+Camera1.fy: 457.296
+Camera1.cx: 367.215
+Camera1.cy: 248.375
+Camera1.k1: -0.28340811
+Camera1.k2: 0.07395907
+Camera1.p1: 0.00019359
+Camera1.p2: 1.76187114e-05
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20
+Camera.RGB: 1
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200.0
+""")
+        s = config.load_settings(str(y))
+        assert abs(s.camera.fx - 458.654) < 1e-6
+        assert s.camera.width == 752
+        assert s.n_features == 1000
+        assert s.fps == 20
+        assert abs(s.camera.dist[0] + 0.28340811) < 1e-8
+        assert s.imu_frequency == 200.0
+
+    def test_fisheye_camera_type(self, tmp_path):
+        y = tmp_path / "tumvi.yaml"
+        y.write_text("""%YAML:1.0
+Camera.type: "KannalaBrandt8"
+Camera1.fx: 190.97
+Camera1.fy: 190.97
+Camera1.cx: 254.93
+Camera1.cy: 256.89
+Camera1.k1: 0.0034
+Camera1.k2: 0.0007
+Camera1.k3: -0.002
+Camera1.k4: 0.0002
+Camera.width: 512
+Camera.height: 512
+""")
+        s = config.load_settings(str(y))
+        from orb_slam3_detailed_comments_tpu.models import cameras
+        assert s.camera.kind == cameras.FISHEYE_KB8
+
+
+class TestAtlasMerge:
+    def test_merge_transforms_and_copies(self, rng):
+        a = Atlas(CFG)
+        m0 = tiny_map(rng)                      # active
+        m1 = tiny_map(rng, origin=0.0)          # same world, to be welded
+        a.maps = [m0, m1]
+        a.active_id = 0
+        # weld with a known similarity: x_active = S x_other
+        S = Sim3(jnp.asarray(np.asarray(so3.exp(jnp.asarray([0, 0.3, 0.0])))),
+                 jnp.asarray([1.0, 0.0, 0.5]), jnp.asarray(2.0))
+        pts_before = m1.pt_xyz[m1.pt_valid].copy()
+        n_kf_before = m0.n_kf
+        slot_map = a.merge_map_into_active(1, S)
+        assert a.maps[0].n_kf == n_kf_before + 3
+        # copied point positions transformed by S
+        new_pts = a.maps[0].pt_xyz[a.maps[0].pt_valid][-20:]
+        expect = 2.0 * pts_before @ np.asarray(S.R).T + np.asarray(S.t)
+        np.testing.assert_allclose(new_pts, expect, atol=1e-4)
+        # observations relinked
+        for old, new in slot_map.items():
+            assert (a.maps[0].kf_feat_point[new] >= 0).sum() == 20
+        # redirect resolution works
+        out = a.resolve_kf_pose(1, list(slot_map.keys())[0], 1)
+        assert out is not None
+
+
+class TestNativeLib:
+    def test_native_matches_numpy_fallback(self, rng):
+        from orb_slam3_detailed_comments_tpu import native
+        if not native.available:
+            pytest.skip("no native toolchain")
+        m1 = tiny_map(rng)
+        # numpy fallback result
+        m2 = MapStore(CFG)
+        for name in ("kf_R", "kf_t", "kf_valid", "kf_ts", "kf_frame_id",
+                     "kf_feat_xy", "kf_feat_xyn", "kf_feat_level",
+                     "kf_feat_angle", "kf_feat_desc", "kf_feat_valid",
+                     "kf_feat_point", "pt_xyz", "pt_valid", "pt_ref_kf"):
+            getattr(m2, name)[...] = getattr(m1, name)
+        was = native.available
+        native.available = False
+        try:
+            m2.update_point_stats(np.arange(20))
+        finally:
+            native.available = was
+        np.testing.assert_array_equal(m1.pt_desc[:20], m2.pt_desc[:20])
+        np.testing.assert_allclose(m1.pt_normal[:20], m2.pt_normal[:20], atol=1e-5)
+        np.testing.assert_allclose(m1.pt_max_dist[:20], m2.pt_max_dist[:20],
+                                   rtol=1e-5)
