@@ -45,7 +45,9 @@ def _gather(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarr
     h, w = img.shape
     r = jnp.clip(rows, 0, h - 1)
     c = jnp.clip(cols, 0, w - 1)
-    return img[r, c]
+    # flat 1-D take lowers to a single-dimension gather — measurably faster
+    # on TPU than the 2-D advanced-indexing form
+    return jnp.take(img.reshape(-1), r * w + c)
 
 
 def ic_angle(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:

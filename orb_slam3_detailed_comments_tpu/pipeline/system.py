@@ -102,7 +102,7 @@ class System:
             if self.map.kf_valid[k] and self.map.n_kf > 2:
                 self.local_mapper.process_keyframe(k)
             if self.enable_loop_closing:
-                if self.loop_closer is None and self.map.n_kf >= 5:
+                if self.loop_closer is None and self.map.n_kf >= 3:
                     self._build_recognition()
                     for kk in self._kfdb_pending:
                         if self.map.kf_valid[kk]:
