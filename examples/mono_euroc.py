@@ -7,6 +7,10 @@ Usage:
 Multiple sequence dirs exercise the multi-map Atlas like the reference's
 multi-sequence mode (mono_euroc.cc:173-183).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

@@ -3,6 +3,10 @@
 
 Usage: python examples/rgbd_tum.py <settings.yaml> <sequence_dir> [<out>]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 import numpy as np

@@ -7,6 +7,10 @@ Usage: python examples/synthetic_demo.py [mono|stereo|rgbd] [n_frames] [outdir]
 """
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os
+import sys
 import time
 
 import numpy as np

@@ -41,6 +41,7 @@ class Atlas:
         """(reference: Atlas::CreateNewMap, Atlas.cc:62)"""
         self.maps.append(MapStore(self.map_cfg))
         self.active_id = len(self.maps) - 1
+        self.active.map_id = self.active_id
         return self.active
 
     def remove_bad_maps(self, min_kf: int = 3):

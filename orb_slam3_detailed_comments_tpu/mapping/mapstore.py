@@ -38,6 +38,7 @@ class MapStore:
 
     def __init__(self, cfg: MapConfig):
         self.cfg = cfg
+        self.map_id = 0   # index within the Atlas (reference: Map::GetId)
         K, P, N = cfg.max_kf, cfg.max_pt, cfg.n_feat
         # keyframes
         self.kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
@@ -59,6 +60,31 @@ class MapStore:
         self.kf_feat_desc = np.zeros((K, N, 8), np.uint32)
         self.kf_feat_valid = np.zeros((K, N), bool)
         self.kf_feat_point = np.full((K, N), NO_POINT, np.int32)
+        # per-KF inertial state (reference: KeyFrame's mVw/mImuBias/mpImuPreintegrated
+        # + mPrevKF/mNextKF chain, include/KeyFrame.h): velocity, biases, the
+        # preintegrated window from the PREVIOUS keyframe, temporal link
+        self.kf_vel = np.zeros((K, 3), np.float32)
+        self.kf_bg = np.zeros((K, 3), np.float32)
+        self.kf_ba = np.zeros((K, 3), np.float32)
+        self.kf_prev = np.full(K, -1, np.int32)
+        self.kf_pre_dT = np.zeros(K, np.float32)
+        self.kf_pre_dR = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        self.kf_pre_dV = np.zeros((K, 3), np.float32)
+        self.kf_pre_dP = np.zeros((K, 3), np.float32)
+        self.kf_pre_C = np.zeros((K, 15, 15), np.float32)
+        self.kf_pre_JRg = np.zeros((K, 3, 3), np.float32)
+        self.kf_pre_JVg = np.zeros((K, 3, 3), np.float32)
+        self.kf_pre_JVa = np.zeros((K, 3, 3), np.float32)
+        self.kf_pre_JPg = np.zeros((K, 3, 3), np.float32)
+        self.kf_pre_JPa = np.zeros((K, 3, 3), np.float32)
+        # bias the window was integrated at (first-order corrections in the
+        # delta getters must reference THIS bias, not the later estimate)
+        self.kf_pre_bg0 = np.zeros((K, 3), np.float32)
+        self.kf_pre_ba0 = np.zeros((K, 3), np.float32)
+        # map-level IMU flags (reference: Map::SetIniertialBA1/2, isImuInitialized)
+        self.imu_initialized = False
+        self.imu_ba1 = False
+        self.imu_ba2 = False
         # map points
         self.pt_xyz = np.zeros((P, 3), np.float32)
         self.pt_valid = np.zeros(P, bool)
@@ -134,10 +160,50 @@ class MapStore:
             t_rel = self.kf_t[k] - R_rel @ self.kf_t[s]
             self.tombstones[(k, int(self.kf_epoch[k]))] = (
                 s, int(self.kf_epoch[s]), R_rel.copy(), t_rel.copy())
+        self._merge_preintegration_chain(k)
         self.kf_valid[k] = False
         self.kf_feat_point[k] = NO_POINT
         self.kf_feat_valid[k] = False
         self.version += 1
+
+    def _merge_preintegration_chain(self, k: int):
+        """Keep the temporal IMU chain connected across a cull: merge k's
+        preintegrated window into its successor's (reference:
+        Preintegrated::MergePrevious on KeyFrame culling,
+        LocalMapping.cc:1230-1250, ImuTypes.cc:330)."""
+        nxt = np.where(self.kf_prev == k)[0]
+        if len(nxt) == 0 or self.kf_pre_dT[k] <= 0:
+            # nothing downstream, or k had no window: just unlink
+            for n in nxt:
+                self.kf_prev[n] = int(self.kf_prev[k])
+            return
+        from ..imu import preintegration as pre_mod
+        n = int(nxt[0])
+        if self.kf_pre_dT[n] > 0:
+            a = self._single_pre(k)
+            b = self._single_pre(n)
+            merged = pre_mod.merge(a, b)
+            self.set_kf_preintegration(n, merged, int(self.kf_prev[k]))
+        else:
+            self.kf_prev[n] = int(self.kf_prev[k])
+
+    def _single_pre(self, k: int):
+        """One KF's stored Preintegrated window (unbatched pytree)."""
+        import jax.numpy as jnp
+        from ..imu.preintegration import Preintegrated
+        return Preintegrated(
+            dT=jnp.asarray(self.kf_pre_dT[k]),
+            dR=jnp.asarray(self.kf_pre_dR[k]),
+            dV=jnp.asarray(self.kf_pre_dV[k]),
+            dP=jnp.asarray(self.kf_pre_dP[k]),
+            C=jnp.asarray(self.kf_pre_C[k]),
+            JRg=jnp.asarray(self.kf_pre_JRg[k]),
+            JVg=jnp.asarray(self.kf_pre_JVg[k]),
+            JVa=jnp.asarray(self.kf_pre_JVa[k]),
+            JPg=jnp.asarray(self.kf_pre_JPg[k]),
+            JPa=jnp.asarray(self.kf_pre_JPa[k]),
+            bg0=jnp.asarray(self.kf_pre_bg0[k]),
+            ba0=jnp.asarray(self.kf_pre_ba0[k]))
 
     def resolve_kf_pose(self, slot: int, epoch: int, max_hops: int = 8):
         """World->camera pose of a (possibly culled) keyframe incarnation.
@@ -321,6 +387,49 @@ class MapStore:
             sf = self._scale_factors
             self.pt_max_dist[p] = dist * sf[lvl]
             self.pt_min_dist[p] = self.pt_max_dist[p] / sf[-1]
+
+    # ---- inertial helpers -------------------------------------------------
+
+    def set_kf_preintegration(self, k: int, pre, prev_kf: int):
+        """Store a Preintegrated window (jax pytree) from prev_kf to k."""
+        self.kf_prev[k] = prev_kf
+        self.kf_pre_dT[k] = float(pre.dT)
+        self.kf_pre_dR[k] = np.asarray(pre.dR)
+        self.kf_pre_dV[k] = np.asarray(pre.dV)
+        self.kf_pre_dP[k] = np.asarray(pre.dP)
+        self.kf_pre_C[k] = np.asarray(pre.C)
+        self.kf_pre_JRg[k] = np.asarray(pre.JRg)
+        self.kf_pre_JVg[k] = np.asarray(pre.JVg)
+        self.kf_pre_JVa[k] = np.asarray(pre.JVa)
+        self.kf_pre_JPg[k] = np.asarray(pre.JPg)
+        self.kf_pre_JPa[k] = np.asarray(pre.JPa)
+        self.kf_pre_bg0[k] = np.asarray(pre.bg0)
+        self.kf_pre_ba0[k] = np.asarray(pre.ba0)
+
+    def get_kf_preintegration(self, ks):
+        """Stacked Preintegrated pytree for keyframes ks (bias0 = the bias
+        each window was integrated at)."""
+        import jax.numpy as jnp
+        from ..imu.preintegration import Preintegrated
+        ks = np.asarray(ks)
+        return Preintegrated(
+            dT=jnp.asarray(self.kf_pre_dT[ks]),
+            dR=jnp.asarray(self.kf_pre_dR[ks]),
+            dV=jnp.asarray(self.kf_pre_dV[ks]),
+            dP=jnp.asarray(self.kf_pre_dP[ks]),
+            C=jnp.asarray(self.kf_pre_C[ks]),
+            JRg=jnp.asarray(self.kf_pre_JRg[ks]),
+            JVg=jnp.asarray(self.kf_pre_JVg[ks]),
+            JVa=jnp.asarray(self.kf_pre_JVa[ks]),
+            JPg=jnp.asarray(self.kf_pre_JPg[ks]),
+            JPa=jnp.asarray(self.kf_pre_JPa[ks]),
+            bg0=jnp.asarray(self.kf_pre_bg0[ks]),
+            ba0=jnp.asarray(self.kf_pre_ba0[ks]))
+
+    def temporal_chain(self) -> np.ndarray:
+        """Keyframes ordered by the prev-link chain (ts order of live KFs)."""
+        ids = self.kf_ids()
+        return ids[np.argsort(self.kf_ts[ids])]
 
     def predict_level(self, dists: np.ndarray, pids: np.ndarray) -> np.ndarray:
         """Predict observation pyramid level from distance

@@ -65,7 +65,10 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
     budgets = level_budgets(cfg)
     scales = pyramid.scale_factors(cfg.n_levels, cfg.scale)
 
-    xs, lvs, angs, scs, descs, vals = [], [], [], [], [], []
+    xs, lvs, angs, scs, vals = [], [], [], [], []
+    yxs, offs, widths, heights = [], [], [], []
+    blur_flats = []
+    off = 0
     for lv in range(cfg.n_levels):
         lvl = levels[lv]
         ch = int(round(h / cfg.scale ** lv))
@@ -75,8 +78,7 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
             k_per_cell=cfg.k_per_cell, min_th=cfg.min_th, margin=cfg.margin,
         )
         ang = brief.ic_angle(lvl, kps.yx)
-        blur = pyramid.gaussian_blur(lvl)
-        d = brief.describe(blur, kps.yx, ang)
+        blur_flats.append(pyramid.gaussian_blur(lvl).reshape(-1))
         # to level-0 coords (u=col, v=row)
         s = float(scales[lv])
         xy0 = jnp.stack([kps.yx[:, 1].astype(jnp.float32) * s,
@@ -85,15 +87,31 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
         lvs.append(jnp.full((budgets[lv],), lv, jnp.int32))
         angs.append(ang)
         scs.append(kps.score)
-        descs.append(d)
         vals.append(kps.valid)
+        yxs.append(kps.yx)
+        b = budgets[lv]
+        # strides/offsets use the PADDED level shape (levels are rounded up
+        # to tiling multiples); content size only bounds the clip
+        ph, pw = lvl.shape
+        offs.append(jnp.full((b,), off, jnp.int32))
+        widths.append(jnp.full((b,), pw, jnp.int32))
+        heights.append(jnp.full((b,), ph, jnp.int32))
+        off += ph * pw
+
+    # one batched BRIEF gather across all levels (8 small gather chains
+    # -> 1 large one; the fixed dispatch cost dominated the per-level form)
+    angle_all = jnp.concatenate(angs, axis=0)
+    desc_all = brief.describe_flat(
+        jnp.concatenate(blur_flats), jnp.concatenate(yxs, axis=0),
+        angle_all, jnp.concatenate(offs), jnp.concatenate(widths),
+        jnp.concatenate(heights))
 
     return FrameFeatures(
         xy=jnp.concatenate(xs, axis=0),
         level=jnp.concatenate(lvs, axis=0),
-        angle=jnp.concatenate(angs, axis=0),
+        angle=angle_all,
         score=jnp.concatenate(scs, axis=0),
-        desc=jnp.concatenate(descs, axis=0),
+        desc=desc_all,
         valid=jnp.concatenate(vals, axis=0),
     )
 

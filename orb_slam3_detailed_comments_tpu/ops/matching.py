@@ -92,7 +92,22 @@ def match_nn(da: jnp.ndarray, va: jnp.ndarray, db: jnp.ndarray, vb: jnp.ndarray,
 
     da [Q,8], db [K,8] uint32; va/vb validity masks. extra_mask [Q,K] bool
     restricts admissible pairs (search windows, level gates...).
+
+    On TPU the unmasked case runs the fused Pallas kernel (one HBM pass);
+    the XLA path is the fallback for windowed searches and odd shapes.
     """
+    if (extra_mask is None and _use_pallas()
+            and da.shape[0] % 128 == 0 and db.shape[0] % 128 == 0):
+        from . import pallas_hamming
+        interp = jax.default_backend() != "tpu"
+        d1, i1, d2 = pallas_hamming.hamming_best2(da, db, vb, interpret=interp)
+        ok = (va & (d1 <= max_dist)
+              & (d1.astype(jnp.float32) <= ratio * d2.astype(jnp.float32)))
+        if mutual:
+            _, j1, _ = pallas_hamming.hamming_best2(db, da, va,
+                                                    interpret=interp)
+            ok = ok & (j1[i1] == jnp.arange(da.shape[0], dtype=jnp.int32))
+        return MatchResult(idx=i1, dist=d1, valid=ok)
     dist = hamming_matrix(da, db)
     mask = va[:, None] & vb[None, :]
     if extra_mask is not None:
@@ -105,6 +120,16 @@ def match_nn(da: jnp.ndarray, va: jnp.ndarray, db: jnp.ndarray, vb: jnp.ndarray,
         j1 = jnp.argmin(dT, axis=1).astype(jnp.int32)      # [K]
         ok = ok & (j1[i1] == jnp.arange(da.shape[0], dtype=jnp.int32))
     return MatchResult(idx=i1, dist=d1, valid=ok)
+
+
+def _use_pallas() -> bool:
+    """Pallas path on real TPU by default; opt-in elsewhere
+    (ORB_TPU_PALLAS=1 forces interpret-mode on CPU, =0 disables)."""
+    import os
+    flag = os.environ.get("ORB_TPU_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
 
 
 def window_mask(xy_q: jnp.ndarray, xy_k: jnp.ndarray, radius) -> jnp.ndarray:

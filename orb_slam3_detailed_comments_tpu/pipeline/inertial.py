@@ -1,0 +1,278 @@
+"""Visual-inertial pipeline pieces: per-frame IMU handling, state
+prediction, the IMU initialization schedule, and local inertial BA glue.
+
+Replaces the inertial halves of Tracking (PreintegrateIMU Tracking.cc:1739,
+PredictStateIMU 1892, UpdateFrameIMU 4769) and LocalMapping (InitializeIMU
+LocalMapping.cc:1516, the VIBA1/VIBA2 schedule at 236-310), built on
+imu/preintegration.py, imu/inertial_init.py and optim/vi_ba.py.
+
+Convention in this round: camera frame == body frame (identity extrinsic) —
+the T_bc plumbing exists in ImuCalib and vi_ba for the general case.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..imu import inertial_init, preintegration as pre_mod
+from ..imu.preintegration import ImuCalib, Preintegrated
+from ..lie import SE3, so3
+from ..mapping.mapstore import MapStore
+
+MAX_SAMPLES_PER_FRAME = 64
+GRAVITY_MAG = 9.81
+
+
+@dataclass
+class ImuFrameState:
+    """Tracker-side inertial bookkeeping."""
+    calib: ImuCalib
+    pre_since_kf: Optional[Preintegrated] = None   # accumulated since last KF
+    pre_last_frame: Optional[Preintegrated] = None  # last frame's window
+    bg: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    ba: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    v_w: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    t_first_kf: float = 0.0
+
+
+def integrate_frame_window(calib: ImuCalib, gyro: np.ndarray, acc: np.ndarray,
+                           dts: np.ndarray, bg, ba) -> Preintegrated:
+    """Preintegrate one frame gap (padded scan; reference: PreintegrateIMU)."""
+    n = len(dts)
+    cap = MAX_SAMPLES_PER_FRAME
+    if n > cap:  # extremely long gap: merge chunks
+        out = None
+        for s in range(0, n, cap):
+            p = integrate_frame_window(calib, gyro[s:s + cap], acc[s:s + cap],
+                                       dts[s:s + cap], bg, ba)
+            out = p if out is None else pre_mod.merge(out, p)
+        return out
+    pad = cap - n
+    g = np.concatenate([gyro, np.zeros((pad, 3))]).astype(np.float32)
+    a = np.concatenate([acc, np.zeros((pad, 3))]).astype(np.float32)
+    d = np.concatenate([dts, np.zeros(pad)]).astype(np.float32)
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    return pre_mod.integrate(jnp.asarray(a), jnp.asarray(g), jnp.asarray(d),
+                             calib, bg0=jnp.asarray(bg), ba0=jnp.asarray(ba),
+                             valid=jnp.asarray(valid))
+
+
+def predict_pose_imu(m: MapStore, imu: ImuFrameState,
+                     last_T_cw: SE3, pre: Preintegrated):
+    """Dead-reckoned T_cw prediction from the last frame's state
+    (reference: Tracking::PredictStateIMU). Camera == body."""
+    R_wb = np.asarray(last_T_cw.R).T
+    p_w = -R_wb @ np.asarray(last_T_cw.t)
+    g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
+    R2, v2, p2 = pre_mod.predict_state(
+        jnp.asarray(R_wb), jnp.asarray(imu.v_w), jnp.asarray(p_w), pre,
+        jnp.asarray(imu.bg), jnp.asarray(imu.ba), gravity=jnp.asarray(g))
+    R2 = np.asarray(R2)
+    p2 = np.asarray(p2)
+    R_cw = R2.T
+    return SE3(jnp.asarray(R_cw), jnp.asarray(-R_cw @ p2)), np.asarray(v2)
+
+
+def try_initialize_imu(m: MapStore, min_kf: int = 8, min_time: float = 1.0,
+                       prior_gyro: float = 1e2, prior_acc: float = 1e6,
+                       fix_scale: bool = False):
+    """IMU initialization: gravity/scale/bias/velocity solve + map re-scaling
+    (reference: LocalMapping::InitializeIMU + Map::ApplyScaledRotation).
+
+    Returns (R_wg, scale) of the applied world transform, or None.
+    """
+    chain = m.temporal_chain()
+    if len(chain) < min_kf:
+        return None
+    if m.kf_ts[chain[-1]] - m.kf_ts[chain[0]] < min_time:
+        return None
+    # require a connected preintegration chain
+    for a, b in zip(chain[:-1], chain[1:]):
+        if m.kf_prev[b] != a or m.kf_pre_dT[b] <= 0:
+            return None
+
+    pres = m.get_kf_preintegration(chain[1:])
+    R_wb = jnp.asarray(np.transpose(m.kf_R[chain], (0, 2, 1)))  # cam==body
+    centers = -np.einsum("kij,ki->kj", m.kf_R[chain], m.kf_t[chain])
+    p_w = jnp.asarray(centers)
+
+    R_wg0 = inertial_init.initial_gravity_estimate(R_wb, pres)
+    res = inertial_init.inertial_optimization(
+        R_wb, p_w, pres, R_wg0, prior_gyro=prior_gyro, prior_acc=prior_acc,
+        iters=25, fix_scale=fix_scale)
+    s = float(res.scale)
+    if not np.isfinite(s) or s < 0.02 or s > 50.0:
+        return None
+    R_wg = np.asarray(res.R_wg)
+
+    apply_scaled_rotation(m, R_wg, s)
+    # velocities: rotate into the gravity-aligned world
+    v_new = np.einsum("ji,kj->ki", R_wg, np.asarray(res.velocities))
+    m.kf_vel[chain] = v_new
+    m.kf_bg[chain] = np.asarray(res.bg)
+    m.kf_ba[chain] = np.asarray(res.ba)
+    m.imu_initialized = True
+    m.version += 1
+    return R_wg, s
+
+
+def apply_scaled_rotation(m: MapStore, R_wg: np.ndarray, s: float):
+    """World transform x' = s * R_wg^T x applied to the whole map
+    (reference: Map::ApplyScaledRotation): keyframes R_cw' = R_cw R_wg,
+    t_cw' = s t_cw; points transformed; camera-frame geometry scales by s."""
+    ids = m.kf_ids()
+    m.kf_R[ids] = np.einsum("kij,jl->kil", m.kf_R[ids], R_wg)
+    m.kf_t[ids] = s * m.kf_t[ids]
+    m.kf_vel[ids] = s * m.kf_vel[ids] @ R_wg   # v' = s R_wg^T v
+    pv = m.pt_valid
+    m.pt_xyz[pv] = s * m.pt_xyz[pv] @ R_wg  # == s * (R_wg^T x)^T rows
+    m.pt_min_dist[pv] *= s
+    m.pt_max_dist[pv] *= s
+    m.pt_normal[pv] = m.pt_normal[pv] @ R_wg
+    # culled-KF tombstones hold relative poses: rotation invariant, t scales
+    m.tombstones = {key: (sid, ep, R_rel, s * t_rel)
+                    for key, (sid, ep, R_rel, t_rel) in m.tombstones.items()}
+    m.version += 1
+
+
+def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
+                          iters: int = 8, max_points: int = 2048,
+                          max_obs: int = 8192,
+                          prior_gyro: float = 1.0, prior_acc: float = 1e4):
+    """Temporal-window visual-inertial BA
+    (reference: Optimizer::LocalInertialBA, Optimizer.cc:2203: Nd=10
+    optimizable recent KFs, older frontier fixed)."""
+    from ..optim import vi_ba
+    chain = m.temporal_chain()
+    if len(chain) < 3 or not m.imu_initialized:
+        return
+    opt = chain[-window:]
+    fixed_n = min(4, len(chain) - len(opt))
+    fix = chain[-window - fixed_n:-window] if fixed_n > 0 else chain[:1]
+    kfs = list(fix) + list(opt)
+    # pad cameras to a bucket
+    n_real = len(kfs)
+    C = ((n_real + 7) // 8) * 8
+
+    slot = {int(k): i for i, k in enumerate(kfs)}
+    pt_ids = m.local_point_ids(np.asarray(kfs))[:max_points]
+    if len(pt_ids) < 30:
+        return
+    pt_slot = {int(p): i for i, p in enumerate(pt_ids)}
+
+    oc, op, ouv, ow = [], [], [], []
+    sf2 = (m.cfg.scale ** np.arange(m.cfg.n_levels)) ** 2
+    for c in kfs:
+        fp = m.kf_feat_point[c]
+        sel = np.where((fp >= 0) & np.isin(fp, pt_ids))[0]
+        for f in sel:
+            oc.append(slot[int(c)])
+            op.append(pt_slot[int(fp[f])])
+            ouv.append(m.kf_feat_xy[c, f])
+            ow.append(1.0 / sf2[m.kf_feat_level[c, f]])
+    O = len(oc)
+    if O < 50:
+        return
+    keep = (np.random.default_rng(0).choice(O, max_obs, replace=False)
+            if O > max_obs else np.arange(O))
+    pad_o = max_obs - len(keep)
+
+    def pad_arr(a, fill=0):
+        a = np.asarray(a)[keep]
+        return np.concatenate([a, np.full((pad_o, *a.shape[1:]), fill, a.dtype)])
+
+    # inertial edges along the chain inside the window (consecutive pairs)
+    E_CAP = 24
+    ei, ej = [], []
+    pre_list = []
+    for a, b in zip(kfs[:-1], kfs[1:]):
+        if m.kf_prev[b] == a and m.kf_pre_dT[b] > 0:
+            ei.append(slot[int(a)])
+            ej.append(slot[int(b)])
+            pre_list.append(int(b))
+    if not pre_list:
+        return
+    nE = len(ei)
+    if nE > E_CAP:
+        ei, ej, pre_list = ei[-E_CAP:], ej[-E_CAP:], pre_list[-E_CAP:]
+        nE = E_CAP
+    pres = m.get_kf_preintegration(np.asarray(pre_list))
+    padE = E_CAP - nE
+
+    def pad_pre(x):
+        pad_shape = (padE, *x.shape[1:])
+        fill = np.zeros(pad_shape, np.float32)
+        if x.ndim == 3 and x.shape[1:] == (3, 3):
+            fill[:] = np.eye(3)
+        return jnp.asarray(np.concatenate([np.asarray(x), fill]))
+
+    pres_p = jax.tree.map(pad_pre, pres)
+    # padded edges must keep dT > 0 to avoid degenerate information matrices
+    dTp = np.concatenate([np.asarray(pres.dT), np.ones(padE, np.float32)])
+    Cp = np.concatenate([np.asarray(pres.C),
+                         np.tile(np.eye(15, dtype=np.float32)[None] * 1e-4,
+                                 (padE, 1, 1))])
+    pres_p = pres_p._replace(dT=jnp.asarray(dTp), C=jnp.asarray(Cp))
+
+    padC = C - n_real
+    R_wb = np.concatenate([np.transpose(m.kf_R[kfs], (0, 2, 1)),
+                           np.tile(np.eye(3, dtype=np.float32), (padC, 1, 1))])
+    centers = -np.einsum("kij,ki->kj", m.kf_R[kfs], m.kf_t[kfs])
+    p_w = np.concatenate([centers, np.zeros((padC, 3), np.float32)])
+    v_w = np.concatenate([m.kf_vel[kfs], np.zeros((padC, 3), np.float32)])
+    bg = np.concatenate([m.kf_bg[kfs], np.zeros((padC, 3), np.float32)])
+    ba = np.concatenate([m.kf_ba[kfs], np.zeros((padC, 3), np.float32)])
+    fixed = np.zeros(C, bool)
+    for i, k in enumerate(kfs):
+        if k in set(int(x) for x in fix):
+            fixed[i] = True
+    fixed[n_real:] = True
+
+    P = max_points
+    pt_xyz = np.zeros((P, 3), np.float32)
+    pt_xyz[:len(pt_ids)] = m.pt_xyz[pt_ids]
+    pt_mask = np.zeros(P, bool)
+    pt_mask[:len(pt_ids)] = True
+
+    prob = vi_ba.VIBAProblem(
+        R_wb=jnp.asarray(R_wb), p_w=jnp.asarray(p_w), v_w=jnp.asarray(v_w),
+        bg=jnp.asarray(bg), ba=jnp.asarray(ba),
+        points=jnp.asarray(pt_xyz), point_valid=jnp.asarray(pt_mask),
+        obs_cam=jnp.asarray(pad_arr(oc), jnp.int32),
+        obs_pt=jnp.asarray(pad_arr(op), jnp.int32),
+        obs_uv=jnp.asarray(pad_arr(np.stack(ouv))),
+        obs_w=jnp.asarray(pad_arr(ow), jnp.float32),
+        obs_valid=jnp.asarray(np.concatenate(
+            [np.ones(len(keep), bool), np.zeros(pad_o, bool)])),
+        edge_i=jnp.asarray(np.concatenate([ei, np.zeros(padE)]), jnp.int32),
+        edge_j=jnp.asarray(np.concatenate([ej, np.zeros(padE)]), jnp.int32),
+        edge_pre=pres_p,
+        edge_valid=jnp.asarray(np.concatenate(
+            [np.ones(nE, bool), np.zeros(padE, bool)])),
+        fixed_cam=jnp.asarray(fixed))
+
+    g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
+    res = vi_ba.vi_ba_solve(prob, cam, jnp.eye(3), jnp.zeros(3),
+                            gravity=jnp.asarray(g),
+                            prior_gyro=prior_gyro, prior_acc=prior_acc,
+                            iters=iters)
+    if not np.isfinite(np.asarray(res.p_w)[:n_real]).all():
+        return
+    # write back
+    R_wb_new = np.asarray(res.R_wb)[:n_real]
+    p_new = np.asarray(res.p_w)[:n_real]
+    for i, k in enumerate(kfs):
+        if fixed[i]:
+            continue
+        R_cw = R_wb_new[i].T
+        m.kf_R[k] = R_cw
+        m.kf_t[k] = -R_cw @ p_new[i]
+    m.kf_vel[kfs] = np.asarray(res.v_w)[:n_real]
+    m.kf_bg[kfs] = np.asarray(res.bg)[:n_real]
+    m.kf_ba[kfs] = np.asarray(res.ba)[:n_real]
+    m.pt_xyz[pt_ids] = np.asarray(res.points)[:len(pt_ids)]
+    m.version += 1

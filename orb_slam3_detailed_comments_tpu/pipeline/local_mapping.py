@@ -41,24 +41,37 @@ class LocalMapper:
         self.cam = cam
         self.cfg = cfg
         self.recent_points: dict = {}   # pid -> kf id at creation
+        # set by System in inertial mode: () -> None, runs LocalInertialBA
+        self.inertial_ba = None
 
     def process_keyframe(self, k: int):
         """One LocalMapping iteration for keyframe k
         (reference: LocalMapping::Run body, LocalMapping.cc:94-355)."""
+        from ..utils import timing
         m = self.map
-        obs_pts = m.kf_feat_point[k][m.kf_feat_point[k] >= 0]
-        m.update_point_stats(np.unique(obs_pts))
-        self._map_point_culling(k)
-        self._create_new_map_points(k)
-        self._fuse_neighbors(k)
+        with timing.span("KF insertion"):
+            obs_pts = m.kf_feat_point[k][m.kf_feat_point[k] >= 0]
+            m.update_point_stats(np.unique(obs_pts))
+        with timing.span("MP culling"):
+            self._map_point_culling(k)
+        with timing.span("MP creation"):
+            self._create_new_map_points(k)
+            self._fuse_neighbors(k)
         covis_ids, _ = m.covisibility(k)
         window = [k] + [int(x) for x in covis_ids[: self.cfg.ba_window]]
         if m.n_kf > 2 and len(window) > 1:
-            run_local_ba(m, window, fixed=None, cam=self.cam,
-                         iters=self.cfg.ba_iters,
-                         max_points=self.cfg.max_ba_points,
-                         max_obs=self.cfg.max_ba_obs)
-        self._keyframe_culling(k)
+            with timing.span("local BA"):
+                if self.inertial_ba is not None and m.imu_initialized:
+                    # reference: LocalInertialBA replaces LocalBundleAdjustment
+                    # once the IMU is initialized (LocalMapping.cc:197-208)
+                    self.inertial_ba()
+                else:
+                    run_local_ba(m, window, fixed=None, cam=self.cam,
+                                 iters=self.cfg.ba_iters,
+                                 max_points=self.cfg.max_ba_points,
+                                 max_obs=self.cfg.max_ba_obs)
+        with timing.span("KF culling"):
+            self._keyframe_culling(k)
 
     # ------------------------------------------------------------------
     def _map_point_culling(self, k: int):

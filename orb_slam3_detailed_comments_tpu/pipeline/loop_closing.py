@@ -33,6 +33,13 @@ class LoopClosingConfig:
     min_sim3_inliers: int = 20    # nSim3Inliers
     min_proj_matches: int = 50    # nProjMatches
     consistency_needed: int = 3   # temporally consistent detections
+    closure_cooldown_kfs: int = 10  # no detection within N KFs of a closure
+                                    # (reference: mLastLoopKFid + 10 gate)
+    min_frame_gap: int = 0        # optional extra temporal gate (frames);
+                                  # 0 = reference behavior (covisibility
+                                  # exclusion only) — a hard gap suppresses
+                                  # the small drift-correcting closures that
+                                  # keep long panning sequences on track
     covis_edge_min_weight: int = 100  # essential-graph covis edges
     run_global_ba: bool = True
     gba_iters: int = 10
@@ -48,19 +55,33 @@ class LoopCloser:
         self.consistency_count = 0
         self.last_candidate = -1
         self.n_loops_closed = 0
+        self.n_processed = 0
+        self.cooldown_until = 0
 
     # ------------------------------------------------------------------
     def process_keyframe(self, k: int) -> bool:
         """One LoopClosing iteration; returns True if a loop was closed."""
         closed = False
-        cand = self._detect(k)
+        self.n_processed += 1
+        # post-closure cooldown: no detection within 10 keyframes of the
+        # last correction (reference: mLastLoopKFid + 10 gate) — bounds the
+        # pose-graph + GBA cost in self-similar scenes
+        if self.n_processed < self.cooldown_until:
+            self.kfdb.add(k, self.map.kf_feat_desc[k], self.map.kf_feat_valid[k])
+            return False
+        from ..utils import timing
+        with timing.span("PR detection"):
+            cand = self._detect(k)
         if cand is not None:
             match_kf, S_kc = cand
             self.consistency_count += 1
             if self.consistency_count >= self.cfg.consistency_needed:
-                self._correct_loop(k, match_kf, S_kc)
+                with timing.span("loop correction"):
+                    self._correct_loop(k, match_kf, S_kc)
                 self.consistency_count = 0
                 self.n_loops_closed += 1
+                self.cooldown_until = (self.n_processed
+                                       + self.cfg.closure_cooldown_kfs)
                 closed = True
         else:
             self.consistency_count = 0
@@ -74,90 +95,17 @@ class LoopCloser:
         m = self.map
         cands = self.kfdb.detect_candidates(m, k, self.cfg.n_candidates)
         for c in cands:
+            if self.cfg.min_frame_gap > 0 and abs(
+                    int(m.kf_frame_id[k]) - int(m.kf_frame_id[c])
+                    ) < self.cfg.min_frame_gap:
+                continue
             out = self._verify_candidate(k, c)
             if out is not None:
                 return out
         return None
 
     def _verify_candidate(self, k: int, c: int):
-        m = self.map
-        # descriptor matches between features WITH map points on both sides
-        res = matching.match_nn(
-            jnp.asarray(m.kf_feat_desc[k]),
-            jnp.asarray(m.kf_feat_valid[k] & (m.kf_feat_point[k] >= 0)),
-            jnp.asarray(m.kf_feat_desc[c]),
-            jnp.asarray(m.kf_feat_valid[c] & (m.kf_feat_point[c] >= 0)),
-            max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
-        valid = np.asarray(res.valid)
-        if valid.sum() < self.cfg.min_bow_matches:
-            return None
-        idx_c = np.asarray(res.idx)
-        fk = np.where(valid)[0]
-        fc = idx_c[fk]
-        pk = m.kf_feat_point[k][fk]
-        pc = m.kf_feat_point[c][fc]
-        ok = (pk >= 0) & (pc >= 0) & m.pt_valid[pk] & m.pt_valid[pc]
-        fk, fc, pk, pc = fk[ok], fc[ok], pk[ok], pc[ok]
-        if len(fk) < self.cfg.min_bow_matches:
-            return None
-        # 3D points in each keyframe's camera frame
-        Tk = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]))
-        Tc = SE3(jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]))
-        xk = np.asarray(Tk.apply(jnp.asarray(m.pt_xyz[pk])))
-        xc = np.asarray(Tc.apply(jnp.asarray(m.pt_xyz[pc])))
-        N = 256
-        pad = max(N - len(fk), 0)
-
-        def padarr(a, d=0.0):
-            a = np.asarray(a, np.float32)[:N]
-            return np.concatenate([a, np.full((pad, *a.shape[1:]), d, np.float32)])
-
-        vmask = np.concatenate([np.ones(min(len(fk), N), bool), np.zeros(pad, bool)])
-        s3 = sim3_solver.solve_sim3_ransac(
-            jnp.asarray(padarr(xk)), jnp.asarray(padarr(xc)),
-            jnp.asarray(vmask),
-            jnp.asarray(padarr(m.kf_feat_xyn[k][fk])),
-            jnp.asarray(padarr(m.kf_feat_xyn[c][fc])),
-            jax.random.PRNGKey(k * 977 + c),
-            focal=float(self.cam.fx),
-            min_inliers=self.cfg.min_sim3_inliers)
-        if not bool(s3.ok):
-            return None
-        # guided projection re-verification: project candidate-side local
-        # points through S into k and count matches (reference nProjMatches)
-        S_kc = Sim3(s3.R, s3.t, s3.s)   # maps c-frame points -> k-frame
-        n_proj = self._count_projection_matches(k, c, S_kc)
-        if n_proj < self.cfg.min_proj_matches:
-            return None
-        return c, S_kc
-
-    def _count_projection_matches(self, k: int, c: int, S_kc: Sim3) -> int:
-        m = self.map
-        covis_c, _ = m.covisibility(c, min_weight=10)
-        kfs = [c] + [int(x) for x in covis_c[:10]]
-        pts = m.local_point_ids(np.asarray(kfs))[:2048]
-        if len(pts) == 0:
-            return 0
-        Tc = SE3(jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]))
-        xc = np.asarray(Tc.apply(jnp.asarray(m.pt_xyz[pts])))
-        xk = np.asarray(S_kc.apply(jnp.asarray(xc)))
-        uv = np.asarray(cameras.project(self.cam, jnp.asarray(xk)))
-        vis = (xk[:, 2] > 0.1) & np.asarray(cameras.in_image(self.cam, jnp.asarray(uv)))
-        P = 2048
-        pad = P - len(pts)
-        projf = kernels.ProjectedPoints(
-            uv=jnp.asarray(np.concatenate([uv, np.zeros((pad, 2), np.float32)])),
-            dist=jnp.zeros(P),
-            level=jnp.zeros(P, jnp.int32),
-            visible=jnp.asarray(np.concatenate([vis, np.zeros(pad, bool)])))
-        res = matching.search_by_projection(
-            projf.uv, projf.visible,
-            jnp.asarray(np.concatenate([m.pt_desc[pts],
-                                        np.zeros((pad, 8), np.uint32)])),
-            projf.level,
-            _kf_feat(m, k), 8.0, level_lo=-8, level_hi=8,
-            max_dist=matching.TH_LOW, ratio=1.0)
-        return int(np.asarray(res.valid).sum())
+        return verify_sim3_pair(self.map, k, self.map, c, self.cam, self.cfg)
 
     # ------------------------------------------------------------------
     def _correct_loop(self, k: int, match_kf: int, S_kc: Sim3):
@@ -234,12 +182,24 @@ class LoopCloser:
         ewp = np.concatenate([ew, np.zeros(padE, np.float32)])
 
         from ..optim import pose_graph
-        res = pose_graph.optimize_sim3_graph(
-            jnp.asarray(R0p), jnp.asarray(t0p), jnp.asarray(s0p),
-            jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
-            jnp.asarray(eRp), jnp.asarray(etp),
-            jnp.asarray(esp, jnp.float32), jnp.asarray(ewp, jnp.float32),
-            jnp.asarray(fixedp), iters=15)
+        if m.imu_initialized:
+            # metric + gravity-aligned map: optimize yaw and translation only
+            # (reference: OptimizeEssentialGraph4DoF for inertial maps,
+            # LoopClosing.cc:1540)
+            res = pose_graph.optimize_4dof_graph(
+                jnp.asarray(R0p), jnp.asarray(t0p),
+                jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
+                jnp.asarray(eRp), jnp.asarray(etp / np.maximum(
+                    esp[:, None], 1e-9)),
+                jnp.asarray(ewp, jnp.float32),
+                jnp.asarray(fixedp), iters=15)
+        else:
+            res = pose_graph.optimize_sim3_graph(
+                jnp.asarray(R0p), jnp.asarray(t0p), jnp.asarray(s0p),
+                jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
+                jnp.asarray(eRp), jnp.asarray(etp),
+                jnp.asarray(esp, jnp.float32), jnp.asarray(ewp, jnp.float32),
+                jnp.asarray(fixedp), iters=15)
 
         # apply: correct map points through their reference KF's correction
         # (reference: CorrectLoop's eigSwc-based point update)
@@ -332,3 +292,96 @@ def _kf_feat(m: MapStore, k: int):
         score=jnp.zeros(m.cfg.n_feat, jnp.float32),
         desc=jnp.asarray(m.kf_feat_desc[k]),
         valid=jnp.asarray(m.kf_feat_valid[k]))
+
+
+def verify_sim3_pair(mk: MapStore, k: int, mc: MapStore, c: int,
+                     cam, cfg: LoopClosingConfig):
+    """Geometric verification of a place-recognition pair: descriptor
+    matches with map points on both sides -> batched Horn Sim3 RANSAC on the
+    3D-3D pairs (in each keyframe's camera frame) -> guided projection
+    re-verification. Works within one map (loop closing) or across two maps
+    (merge detection) (reference: LoopClosing::DetectCommonRegionsFromBoW,
+    LoopClosing.cc:733). Returns (c, S_kc) with S_kc mapping c-camera-frame
+    points into k's camera frame, or None."""
+    res = matching.match_nn(
+        jnp.asarray(mk.kf_feat_desc[k]),
+        jnp.asarray(mk.kf_feat_valid[k] & (mk.kf_feat_point[k] >= 0)),
+        jnp.asarray(mc.kf_feat_desc[c]),
+        jnp.asarray(mc.kf_feat_valid[c] & (mc.kf_feat_point[c] >= 0)),
+        max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
+    valid = np.asarray(res.valid)
+    if valid.sum() < cfg.min_bow_matches:
+        return None
+    idx_c = np.asarray(res.idx)
+    fk = np.where(valid)[0]
+    fc = idx_c[fk]
+    pk = mk.kf_feat_point[k][fk]
+    pc = mc.kf_feat_point[c][fc]
+    ok = (pk >= 0) & (pc >= 0) & mk.pt_valid[pk] & mc.pt_valid[pc]
+    fk, fc, pk, pc = fk[ok], fc[ok], pk[ok], pc[ok]
+    if len(fk) < cfg.min_bow_matches:
+        return None
+    # 3D points in each keyframe's camera frame
+    Tk = SE3(jnp.asarray(mk.kf_R[k]), jnp.asarray(mk.kf_t[k]))
+    Tc = SE3(jnp.asarray(mc.kf_R[c]), jnp.asarray(mc.kf_t[c]))
+    xk = np.asarray(Tk.apply(jnp.asarray(mk.pt_xyz[pk])))
+    xc = np.asarray(Tc.apply(jnp.asarray(mc.pt_xyz[pc])))
+    N = 256
+    pad = max(N - len(fk), 0)
+
+    def padarr(a, d=0.0):
+        a = np.asarray(a, np.float32)[:N]
+        return np.concatenate([a, np.full((pad, *a.shape[1:]), d, np.float32)])
+
+    vmask = np.concatenate([np.ones(min(len(fk), N), bool), np.zeros(pad, bool)])
+    s3 = sim3_solver.solve_sim3_ransac(
+        jnp.asarray(padarr(xk)), jnp.asarray(padarr(xc)),
+        jnp.asarray(vmask),
+        jnp.asarray(padarr(mk.kf_feat_xyn[k][fk])),
+        jnp.asarray(padarr(mc.kf_feat_xyn[c][fc])),
+        jax.random.PRNGKey(k * 977 + c),
+        focal=float(cam.fx),
+        min_inliers=cfg.min_sim3_inliers)
+    if not bool(s3.ok):
+        return None
+    # inertial maps are metric: a Sim3 whose scale strays from 1 is spurious
+    # (reference: LoopClosing.cc:168 scale gate [0.90, 1.1])
+    if (mk.imu_initialized and mc.imu_initialized
+            and not (0.90 <= float(s3.s) <= 1.1)):
+        return None
+    S_kc = Sim3(s3.R, s3.t, s3.s)   # maps c-frame points -> k-frame
+    n_proj = count_projection_matches(mk, k, mc, c, S_kc, cam)
+    if n_proj < cfg.min_proj_matches:
+        return None
+    return c, S_kc
+
+
+def count_projection_matches(mk: MapStore, k: int, mc: MapStore, c: int,
+                             S_kc: Sim3, cam) -> int:
+    """Project c's local map through S_kc into k and count guided matches
+    (reference nProjMatches re-verification)."""
+    covis_c, _ = mc.covisibility(c, min_weight=10)
+    kfs = [c] + [int(x) for x in covis_c[:10]]
+    pts = mc.local_point_ids(np.asarray(kfs))[:2048]
+    if len(pts) == 0:
+        return 0
+    Tc = SE3(jnp.asarray(mc.kf_R[c]), jnp.asarray(mc.kf_t[c]))
+    xc = np.asarray(Tc.apply(jnp.asarray(mc.pt_xyz[pts])))
+    xk = np.asarray(S_kc.apply(jnp.asarray(xc)))
+    uv = np.asarray(cameras.project(cam, jnp.asarray(xk)))
+    vis = (xk[:, 2] > 0.1) & np.asarray(cameras.in_image(cam, jnp.asarray(uv)))
+    P = 2048
+    pad = P - len(pts)
+    projf = kernels.ProjectedPoints(
+        uv=jnp.asarray(np.concatenate([uv, np.zeros((pad, 2), np.float32)])),
+        dist=jnp.zeros(P),
+        level=jnp.zeros(P, jnp.int32),
+        visible=jnp.asarray(np.concatenate([vis, np.zeros(pad, bool)])))
+    res = matching.search_by_projection(
+        projf.uv, projf.visible,
+        jnp.asarray(np.concatenate([mc.pt_desc[pts],
+                                    np.zeros((pad, 8), np.uint32)])),
+        projf.level,
+        _kf_feat(mk, k), 8.0, level_lo=-8, level_hi=8,
+        max_dist=matching.TH_LOW, ratio=1.0)
+    return int(np.asarray(res.valid).sum())

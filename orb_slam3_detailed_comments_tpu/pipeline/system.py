@@ -35,27 +35,43 @@ class System:
                  mapping_cfg: Optional[LocalMappingConfig] = None,
                  enable_loop_closing: bool = True,
                  vocab_path: Optional[str] = None,
-                 baseline: float = 0.0, th_depth: float = 35.0):
-        if sensor not in (MONOCULAR, STEREO, RGBD):
-            raise NotImplementedError(
-                "round-1 build supports MONOCULAR/STEREO/RGBD; IMU variants "
-                "use the imu/ + optim/vi_ba modules (pipeline wiring next round)")
+                 baseline: float = 0.0, th_depth: float = 35.0,
+                 imu_calib=None):
+        if sensor not in (MONOCULAR, STEREO, RGBD,
+                          IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
+            raise ValueError(f"unknown sensor {sensor}")
         self.cam = cam
         self.sensor = sensor
-        self.map = MapStore(map_cfg or MapConfig())
+        self.inertial = sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD)
+        if self.inertial and imu_calib is None:
+            from ..imu.preintegration import ImuCalib
+            imu_calib = ImuCalib.default()
+        from ..mapping.atlas import Atlas
+        self.atlas = Atlas(map_cfg or MapConfig())
+        self.map = self.atlas.active
         from .tracking import SENSOR_MONO, SENSOR_RGBD, SENSOR_STEREO
         tsensor = {MONOCULAR: SENSOR_MONO, STEREO: SENSOR_STEREO,
-                   RGBD: SENSOR_RGBD}[sensor]
+                   RGBD: SENSOR_RGBD, IMU_MONOCULAR: SENSOR_MONO,
+                   IMU_STEREO: SENSOR_STEREO, IMU_RGBD: SENSOR_RGBD}[sensor]
         self.tracker = Tracker(cam, self.map, tracking_cfg or TrackingConfig(),
                                sensor=tsensor, bf=baseline * cam.fx,
-                               th_depth=th_depth)
+                               th_depth=th_depth,
+                               imu_calib=imu_calib if self.inertial else None)
         self.local_mapper = LocalMapper(self.map, cam,
                                         mapping_cfg or LocalMappingConfig())
+        if self.inertial:
+            from .inertial import run_local_inertial_ba
+            self.local_mapper.inertial_ba = (
+                lambda: run_local_inertial_ba(self.map, self.cam))
+            self._viba_stage = 0   # 0: not init, 1: init done, 2: VIBA1, 3: VIBA2
         self.enable_loop_closing = enable_loop_closing
         self.loop_closer = None
         self.kfdb = None
+        self.vocab = None
+        self.kfdbs: dict = {}          # map_id -> KeyFrameDatabase
         self._vocab_path = vocab_path
         self._kfdb_pending: list = []
+        self._change_dataset_pending = False
         if vocab_path is not None:
             self._build_recognition(vocab_path=vocab_path)
         if enable_loop_closing or True:
@@ -65,38 +81,43 @@ class System:
     def _build_recognition(self, vocab_path=None):
         """Create the vocabulary + keyframe database. Without a pretrained
         vocabulary file (the reference ships ORBvoc.txt; we can't), train one
-        from the descriptors collected so far."""
+        from the descriptors collected so far. The vocabulary is shared by
+        all maps; each map has its own inverted-index database."""
         from ..placerec import vocab as vocab_mod
         from ..placerec.keyframe_db import KeyFrameDatabase
         from .loop_closing import LoopCloser
-        if vocab_path is not None:
-            voc = vocab_mod.load(vocab_path)
-        else:
-            kfs = self.map.kf_ids()
-            descs = self.map.kf_feat_desc[kfs][self.map.kf_feat_valid[kfs]]
-            voc = vocab_mod.train(np.asarray(descs), k=10, levels=3)
-        self.kfdb = KeyFrameDatabase(voc, self.map.cfg.max_kf)
+        if self.vocab is None:
+            if vocab_path is not None:
+                self.vocab = vocab_mod.load(vocab_path)
+            else:
+                kfs = self.map.kf_ids()
+                descs = self.map.kf_feat_desc[kfs][self.map.kf_feat_valid[kfs]]
+                self.vocab = vocab_mod.train(np.asarray(descs), k=10, levels=3)
+        self.kfdb = KeyFrameDatabase(self.vocab, self.map.cfg.max_kf)
+        self.kfdbs[self.map.map_id] = self.kfdb
         self.loop_closer = LoopCloser(self.map, self.cam, self.kfdb)
 
-    def track_monocular(self, img: np.ndarray, ts: float) -> Optional[np.ndarray]:
-        """Feed one grayscale frame; returns 4x4 T_cw or None
+    def track_monocular(self, img: np.ndarray, ts: float,
+                        imu=None) -> Optional[np.ndarray]:
+        """Feed one grayscale frame; returns 4x4 T_cw or None. imu: optional
+        (acc [M,3], gyro [M,3], t [M]) samples since the previous frame
         (reference: System::TrackMonocular, System.cc:441)."""
-        pose = self.tracker.track_monocular(img, ts)
-        return self._post_track(pose)
+        pose = self.tracker.track_monocular(img, ts, imu_meas=imu)
+        return self._post_track(pose, ts)
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
-                     ts: float) -> Optional[np.ndarray]:
+                     ts: float, imu=None) -> Optional[np.ndarray]:
         """(reference: System::TrackStereo, System.cc:277)"""
-        pose = self.tracker.track_stereo(img_l, img_r, ts)
-        return self._post_track(pose)
+        pose = self.tracker.track_stereo(img_l, img_r, ts, imu_meas=imu)
+        return self._post_track(pose, ts)
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
-                   ts: float) -> Optional[np.ndarray]:
+                   ts: float, imu=None) -> Optional[np.ndarray]:
         """(reference: System::TrackRGBD, System.cc:361)"""
-        pose = self.tracker.track_rgbd(img, depth, ts)
-        return self._post_track(pose)
+        pose = self.tracker.track_rgbd(img, depth, ts, imu_meas=imu)
+        return self._post_track(pose, ts)
 
-    def _post_track(self, pose):
+    def _post_track(self, pose, ts: float = 0.0):
         while self.tracker.new_keyframes:
             k = self.tracker.new_keyframes.pop(0)
             if self.map.kf_valid[k] and self.map.n_kf > 2:
@@ -112,9 +133,137 @@ class System:
                 if self.loop_closer is not None:
                     if self.map.kf_valid[k]:
                         self.loop_closer.process_keyframe(k)
+                        self._detect_merge(k)
                 else:
                     self._kfdb_pending.append(k)
+            if self.inertial:
+                self._imu_schedule(ts)
+        from .tracking import LOST
+        if self.tracker.state == LOST or self._change_dataset_pending:
+            self._spawn_or_reset_map()
+            self._change_dataset_pending = False
         return pose
+
+    # ------------------------------------------------------------------
+    def change_dataset(self):
+        """Force a fresh map for the next sequence (reference: the
+        multi-sequence mode of the examples, System::ChangeDataset,
+        mono_euroc.cc:173-183)."""
+        self._change_dataset_pending = True
+
+    def _spawn_or_reset_map(self):
+        """Unrecoverable loss: keep a rich map and start a new one, or reset
+        a poor one in place (reference: Tracking.cc:2248-2262 — new map if
+        the active map has >10 KFs, else ResetActiveMap)."""
+        from ..mapping.mapstore import MapStore
+        if self.map.n_kf > 10 or self._change_dataset_pending:
+            new_map = self.atlas.create_new_map()
+        else:
+            mid = self.atlas.active_id
+            self.atlas.maps[mid] = MapStore(self.atlas.map_cfg)
+            self.atlas.maps[mid].map_id = mid
+            new_map = self.atlas.maps[mid]
+        self.map = new_map
+        self.tracker.reset_for_new_map(new_map)
+        self.local_mapper.map = new_map
+        self.local_mapper.recent_points.clear()
+        if self.inertial:
+            self._viba_stage = 0
+        # fresh per-map recognition database (shared vocabulary)
+        self.loop_closer = None
+        self.kfdb = None
+        self._kfdb_pending.clear()
+
+    def _detect_merge(self, k: int):
+        """Query stored maps for the current keyframe; on a verified Sim3,
+        weld that map into the active one (reference:
+        LoopClosing::NewDetectCommonRegions merge branch + MergeLocal,
+        LoopClosing.cc:1590)."""
+        if len(self.atlas.maps) < 2:
+            return
+        from ..lie import Sim3
+        from .loop_closing import verify_sim3_pair
+        import jax.numpy as jnp
+        act = self.map
+        for mid, other in enumerate(self.atlas.maps):
+            if mid == self.atlas.active_id or other.n_kf < 3:
+                continue
+            db = self.kfdbs.get(mid)
+            if db is None:
+                continue
+            cands = db.detect_relocalization_candidates(
+                other, act.kf_feat_desc[k], act.kf_feat_valid[k])
+            for c in cands[:3]:
+                out = verify_sim3_pair(act, k, other, int(c), self.cam,
+                                       self.loop_closer.cfg)
+                if out is None:
+                    continue
+                c, S_kc = out
+                # S_ao: other-world -> active-world =
+                #       T_k^-1 ∘ S_kc ∘ T_c
+                T_k = Sim3(jnp.asarray(act.kf_R[k]), jnp.asarray(act.kf_t[k]),
+                           jnp.asarray(1.0))
+                T_c = Sim3(jnp.asarray(other.kf_R[int(c)]),
+                           jnp.asarray(other.kf_t[int(c)]), jnp.asarray(1.0))
+                S_ao = T_k.inverse().compose(S_kc).compose(T_c)
+                slot_map = self.atlas.merge_map_into_active(mid, S_ao)
+                # index the welded keyframes in the active map's database
+                for old, new in slot_map.items():
+                    self.kfdb.add(new, act.kf_feat_desc[new],
+                                  act.kf_feat_valid[new])
+                self.kfdbs.pop(mid, None)
+                # weld-region refinement (reference: MergeLocal's local BA)
+                from .local_mapping import run_local_ba
+                window = [k] + list(slot_map.values())[:12]
+                run_local_ba(act, window, fixed=[k], cam=self.cam, iters=6)
+                act.update_point_stats(np.where(act.pt_valid)[0])
+                return
+
+    # ------------------------------------------------------------------
+    def _imu_schedule(self, ts: float):
+        """Staged IMU initialization (reference: LocalMapping.cc:236-310:
+        InitializeIMU with decreasing priors, then VIBA1 at t>5 s and VIBA2
+        at t>15 s)."""
+        from .inertial import try_initialize_imu, run_local_inertial_ba
+        m = self.map
+        imu = self.tracker.imu
+        # stereo/RGB-D maps are already metric: hold scale at 1 (reference:
+        # InitializeIMU's bFixedScale = sensor != MONOCULAR)
+        fix_scale = self.sensor in (IMU_STEREO, IMU_RGBD)
+        if self._viba_stage == 0:
+            out = try_initialize_imu(m, min_kf=8, min_time=1.0,
+                                     prior_gyro=1e2, prior_acc=1e6,
+                                     fix_scale=fix_scale)
+            if out is None:
+                return
+            R_wg, s = out
+            self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
+            run_local_inertial_ba(m, self.cam, window=16,
+                                  prior_gyro=1e2, prior_acc=1e6)
+            self._viba_stage = 1
+            self._t_init = ts
+            return
+        t_since = ts - self._t_init
+        if self._viba_stage == 1 and t_since > 5.0:
+            out = try_initialize_imu(m, min_kf=8, min_time=1.0,
+                                     prior_gyro=1.0, prior_acc=1e5,
+                                     fix_scale=fix_scale)
+            if out is not None:
+                R_wg, s = out
+                self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
+                run_local_inertial_ba(m, self.cam, window=16,
+                                      prior_gyro=1.0, prior_acc=1e5)
+            self._viba_stage = 2
+            m.imu_ba1 = True
+        elif self._viba_stage == 2 and t_since > 15.0:
+            out = try_initialize_imu(m, min_kf=8, min_time=1.0,
+                                     prior_gyro=0.0, prior_acc=0.0,
+                                     fix_scale=fix_scale)
+            if out is not None:
+                R_wg, s = out
+                self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
+            self._viba_stage = 3
+            m.imu_ba2 = True
 
     # ------------------------------------------------------------------
     def _relocalize(self, prep):
@@ -167,6 +316,21 @@ class System:
     def shutdown(self):
         pass
 
+    def activate_localization_mode(self):
+        """Camera tracking only; the map is frozen
+        (reference: System::ActivateLocalizationMode, System.cc:510)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        """(reference: System::DeactivateLocalizationMode, System.cc:518)"""
+        self.tracker.localization_only = False
+
+    def print_time_stats(self, file=None):
+        """Per-stage timing table (reference: Tracking::PrintTimeStats,
+        the REGISTER_TIMES subsystem)."""
+        from ..utils import timing
+        return timing.print_time_stats(file)
+
     # ------------------------------------------------------------------
     def trajectory_tum(self) -> list:
         """Frame trajectory in TUM format rows (t tx ty tz qx qy qz qw),
@@ -174,8 +338,8 @@ class System:
         keyframes (reference: System::SaveTrajectoryEuRoC, System.cc:721)."""
         import jax.numpy as jnp
         rows = []
-        for ts, ref_kf, epoch, R_cr, t_cr, state in self.tracker.trajectory:
-            resolved = self.map.resolve_kf_pose(ref_kf, epoch)
+        for ts, map_id, ref_kf, epoch, R_cr, t_cr, state in self.tracker.trajectory:
+            resolved = self.atlas.resolve_kf_pose(map_id, ref_kf, epoch)
             if resolved is None:
                 continue
             R_rw, t_rw = resolved
@@ -207,8 +371,8 @@ class System:
         (reference: System::SaveTrajectoryKITTI, System.cc:1273)."""
         import jax.numpy as jnp
         with open(path, "w") as f:
-            for ts, ref_kf, epoch, R_cr, t_cr, state in self.tracker.trajectory:
-                resolved = self.map.resolve_kf_pose(ref_kf, epoch)
+            for ts, map_id, ref_kf, epoch, R_cr, t_cr, state in self.tracker.trajectory:
+                resolved = self.atlas.resolve_kf_pose(map_id, ref_kf, epoch)
                 if resolved is None:
                     continue
                 R_rw, t_rw = resolved
@@ -234,18 +398,16 @@ class System:
                         + " ".join(f"{v:.9f}" for v in [*t_wc, *q]) + "\n")
 
     def save_atlas(self, path: str):
-        """Checkpoint the map (reference: System::SaveAtlas, System.cc:1466).
-        Note: single-map System; the Atlas class covers multi-map."""
-        from ..mapping.atlas import Atlas
+        """Checkpoint all maps (reference: System::SaveAtlas, System.cc:1466)."""
         from ..utils import serialization
-        a = Atlas(self.map.cfg)
-        a.maps = [self.map]
-        serialization.save_atlas(a, path)
+        serialization.save_atlas(self.atlas, path)
 
     def load_atlas(self, path: str):
         from ..utils import serialization
-        a = serialization.load_atlas(path)
-        self.map = a.maps[a.active_id]
+        self.atlas = serialization.load_atlas(path)
+        for i, m in enumerate(self.atlas.maps):
+            m.map_id = i
+        self.map = self.atlas.active
         self.tracker.map = self.map
         self.local_mapper.map = self.map
         if self.loop_closer is not None:

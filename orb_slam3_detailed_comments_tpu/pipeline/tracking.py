@@ -45,6 +45,8 @@ class TrackingConfig:
     min_inliers_mm: int = 20
     min_inliers_local: int = 30
     recently_lost_frames: int = 100  # ~5 s at 20 fps (reference 5 s budget)
+    periodic_kf: bool = True      # insert a KF every max_frames regardless
+                                  # of c2 (see _need_new_keyframe)
 
 
 @dataclass
@@ -67,7 +69,7 @@ class Tracker:
                  cfg: TrackingConfig = TrackingConfig(),
                  orb_cfg: Optional[extractor.OrbConfig] = None,
                  sensor: int = SENSOR_MONO, bf: float = 0.0,
-                 th_depth: float = 35.0):
+                 th_depth: float = 35.0, imu_calib=None):
         self.cam = cam
         self.map = mapstore
         self.cfg = cfg
@@ -78,6 +80,7 @@ class Tracker:
         self.cur_depth = None             # [N] per-feature depth or None
         self.orb_cfg = orb_cfg or extractor.OrbConfig(n_features=cfg.n_features)
         self.state = NO_IMAGES_YET
+        self.localization_only = False
         self.velocity: Optional[SE3] = None
         self.last: Optional[FrameRecord] = None
         self.ref_kf: int = -1
@@ -88,6 +91,14 @@ class Tracker:
         self.lost_count = 0
         self.radius_scale, self.inv_sigma2 = kernels.level_weights(
             self.orb_cfg.n_levels, self.orb_cfg.scale)
+        # inertial state (None for pure-visual sensors); see pipeline/inertial
+        self.imu = None
+        if imu_calib is not None:
+            from .inertial import ImuFrameState
+            self.imu = ImuFrameState(calib=imu_calib)
+        self.last_ts: Optional[float] = None
+        self.last_kf_ts: float = -1e9
+        self.min_kf_dt: float = 0.25   # IMU-mode KF cadence (Tracking.cc:3700)
         # set by System: prep -> (R, t, match_pt, ref_kf) or None
         self.relocalizer = None
         self.n_relocalizations = 0
@@ -96,36 +107,74 @@ class Tracker:
         self.new_keyframes: list = []   # queue to local mapping
 
     # ------------------------------------------------------------------
-    def track_monocular(self, img: np.ndarray, ts: float) -> Optional[np.ndarray]:
+    def track_monocular(self, img: np.ndarray, ts: float,
+                        imu_meas=None) -> Optional[np.ndarray]:
         """Process one grayscale frame; returns T_cw 4x4 or None if lost.
+        imu_meas: optional (acc [M,3], gyro [M,3], t [M]) samples since the
+        previous frame (reference: vImuMeas in System::TrackMonocular).
 
         (reference: Tracking::GrabImageMonocular + Track(), Tracking.cc:1668,1971)
         """
-        prep = kernels.prepare_frame(
-            jnp.asarray(img, jnp.float32), self.cam, self.orb_cfg)
-        return self._track_frame(prep, None, ts)
+        from ..utils import timing
+        with timing.span("ORB extraction"):
+            prep = kernels.prepare_frame(
+                jnp.asarray(img, jnp.float32), self.cam, self.orb_cfg)
+        return self._track_frame(prep, None, ts, imu_meas)
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
-                     ts: float) -> Optional[np.ndarray]:
+                     ts: float, imu_meas=None) -> Optional[np.ndarray]:
         """(reference: Tracking::GrabImageStereo, Tracking.cc:1523)"""
         prep, depth, _ = kernels.prepare_frame_stereo(
             jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
             self.cam, self.bf, self.orb_cfg,
             self.orb_cfg.n_levels, self.orb_cfg.scale)
-        return self._track_frame(prep, np.asarray(depth), ts)
+        return self._track_frame(prep, np.asarray(depth), ts, imu_meas)
 
     def track_rgbd(self, img: np.ndarray, depth_img: np.ndarray,
-                   ts: float) -> Optional[np.ndarray]:
+                   ts: float, imu_meas=None) -> Optional[np.ndarray]:
         """(reference: Tracking::GrabImageRGBD, Tracking.cc:1613)"""
         prep, depth, _ = kernels.prepare_frame_rgbd(
             jnp.asarray(img, jnp.float32), jnp.asarray(depth_img, jnp.float32),
             self.cam, self.bf, self.orb_cfg)
-        return self._track_frame(prep, np.asarray(depth), ts)
+        return self._track_frame(prep, np.asarray(depth), ts, imu_meas)
 
-    def _track_frame(self, prep, depth, ts: float) -> Optional[np.ndarray]:
+    def _preintegrate(self, ts: float, imu_meas):
+        """Integrate the frame-gap IMU window and accumulate the since-last-KF
+        window (reference: Tracking::PreintegrateIMU, Tracking.cc:1739)."""
+        from . import inertial
+        from ..imu import preintegration as pre_mod
+        acc, gyro, t = imu_meas
+        acc = np.asarray(acc, np.float32).reshape(-1, 3)
+        gyro = np.asarray(gyro, np.float32).reshape(-1, 3)
+        t = np.asarray(t, np.float64).reshape(-1)
+        t0 = self.last_ts if self.last_ts is not None else (t[0] if len(t) else ts)
+        edges = np.concatenate([[t0], t[:-1]]) if len(t) else np.zeros(0)
+        dts = np.maximum(t - edges, 0.0) if len(t) else np.zeros(0)
+        # last sample may not land on the frame time: extend to ts
+        if len(t) and ts > t[-1]:
+            dts[-1] += ts - t[-1]
+        if len(t) == 0 or dts.sum() <= 0:
+            return
+        pre = inertial.integrate_frame_window(
+            self.imu.calib, gyro, acc, dts.astype(np.float32),
+            self.imu.bg, self.imu.ba)
+        self.imu.pre_last_frame = pre
+        if self.imu.pre_since_kf is None:
+            self.imu.pre_since_kf = pre
+        else:
+            self.imu.pre_since_kf = pre_mod.merge(self.imu.pre_since_kf, pre)
+
+    def _track_frame(self, prep, depth, ts: float,
+                     imu_meas=None) -> Optional[np.ndarray]:
         fid = self.frame_id
         self.frame_id += 1
         self.cur_depth = depth
+        if self.imu is not None:
+            self.imu.pre_last_frame = None
+            if imu_meas is not None:
+                self._preintegrate(ts, imu_meas)
+        self.last_ts = ts
+        self.cur_ts = ts
 
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             self.state = NOT_INITIALIZED
@@ -138,21 +187,35 @@ class Tracker:
             return self._log_and_return(ts)
 
         # --- normal tracking ---
+        from ..utils import timing
         ok = False
-        if self.velocity is not None and self.state == OK:
-            ok = self._track_with_motion_model(prep, ts, fid)
-        if not ok:
-            ok = self._track_reference_keyframe(prep, ts, fid)
-        if not ok and self.state in (RECENTLY_LOST, LOST) and self.relocalizer:
-            ok = self._relocalization(prep, ts, fid)
+        use_imu_pred = (self.imu is not None and self.map.imu_initialized
+                        and self.imu.pre_last_frame is not None
+                        and self.state == OK and self.last is not None)
+        with timing.span("pose prediction"):
+            if use_imu_pred or (self.velocity is not None and self.state == OK):
+                ok = self._track_with_motion_model(prep, ts, fid,
+                                                   use_imu=use_imu_pred)
+            if not ok:
+                ok = self._track_reference_keyframe(prep, ts, fid)
+            if not ok and self.state in (RECENTLY_LOST, LOST) and self.relocalizer:
+                ok = self._relocalization(prep, ts, fid)
         if ok:
-            ok = self._track_local_map()
+            with timing.span("track local map"):
+                ok = self._track_local_map()
         if ok:
             self.state = OK
             self.lost_count = 0
             # velocity update (reference: Tracking.cc:2512-2520)
             if self.last is not None:
                 self.velocity = self.cur_T.compose(self.last.T_cw.inverse())
+                if self.imu is not None and self.map.imu_initialized:
+                    dt = ts - self.last.ts
+                    if dt > 1e-6:
+                        c1 = -np.asarray(self.last.T_cw.R).T @ np.asarray(
+                            self.last.T_cw.t)
+                        c2 = -np.asarray(self.cur_T.R).T @ np.asarray(self.cur_T.t)
+                        self.imu.v_w = ((c2 - c1) / dt).astype(np.float32)
             self._update_found_counters()
             if self._need_new_keyframe():
                 self._create_new_keyframe(ts, fid)
@@ -176,7 +239,8 @@ class Tracker:
                  jnp.asarray(self.map.kf_t[self.ref_kf]))
         T_cr = T.compose(Tr.inverse())
         self.trajectory.append(
-            (ts, self.ref_kf, int(self.map.kf_epoch[self.ref_kf]),
+            (ts, self.map.map_id, self.ref_kf,
+             int(self.map.kf_epoch[self.ref_kf]),
              np.asarray(T_cr.R), np.asarray(T_cr.t), self.state))
         M = np.eye(4, dtype=np.float32)
         M[:3, :3] = np.asarray(T.R)
@@ -190,6 +254,8 @@ class Tracker:
         if self.init_ref is None or n_valid <= self.cfg.min_init_matches:
             if n_valid > self.cfg.min_init_matches:
                 self.init_ref = FrameRecord(prep, SE3.identity(), None, ts, fid)
+                if self.imu is not None:
+                    self.imu.pre_since_kf = None  # chain starts at init_ref
             return
 
         f1 = self.init_ref.prepared
@@ -199,6 +265,8 @@ class Tracker:
         n_matches = int(valid.sum())
         if n_matches < self.cfg.min_init_matches:
             self.init_ref = FrameRecord(prep, SE3.identity(), None, ts, fid)
+            if self.imu is not None:
+                self.imu.pre_since_kf = None
             return
 
         idx2 = np.asarray(res.idx)
@@ -268,9 +336,14 @@ class Tracker:
                 self.map.kf_t[[k1, k2]] /= med
         self.map.update_point_stats(np.where(pvalid)[0])
 
+        if self.imu is not None and self.imu.pre_since_kf is not None:
+            self.map.set_kf_preintegration(k2, self.imu.pre_since_kf, k1)
+            self.imu.pre_since_kf = None
+            self.imu.t_first_kf = self.init_ref.ts
         self.ref_kf = k2
         self.last_kf_frame_id = fid
         self.last_kf_id = k2
+        self.last_kf_ts = ts
         T2 = SE3(jnp.asarray(self.map.kf_R[k2]), jnp.asarray(self.map.kf_t[k2]))
         self.cur_T = T2
         self.cur_prep = f2prep
@@ -306,9 +379,13 @@ class Tracker:
         self.map.pt_ref_kf[pids] = k
         self.map.pt_first_kf[pids] = k
         self.map.update_point_stats(pids)
+        if self.imu is not None:
+            self.imu.pre_since_kf = None   # chain starts at this keyframe
+            self.imu.t_first_kf = ts
         self.ref_kf = k
         self.last_kf_frame_id = fid
         self.last_kf_id = k
+        self.last_kf_ts = ts
         self.cur_T = SE3.identity()
         self.cur_prep = prep
         self.cur_match = feat_pt
@@ -381,9 +458,17 @@ class Tracker:
             prior, self.cam)
         return res
 
-    def _track_with_motion_model(self, prep, ts, fid) -> bool:
-        """(reference: Tracking::TrackWithMotionModel, Tracking.cc:3352)"""
-        T_pred = self.velocity.compose(self.last.T_cw)
+    def _track_with_motion_model(self, prep, ts, fid, use_imu=False) -> bool:
+        """(reference: Tracking::TrackWithMotionModel, Tracking.cc:3352;
+        with IMU initialized the prediction is dead-reckoned from the last
+        frame's state — Tracking::PredictStateIMU, Tracking.cc:1892)"""
+        if use_imu:
+            from . import inertial
+            T_pred, v_pred = inertial.predict_pose_imu(
+                self.map, self.imu, self.last.T_cw, self.imu.pre_last_frame)
+            self._v_pred = v_pred
+        else:
+            T_pred = self.velocity.compose(self.last.T_cw)
         last_pts = np.unique(self.last.match_pt[self.last.match_pt >= 0])
         last_pts = last_pts[self.map.pt_valid[last_pts]]
         if len(last_pts) < 10:
@@ -493,28 +578,141 @@ class Tracker:
             return False
         self.cur_T = SE3(res.T_cw_R, res.T_cw_t)
         self.cur_match = np.asarray(res.match_pt)
+        self._pose_inertial_refine()
         return True
+
+    def _pose_inertial_refine(self):
+        """After the visual local-map optimization, re-optimize the frame's
+        nav state with the preintegrated edge to the last keyframe
+        (reference: TrackLocalMap uses PoseInertialOptimizationLastKeyFrame
+        once the IMU is initialized, Tracking.cc:3502-3528)."""
+        if (self.imu is None or not self.map.imu_initialized
+                or self.imu.pre_since_kf is None or self.last_kf_id < 0
+                or not self.map.kf_valid[self.last_kf_id]):
+            return
+        from ..optim import pose_opt
+        from .inertial import GRAVITY_MAG
+        m = self.map
+        k = self.last_kf_id
+        R_wb_a = m.kf_R[k].T
+        p_a = -R_wb_a @ m.kf_t[k]
+        match = self.cur_match
+        has = match >= 0
+        safe = np.where(has, match, 0)
+        prep = self.cur_prep
+        g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
+        res = pose_opt.pose_inertial_optimization(
+            self.cur_T, jnp.asarray(self.imu.v_w),
+            jnp.asarray(R_wb_a.astype(np.float32)),
+            jnp.asarray(p_a.astype(np.float32)),
+            jnp.asarray(m.kf_vel[k]), jnp.asarray(m.kf_bg[k]),
+            jnp.asarray(m.kf_ba[k]), self.imu.pre_since_kf,
+            jnp.asarray(m.pt_xyz[safe]), prep.xy_ud,
+            self.inv_sigma2[prep.feat.level],
+            jnp.asarray(has) & prep.feat.valid, self.cam,
+            gravity=jnp.asarray(g))
+        n2 = int(res.n_inliers)
+        if n2 < self.cfg.min_inliers_local:
+            return   # keep the visual-only solution
+        self.cur_T = res.T_cw
+        self.imu.v_w = np.asarray(res.v_w)
+        self.cur_match = np.where(np.asarray(res.inlier), match, -1).astype(
+            np.int32)
 
     def _update_found_counters(self):
         pts = self.cur_match[self.cur_match >= 0]
         self.map.pt_found[pts] += 1
 
     # ------------------------------------------------------------------
+    def on_map_transformed(self, R_wg: np.ndarray, s: float):
+        """Re-express tracker state after Map::ApplyScaledRotation rotated
+        and rescaled the world (reference: Tracking::UpdateFrameIMU,
+        Tracking.cc:4769): T_cw' = (R_cw R_wg, s t_cw)."""
+        def fix(T):
+            R = (np.asarray(T.R) @ R_wg).astype(np.float32)
+            t = (s * np.asarray(T.t)).astype(np.float32)
+            return SE3(jnp.asarray(R), jnp.asarray(t))
+        if self.last is not None:
+            self.last = dataclasses.replace(self.last, T_cw=fix(self.last.T_cw))
+        if hasattr(self, "cur_T"):
+            self.cur_T = fix(self.cur_T)
+        if self.velocity is not None:
+            self.velocity = SE3(self.velocity.R,
+                                jnp.asarray(s * np.asarray(self.velocity.t)))
+        # relative trajectory rows of THIS map: R_cr invariant, t_cr scales
+        self.trajectory = [
+            (ts_, mid, rk, ep, R_cr,
+             (s * t_cr).astype(np.float32) if mid == self.map.map_id else t_cr,
+             st)
+            for (ts_, mid, rk, ep, R_cr, t_cr, st) in self.trajectory]
+        if self.imu is not None:
+            chain = self.map.temporal_chain()
+            if len(chain):
+                kl = int(chain[-1])
+                self.imu.v_w = self.map.kf_vel[kl].copy()
+                self.imu.bg = self.map.kf_bg[kl].copy()
+                self.imu.ba = self.map.kf_ba[kl].copy()
+
+    # ------------------------------------------------------------------
+    def reset_for_new_map(self, new_map: MapStore):
+        """Rebind to a freshly created (empty) map and restart initialization
+        (reference: Tracking::CreateMapInAtlas, Tracking.cc:3093). The frame
+        counter and trajectory log continue; IMU biases carry over."""
+        self.map = new_map
+        self.state = NOT_INITIALIZED
+        self.velocity = None
+        self.last = None
+        self.init_ref = None
+        self.ref_kf = -1
+        self.last_kf_frame_id = self.frame_id
+        self.last_kf_id = -1
+        self.last_kf_ts = -1e9
+        self.lost_count = 0
+        if self.imu is not None:
+            self.imu.pre_since_kf = None
+            self.imu.pre_last_frame = None
+            self.imu.v_w = np.zeros(3, np.float32)
+
+    # ------------------------------------------------------------------
     def _need_new_keyframe(self) -> bool:
         """(reference: Tracking::NeedNewKeyFrame, Tracking.cc:3625)"""
+        if self.localization_only:
+            return False   # reference: mbOnlyTracking gate, Tracking.cc:3631
         n_tracked = int((self.cur_match >= 0).sum())
+        if self.imu is not None:
+            # IMU mode: keep the preintegration chain dense — insert on a
+            # time cadence (reference: >= 0.25 s gap, Tracking.cc:3700-3710)
+            return (self.cur_ts - self.last_kf_ts >= self.min_kf_dt
+                    and n_tracked > 15)
         # reference counts only ref-KF points with >= minObs observations,
         # minObs = 3 (2 while the map has <= 2 KFs)
         # (reference: Tracking::NeedNewKeyFrame nMinObs, Tracking.cc:3659)
         min_obs = 3 if self.map.n_kf > 2 else 2
-        ref_pts = self.map.kf_feat_point[self.ref_kf]
-        ref_pts = ref_pts[ref_pts >= 0]
         obs = self.map.observation_counts()
-        ref_tracked = int((obs[ref_pts] >= min_obs).sum())
+        # anchor c2 on the strongest KF of the local window, not just the
+        # (possibly brand-new) reference KF: comparing against a weak ref
+        # deadlocks — its own count shrinks in lockstep with the frame's,
+        # so c2 never fires while tracking decays to loss
+        anchors = [self.ref_kf]
+        covis_ids, _ = self.map.covisibility(self.ref_kf, min_weight=15)
+        anchors += [int(x) for x in covis_ids[:5]]
+        ref_tracked = 0
+        for a in anchors:
+            if a < 0 or not self.map.kf_valid[a]:
+                continue
+            pts = self.map.kf_feat_point[a]
+            pts = pts[pts >= 0]
+            ref_tracked = max(ref_tracked, int((obs[pts] >= min_obs).sum()))
         c1a = self.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
         c1b = self.frame_id >= self.last_kf_frame_id + self.cfg.min_frames + 1
         c2 = (n_tracked < self.cfg.ref_ratio * ref_tracked) and n_tracked > 15
-        return (c1a or c1b) and c2
+        # periodic floor: after max_frames without a keyframe, insert even if
+        # tracking quality hasn't decayed (deviation from the reference's
+        # pure-c2 gate: on very smooth motion c2 can stay silent until the
+        # map is too thin to survive a disturbance; KF culling removes the
+        # redundancy this creates)
+        periodic = self.cfg.periodic_kf and c1a and n_tracked > 15
+        return ((c1a or c1b) and c2) or periodic
 
     def _create_new_keyframe(self, ts, fid):
         """(reference: Tracking::CreateNewKeyFrame, Tracking.cc:3826)"""
@@ -525,8 +723,17 @@ class Tracker:
             np.asarray(prep.feat.level), np.asarray(prep.feat.angle),
             np.asarray(prep.feat.desc), np.asarray(prep.feat.valid),
             self.cur_match.astype(np.int32))
+        if self.imu is not None and self.imu.pre_since_kf is not None \
+                and self.last_kf_id >= 0:
+            self.map.set_kf_preintegration(k, self.imu.pre_since_kf,
+                                           self.last_kf_id)
+            self.map.kf_vel[k] = self.imu.v_w
+            self.map.kf_bg[k] = self.imu.bg
+            self.map.kf_ba[k] = self.imu.ba
+            self.imu.pre_since_kf = None
         self.ref_kf = k
         self.last_kf_frame_id = fid
         self.last_kf_id = k
+        self.last_kf_ts = ts
         self._create_depth_points(k)
         self.new_keyframes.append(k)

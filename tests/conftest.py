@@ -11,6 +11,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# The axon PJRT plugin registers itself at interpreter startup (via
+# sitecustomize) and wins backend selection even with JAX_PLATFORMS=cpu in
+# the environment — the config flag is the only reliable override. Without
+# it the whole suite silently runs over the single-chip TPU tunnel.
+import jax
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
@@ -18,3 +25,11 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache():
+    """Drop compiled programs between modules: XLA-CPU's JIT state grown
+    over the whole suite has produced compile-time segfaults."""
+    yield
+    jax.clear_caches()

@@ -145,3 +145,50 @@ class TestExtractor:
         f = extractor.extract(jnp.asarray(img))
         lv = np.asarray(f.level)[np.asarray(f.valid)]
         assert len(np.unique(lv)) >= 4  # multiple pyramid levels fire
+
+
+class TestPallasHamming:
+    def test_matches_xla_path(self, rng):
+        """Fused Pallas best-2 kernel (interpret mode on CPU) against the
+        dense XLA reference."""
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.ops import matching, pallas_hamming
+        Q, K = 256, 384
+        da = jnp.asarray(rng.integers(0, 2**32, (Q, 8), dtype=np.uint32))
+        db = jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint32))
+        vb = jnp.asarray(rng.random(K) > 0.2)
+        d1, i1, d2 = pallas_hamming.hamming_best2(da, db, vb, interpret=True)
+        dist = matching.hamming_matrix(da, db)
+        ref = np.where(np.asarray(vb)[None, :], np.asarray(dist), 10_000)
+        ref_i1 = ref.argmin(1)
+        ref_d1 = ref.min(1)
+        np.testing.assert_array_equal(np.asarray(d1), ref_d1)
+        np.testing.assert_array_equal(np.asarray(i1), ref_i1)
+        ref2 = ref.copy()
+        ref2[np.arange(Q), ref_i1] = 10_000
+        np.testing.assert_array_equal(np.asarray(d2), ref2.min(1))
+
+    def test_match_nn_pallas_path_equivalent(self, rng):
+        import os
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.ops import matching
+        Q, K = 256, 256
+        da = jnp.asarray(rng.integers(0, 2**32, (Q, 8), dtype=np.uint32))
+        # make some true correspondences: db is a permuted, lightly flipped da
+        perm = rng.permutation(Q)[:K]
+        db = np.asarray(da)[perm]
+        flip = rng.integers(0, 2**32, db.shape, dtype=np.uint32)
+        db = jnp.asarray(db ^ (flip & flip & np.uint32(0x1)))  # flip few bits
+        va = jnp.ones(Q, bool)
+        vb = jnp.ones(K, bool)
+        r_ref = matching.match_nn(da, va, db, vb, max_dist=60, ratio=0.9)
+        os.environ["ORB_TPU_PALLAS"] = "1"
+        try:
+            r_pal = matching.match_nn(da, va, db, vb, max_dist=60, ratio=0.9)
+        finally:
+            os.environ.pop("ORB_TPU_PALLAS")
+        np.testing.assert_array_equal(np.asarray(r_ref.valid),
+                                      np.asarray(r_pal.valid))
+        sel = np.asarray(r_ref.valid)
+        np.testing.assert_array_equal(np.asarray(r_ref.idx)[sel],
+                                      np.asarray(r_pal.idx)[sel])

@@ -51,12 +51,18 @@ def test_relocalization_after_blackout():
     n = 46
     R, t = synth_render.orbit_trajectory(n)
     frames = [synth_render.render_frame(CAM, planes, R[i], t[i]) for i in range(n)]
-    slam = System(CAM, MONOCULAR, enable_loop_closing=True)
+    # periodic KFs every 4 frames so the map is rich enough (>5 KFs) to
+    # enter RECENTLY_LOST instead of resetting (reference: a map with few
+    # keyframes is reset on loss, Tracking.cc:2248)
+    from orb_slam3_detailed_comments_tpu.pipeline.tracking import TrackingConfig
+    slam = System(CAM, MONOCULAR, enable_loop_closing=True,
+                  tracking_cfg=TrackingConfig(max_frames=4))
     ts = np.arange(n) * 0.05
     # phase 1: track normally
     for i in range(30):
         slam.track_monocular(frames[i], float(ts[i]))
     assert slam.tracker.state == 2  # OK
+    assert slam.map.n_kf > 5
     # phase 2: blackout (featureless frames) -> lost
     blank = np.full_like(frames[0], 128.0)
     for i in range(30, 36):

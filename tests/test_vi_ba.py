@@ -79,6 +79,50 @@ def build_vi_problem(rng, n_kf=8, n_pts=150, noise_px=0.4,
     return prob, truth
 
 
+class TestPoseInertialOpt:
+    def test_recovers_frame_state(self, rng):
+        """Motion-only VI optimization: perturbed frame state + exact IMU edge
+        + noisy projections -> recover pose and velocity
+        (reference: Optimizer::PoseInertialOptimizationLastKeyFrame)."""
+        from orb_slam3_detailed_comments_tpu.lie import SE3
+        from orb_slam3_detailed_comments_tpu.optim import pose_opt
+        sim = simulate_imu(rng, n=20, dt=0.005)
+        P = pre.integrate(jnp.asarray(sim["acc"]), jnp.asarray(sim["gyro"]),
+                          jnp.asarray(sim["dt"]), CAL)
+        R_a, p_a, v_a = sim["R"][0], sim["p"][0], sim["v"][0]
+        R_j, p_j, v_j = sim["R"][-1], sim["p"][-1], sim["v"][-1]
+
+        n_pts = 200
+        pts = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+                        rng.uniform(4, 9, n_pts)], 1).astype(np.float32)
+        xc = (pts - p_j) @ R_j   # R_j^T (X - p), row form
+        uv = np.asarray(cameras.project(CAM, jnp.asarray(xc))).copy()
+        uv += rng.normal(0, 0.4, uv.shape)
+        valid = (xc[:, 2] > 0.5) & np.asarray(
+            cameras.in_image(CAM, jnp.asarray(uv)))
+
+        # perturb the frame state
+        from orb_slam3_detailed_comments_tpu.lie import so3 as so3_mod
+        R0 = R_j @ np.asarray(so3_mod.exp(jnp.asarray(
+            rng.normal(0, 0.02, 3), jnp.float32)))
+        p0 = p_j + rng.normal(0, 0.05, 3)
+        v0 = v_j + rng.normal(0, 0.2, 3)
+        T0 = SE3(jnp.asarray(R0.T.astype(np.float32)),
+                 jnp.asarray((-R0.T @ p0).astype(np.float32)))
+        res = pose_opt.pose_inertial_optimization(
+            T0, jnp.asarray(v0, jnp.float32),
+            jnp.asarray(R_a, jnp.float32), jnp.asarray(p_a, jnp.float32),
+            jnp.asarray(v_a, jnp.float32), jnp.zeros(3), jnp.zeros(3), P,
+            jnp.asarray(pts), jnp.asarray(uv, jnp.float32),
+            jnp.ones(n_pts, jnp.float32), jnp.asarray(valid), CAM,
+            gravity=jnp.asarray(sim["g"], jnp.float32))
+        R_est = np.asarray(res.T_cw.R).T
+        p_est = -R_est @ np.asarray(res.T_cw.t)
+        assert np.linalg.norm(p_est - p_j) < 5e-3
+        assert np.linalg.norm(np.asarray(res.v_w) - v_j) < 0.05
+        assert int(res.n_inliers) > 0.8 * valid.sum()
+
+
 class TestVIBA:
     def test_recovers_states(self, rng):
         prob, truth = build_vi_problem(rng)
