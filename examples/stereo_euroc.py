@@ -24,7 +24,16 @@ def main():
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
 
     s = config.load_settings(settings_path)
-    slam = System(s.camera, STEREO, baseline=s.baseline, th_depth=s.th_depth,
+    # legacy EuRoC yaml: raw cameras + rectification blocks -> rectify here
+    # (reference: System::TrackStereo pre-rectification, System.cc:285-292)
+    rect = config.stereo_rectify_maps(s)
+    if rect is not None:
+        maps_l, maps_r, cam, baseline = rect
+        print("using precomputed stereo rectification")
+    else:
+        maps_l = maps_r = None
+        cam, baseline = s.camera, s.baseline
+    slam = System(cam, STEREO, baseline=baseline, th_depth=s.th_depth,
                   enable_loop_closing=s.loop_closing)
     lp, lts = datasets.load_euroc_images(seq, cam="cam0")
     rp, _ = datasets.load_euroc_images(seq, cam="cam1")
@@ -34,6 +43,9 @@ def main():
     for i in range(n):
         l = datasets.read_gray(lp[i])
         r = datasets.read_gray(rp[i])
+        if maps_l is not None:
+            l = config.rectify(l, maps_l)
+            r = config.rectify(r, maps_r)
         t0 = time.perf_counter()
         slam.track_stereo(l, r, float(lts[i]))
         t_track.append(time.perf_counter() - t0)

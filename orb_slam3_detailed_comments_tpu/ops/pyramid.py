@@ -82,11 +82,14 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
     """
     k = _gauss_kernel1d(ksize, sigma)
     r = ksize // 2
+    H, W = img.shape
     x = jnp.pad(img, ((r, r), (r, r)), mode="edge")
-    out = jnp.zeros_like(x)
+    # static slices instead of rolls: XLA fuses the shifted adds without
+    # materializing each rotated copy
+    out = jnp.zeros((H, W + 2 * r), img.dtype)
     for i, w in enumerate(k):
-        out = out + float(w) * jnp.roll(x, r - i, axis=0)
-    out2 = jnp.zeros_like(out)
+        out = out + float(w) * x[i:i + H, :]
+    out2 = jnp.zeros((H, W), img.dtype)
     for i, w in enumerate(k):
-        out2 = out2 + float(w) * jnp.roll(out, r - i, axis=1)
-    return out2[r:-r, r:-r]
+        out2 = out2 + float(w) * out[:, i:i + W]
+    return out2

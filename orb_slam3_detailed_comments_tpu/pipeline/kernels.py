@@ -58,6 +58,58 @@ def prepare_frame_stereo(img_l: jnp.ndarray, img_r: jnp.ndarray,
     return prep, sm.depth, sm.u_right
 
 
+@partial(jax.jit, static_argnames=("cam_l", "cam_r", "cfg"))
+def prepare_frame_stereo_fisheye(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                                 cam_l: cameras.CameraParams,
+                                 cam_r: cameras.CameraParams,
+                                 R_rl: jnp.ndarray, t_rl: jnp.ndarray,
+                                 cfg: extractor.OrbConfig):
+    """Non-rectified (fisheye) stereo prep: brute-force descriptor matching
+    gated by the epipolar constraint of the known extrinsic, then two-view
+    triangulation for a per-feature depth (reference:
+    Frame::ComputeStereoFishEyeMatches, Frame.cc:1530 +
+    KannalaBrandt8::TriangulateMatches, KannalaBrandt8.cpp:327).
+
+    R_rl/t_rl: right <- left extrinsic. Returns (PreparedFrame left,
+    depth [N] (0 where no match), idx_r [N]).
+    """
+    from ..lie import so3 as _so3
+    prep_l = prepare_frame(img_l, cam_l, cfg)
+    feat_r = extractor.extract(img_r, cfg)
+    xyn_r = cameras.unproject(cam_r, feat_r.xy)[:, :2]
+
+    # epipolar gate: l_r = E x_l with E = [t]x R (lines in right cam)
+    E = _so3.hat(t_rl) @ R_rl
+    ones_l = jnp.ones_like(prep_l.xyn[:, :1])
+    Xl = jnp.concatenate([prep_l.xyn, ones_l], axis=-1)
+    Xr = jnp.concatenate([xyn_r, jnp.ones_like(xyn_r[:, :1])], axis=-1)
+    l_r = Xl @ E.T
+    num = jnp.einsum("ai,bi->ab", l_r, Xr)
+    d2 = num * num / jnp.maximum(
+        (l_r[:, 0] ** 2 + l_r[:, 1] ** 2)[:, None], 1e-12)
+    epi_ok = d2 * float(cam_l.fx) ** 2 < 3.84 * 4.0   # ~2 sigma of 2px
+
+    res = matching.match_nn(prep_l.feat.desc, prep_l.feat.valid,
+                            feat_r.desc, feat_r.valid,
+                            max_dist=matching.TH_LOW, ratio=0.8, mutual=True,
+                            extra_mask=epi_ok)
+    T_l = SE3(jnp.eye(3), jnp.zeros(3))
+    T_r = SE3(R_rl, t_rl)
+    X, tri_ok = triangulate.triangulate(T_l, prep_l.xyn, T_r, xyn_r[res.idx])
+    z_l = X[:, 2]
+    z_r = T_r.apply(X)[:, 2]
+    # reprojection checks in both views (chi2 < 5.991, sigma 1px)
+    uv_l = cameras.project(cam_l, X)
+    uv_r = cameras.project(cam_r, T_r.apply(X))
+    e_l = jnp.sum((uv_l - prep_l.feat.xy) ** 2, axis=-1)
+    e_r = jnp.sum((uv_r - feat_r.xy[res.idx]) ** 2, axis=-1)
+    baseline = jnp.linalg.norm(t_rl)
+    good = (res.valid & tri_ok & (z_l > baseline * 2) & (z_r > baseline * 2)
+            & (e_l < 5.991) & (e_r < 5.991))
+    depth = jnp.where(good, z_l, 0.0)
+    return prep_l, depth, res.idx
+
+
 @partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
 def prepare_frame_rgbd(img: jnp.ndarray, depth_img: jnp.ndarray,
                        cam: cameras.CameraParams, bf: float,

@@ -36,7 +36,7 @@ class System:
                  enable_loop_closing: bool = True,
                  vocab_path: Optional[str] = None,
                  baseline: float = 0.0, th_depth: float = 35.0,
-                 imu_calib=None):
+                 imu_calib=None, camera2=None, T_c1c2=None):
         if sensor not in (MONOCULAR, STEREO, RGBD,
                           IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
             raise ValueError(f"unknown sensor {sensor}")
@@ -53,10 +53,16 @@ class System:
         tsensor = {MONOCULAR: SENSOR_MONO, STEREO: SENSOR_STEREO,
                    RGBD: SENSOR_RGBD, IMU_MONOCULAR: SENSOR_MONO,
                    IMU_STEREO: SENSOR_STEREO, IMU_RGBD: SENSOR_RGBD}[sensor]
+        T_rl = None
+        if T_c1c2 is not None:
+            # yaml gives T_c1_c2 (right-in-left); the matcher wants left->right
+            T_rl = np.linalg.inv(np.asarray(T_c1c2, np.float64)).astype(
+                np.float32)
         self.tracker = Tracker(cam, self.map, tracking_cfg or TrackingConfig(),
                                sensor=tsensor, bf=baseline * cam.fx,
                                th_depth=th_depth,
-                               imu_calib=imu_calib if self.inertial else None)
+                               imu_calib=imu_calib if self.inertial else None,
+                               cam2=camera2, T_rl=T_rl)
         self.local_mapper = LocalMapper(self.map, cam,
                                         mapping_cfg or LocalMappingConfig())
         if self.inertial:
@@ -330,6 +336,14 @@ class System:
         the REGISTER_TIMES subsystem)."""
         from ..utils import timing
         return timing.print_time_stats(file)
+
+    def save_track_stats(self, path: str):
+        """Per-frame tracking-stats CSV
+        (reference: the optional track-stats CSV, Tracking.h:344-351)."""
+        with open(path, "w") as f:
+            f.write("#timestamp,state,n_features,n_matches\n")
+            for ts, st, nf, nm in self.tracker.track_stats:
+                f.write(f"{ts:.6f},{st},{nf},{nm}\n")
 
     # ------------------------------------------------------------------
     def trajectory_tum(self) -> list:

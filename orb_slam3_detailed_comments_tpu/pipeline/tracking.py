@@ -69,8 +69,15 @@ class Tracker:
                  cfg: TrackingConfig = TrackingConfig(),
                  orb_cfg: Optional[extractor.OrbConfig] = None,
                  sensor: int = SENSOR_MONO, bf: float = 0.0,
-                 th_depth: float = 35.0, imu_calib=None):
+                 th_depth: float = 35.0, imu_calib=None,
+                 cam2=None, T_rl=None):
         self.cam = cam
+        # second (non-rectified / fisheye) stereo camera + right<-left
+        # extrinsic 4x4 (reference: the two-GeometricCamera stereo mode)
+        self.cam2 = cam2
+        self.T_rl = T_rl
+        if cam2 is not None and T_rl is not None and bf <= 0.0:
+            bf = float(np.linalg.norm(np.asarray(T_rl)[:3, 3])) * cam.fx
         self.map = mapstore
         self.cfg = cfg
         self.sensor = sensor
@@ -102,9 +109,12 @@ class Tracker:
         # set by System: prep -> (R, t, match_pt, ref_kf) or None
         self.relocalizer = None
         self.n_relocalizations = 0
-        # trajectory: (ts, ref_kf, T_cr relative to ref KF, state)
+        # trajectory: (ts, map_id, ref_kf, epoch, T_cr, state)
         self.trajectory: list = []
         self.new_keyframes: list = []   # queue to local mapping
+        # per-frame stats rows: (ts, state, n_features, n_matches)
+        # (reference: the track-stats CSV, Tracking.h:344-351)
+        self.track_stats: list = []
 
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, ts: float,
@@ -124,10 +134,21 @@ class Tracker:
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      ts: float, imu_meas=None) -> Optional[np.ndarray]:
         """(reference: Tracking::GrabImageStereo, Tracking.cc:1523)"""
-        prep, depth, _ = kernels.prepare_frame_stereo(
-            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
-            self.cam, self.bf, self.orb_cfg,
-            self.orb_cfg.n_levels, self.orb_cfg.scale)
+        if self.cam2 is not None:
+            # non-rectified pair (fisheye): epipolar-gated matching +
+            # triangulation instead of row search
+            T = np.asarray(self.T_rl)
+            prep, depth, _ = kernels.prepare_frame_stereo_fisheye(
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                self.cam, self.cam2,
+                jnp.asarray(T[:3, :3], jnp.float32),
+                jnp.asarray(T[:3, 3], jnp.float32), self.orb_cfg)
+        else:
+            prep, depth, _ = kernels.prepare_frame_stereo(
+                jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+                self.cam, self.bf, self.orb_cfg,
+                self.orb_cfg.n_levels, self.orb_cfg.scale)
         return self._track_frame(prep, np.asarray(depth), ts, imu_meas)
 
     def track_rgbd(self, img: np.ndarray, depth_img: np.ndarray,
@@ -234,6 +255,9 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _log_and_return(self, ts):
+        self.track_stats.append(
+            (ts, self.state, int(np.asarray(self.cur_prep.feat.valid).sum()),
+             int((self.cur_match >= 0).sum())))
         T = self.cur_T
         Tr = SE3(jnp.asarray(self.map.kf_R[self.ref_kf]),
                  jnp.asarray(self.map.kf_t[self.ref_kf]))

@@ -42,6 +42,7 @@ class Settings:
     imu_walk_acc: float = 3.0e-3
     imu_frequency: float = 200.0
     T_bc: Optional[np.ndarray] = None   # 4x4 camera-in-body
+    T_c1c2: Optional[np.ndarray] = None  # 4x4 cam2-in-cam1 (fisheye stereo)
     insert_kfs_when_lost: bool = True
     # system
     load_atlas: Optional[str] = None
@@ -89,10 +90,35 @@ def _read_camera(d: dict, prefix: str = "Camera") -> Optional[cameras.CameraPara
                            k3=g("k3", 0.0) or 0.0)
 
 
+def _read_camera2(d: dict) -> Optional[cameras.CameraParams]:
+    """Second camera of a non-rectified stereo rig (v1.0 'Camera2.*')."""
+    def g(name, default=None):
+        return _get(d, f"Camera2.{name}", default=default)
+    fx = g("fx")
+    if fx is None:
+        return None
+    w = _get(d, "Camera.width", default=752)
+    h = _get(d, "Camera.height", default=480)
+    cam_type = _get(d, "Camera.type", default="PinHole")
+    if str(cam_type).lower() in ("kannalabrandt8", "fisheye"):
+        return cameras.fisheye_kb8(fx, g("fy"), g("cx"), g("cy"), w, h,
+                                   k1=g("k1", 0.0) or 0.0, k2=g("k2", 0.0) or 0.0,
+                                   k3=g("k3", 0.0) or 0.0, k4=g("k4", 0.0) or 0.0)
+    return cameras.pinhole(fx, g("fy"), g("cx"), g("cy"), w, h,
+                           k1=g("k1", 0.0) or 0.0, k2=g("k2", 0.0) or 0.0)
+
+
 def load_settings(path: str) -> Settings:
     d = _load_yaml(path)
     s = Settings(raw=d)
     s.camera = _read_camera(d)
+    s.camera2 = _read_camera2(d)
+    tc12 = _get(d, "Stereo.T_c1_c2", "Tlr")
+    if tc12 is not None:
+        data = tc12["data"] if isinstance(tc12, dict) else tc12
+        s.T_c1c2 = np.asarray(data, np.float32).reshape(4, 4)
+    else:
+        s.T_c1c2 = None
     s.fps = float(_get(d, "Camera.fps", default=30.0))
     s.rgb = bool(_get(d, "Camera.RGB", default=1))
     bf = _get(d, "Camera.bf")
@@ -127,3 +153,52 @@ def load_settings(path: str) -> Settings:
     lc = _get(d, "loopClosing", default=1)
     s.loop_closing = bool(lc)
     return s
+
+
+def _mat(d: dict, name: str):
+    v = d.get(name)
+    if v is None:
+        return None
+    data = v["data"] if isinstance(v, dict) else v
+    a = np.asarray(data, np.float64)
+    if isinstance(v, dict) and "rows" in v:
+        a = a.reshape(int(v["rows"]), int(v["cols"]))
+    return a
+
+
+def stereo_rectify_maps(s: Settings):
+    """Precompute stereo rectification from the legacy LEFT.*/RIGHT.* blocks
+    (reference: Settings' precomputed rectification maps, Settings.h:157,
+    applied in System::TrackStereo, System.cc:285-292; legacy parsing in
+    Tracking::ParseCamParamFile).
+
+    Returns (remap_l, remap_r, cam_rect, baseline_m) where remap_* are
+    cv2.remap map pairs, cam_rect the rectified pinhole camera, or None if
+    the YAML has no rectification blocks.
+    """
+    import cv2
+    d = s.raw
+    K_l, K_r = _mat(d, "LEFT.K"), _mat(d, "RIGHT.K")
+    if K_l is None or K_r is None:
+        return None
+    D_l = _mat(d, "LEFT.D").reshape(-1)
+    D_r = _mat(d, "RIGHT.D").reshape(-1)
+    R_l = _mat(d, "LEFT.R").reshape(3, 3)
+    R_r = _mat(d, "RIGHT.R").reshape(3, 3)
+    P_l = _mat(d, "LEFT.P").reshape(3, 4)
+    P_r = _mat(d, "RIGHT.P").reshape(3, 4)
+    w = int(_get(d, "LEFT.width", "Camera.width"))
+    h = int(_get(d, "LEFT.height", "Camera.height"))
+    m_l = cv2.initUndistortRectifyMap(K_l, D_l, R_l, P_l[:3, :3], (w, h),
+                                      cv2.CV_32FC1)
+    m_r = cv2.initUndistortRectifyMap(K_r, D_r, R_r, P_r[:3, :3], (w, h),
+                                      cv2.CV_32FC1)
+    cam_rect = cameras.pinhole(P_l[0, 0], P_l[1, 1], P_l[0, 2], P_l[1, 2],
+                               w, h)
+    baseline = float(-P_r[0, 3] / P_r[0, 0])
+    return m_l, m_r, cam_rect, baseline
+
+
+def rectify(img: np.ndarray, maps) -> np.ndarray:
+    import cv2
+    return cv2.remap(img, maps[0], maps[1], cv2.INTER_LINEAR)

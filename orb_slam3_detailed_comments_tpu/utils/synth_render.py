@@ -100,6 +100,54 @@ def camera_centers(R_cw, t_cw):
     return -np.einsum("tij,ti->tj", R_cw, t_cw)
 
 
+def render_frame_raycast(cam, planes, R_cw, t_cw):
+    """Render by per-pixel ray casting through the camera model — works for
+    ANY camera (Kannala-Brandt fisheye included), unlike the homography
+    renderer which assumes an ideal pinhole. ~10x slower; use for fisheye
+    tests."""
+    import jax.numpy as jnp
+    from ..models import cameras as cam_mod
+    H, W = cam.height, cam.width
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float32) + 0.5,
+                         np.arange(H, dtype=np.float32) + 0.5)
+    uv = np.stack([uu.reshape(-1), vv.reshape(-1)], 1)
+    rays = np.asarray(cam_mod.unproject_bearing(cam, jnp.asarray(uv)),
+                      np.float64)                      # [N, 3] camera frame
+    R_wc = R_cw.T.astype(np.float64)
+    C_w = -R_wc @ t_cw.astype(np.float64)
+    rays_w = rays @ R_wc.T                             # world-frame rays
+    N = rays_w.shape[0]
+    out = np.full(N, 90.0, np.float32)
+    depth = np.full(N, np.inf)
+    for pl in planes:
+        n = np.cross(pl.e1, pl.e2)
+        nn = n / np.linalg.norm(n)
+        denom = rays_w @ nn
+        tnum = (pl.origin - C_w) @ nn
+        d = np.where(np.abs(denom) > 1e-9, tnum / denom, np.inf)
+        hit = (d > 0.05) & np.isfinite(d)
+        Xw = C_w + rays_w * d[:, None]
+        rel = Xw - pl.origin
+        # texel coords via the (generally non-orthogonal) basis
+        G = np.array([[pl.e1 @ pl.e1, pl.e1 @ pl.e2],
+                      [pl.e2 @ pl.e1, pl.e2 @ pl.e2]])
+        Ginv = np.linalg.inv(G)
+        ab = (rel @ np.stack([pl.e1, pl.e2], 1)) @ Ginv.T   # [N, 2] texels
+        h, w = pl.texture.shape
+        inside = (ab[:, 0] >= 0) & (ab[:, 0] < w - 1) & \
+                 (ab[:, 1] >= 0) & (ab[:, 1] < h - 1) & hit & (d < depth)
+        ai = ab[inside]
+        x0 = ai[:, 0].astype(int); y0 = ai[:, 1].astype(int)
+        fx = (ai[:, 0] - x0).astype(np.float32)
+        fy = (ai[:, 1] - y0).astype(np.float32)
+        tx = pl.texture
+        val = (tx[y0, x0] * (1 - fx) * (1 - fy) + tx[y0, x0 + 1] * fx * (1 - fy)
+               + tx[y0 + 1, x0] * (1 - fx) * fy + tx[y0 + 1, x0 + 1] * fx * fy)
+        out[inside] = val
+        depth[inside] = d[inside]
+    return out.reshape(H, W)
+
+
 def inertial_trajectory(n_frames, imu_per_frame=20, dt=0.005,
                         gravity=np.array([0.0, 9.81, 0.0]),
                         true_bg=np.zeros(3), true_ba=np.zeros(3),

@@ -1,0 +1,113 @@
+"""Multi-chip scaling tests on the virtual 8-device CPU mesh (the standard
+way to test pjit/shard_map collectives without pod hardware, SURVEY.md §4):
+distributed BA must reproduce the single-device solution, and frame-parallel
+tracking must match per-frame pose optimization."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from orb_slam3_detailed_comments_tpu.lie import SE3, so3
+from orb_slam3_detailed_comments_tpu.models import cameras
+from orb_slam3_detailed_comments_tpu.optim import pose_opt
+from orb_slam3_detailed_comments_tpu.parallel import dist_ba
+
+from synthetic import CAM
+
+
+def _mesh(n=8, axis=dist_ba.OBS_AXIS):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _ba_problem(rng, C=6, Pn=128, O=1024):
+    kf_R, kf_t = [], []
+    for c in range(C):
+        R = np.asarray(so3.exp(jnp.asarray(rng.normal(0, 0.05, 3), jnp.float32)))
+        kf_R.append(R)
+        kf_t.append(rng.normal(0, 0.2, 3).astype(np.float32) + [0.3 * c, 0, 0])
+    kf_R, kf_t = np.stack(kf_R), np.stack(kf_t)
+    pts = np.stack([rng.uniform(-2, 2, Pn), rng.uniform(-1.5, 1.5, Pn),
+                    rng.uniform(3, 7, Pn)], 1).astype(np.float32)
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    obs_pt = rng.integers(0, Pn, O).astype(np.int32)
+    pc = np.einsum("oij,oj->oi", kf_R[obs_cam], pts[obs_pt]) + kf_t[obs_cam]
+    uv = np.asarray(cameras.project(CAM, jnp.asarray(pc)))
+    uv = uv + rng.normal(0, 0.3, uv.shape).astype(np.float32)
+    fixed = np.zeros(C, bool)
+    fixed[0] = True
+    # perturb states so the step has something to do
+    kf_t_n = kf_t + rng.normal(0, 0.02, kf_t.shape).astype(np.float32)
+    pts_n = pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+    return (kf_R, kf_t_n, pts_n, obs_cam, obs_pt, uv.astype(np.float32),
+            np.ones(O, np.float32), np.ones(O, bool), fixed, np.ones(Pn, bool))
+
+
+def test_dist_ba_step_reduces_error(rng):
+    mesh = _mesh()
+    prob = _ba_problem(rng)
+    step = dist_ba.make_dist_ba_step(mesh, CAM)
+    args = [jnp.asarray(a) for a in prob]
+    R1, t1, p1 = step(*args)
+    # run a few iterations; reprojection error must drop monotonically-ish
+    def cost(R, t, p):
+        pc = jnp.einsum("oij,oj->oi", R[args[3]], p[args[4]]) + t[args[3]]
+        uv = cameras.project(CAM, pc)
+        return float(jnp.sum((uv - args[5]) ** 2))
+    c0 = cost(args[0], args[1], args[2])
+    c1 = cost(R1, t1, p1)
+    for _ in range(4):
+        R1, t1, p1 = step(R1, t1, p1, *args[3:])
+    c4 = cost(R1, t1, p1)
+    assert c1 < c0
+    assert c4 < 0.25 * c0, (c0, c1, c4)
+
+
+def test_dist_ba_matches_single_device(rng):
+    """The psum-reduced Schur step must equal the same step on 1 device."""
+    prob = _ba_problem(rng)
+    args = [jnp.asarray(a) for a in prob]
+    mesh8 = _mesh()
+    step8 = dist_ba.make_dist_ba_step(mesh8, CAM)
+    R8, t8, p8 = step8(*args)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), (dist_ba.OBS_AXIS,))
+    step1 = dist_ba.make_dist_ba_step(mesh1, CAM)
+    R1, t1, p1 = step1(*args)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=2e-4)
+
+
+def test_frame_parallel_pose_opt_matches_serial(rng):
+    mesh = _mesh(axis="frames")
+    F, M = 8, 256
+    pts = np.stack([rng.uniform(-2, 2, (F, M)), rng.uniform(-1.5, 1.5, (F, M)),
+                    rng.uniform(3, 7, (F, M))], -1).astype(np.float32)
+    R_gt = np.stack([np.asarray(so3.exp(jnp.asarray(
+        rng.normal(0, 0.05, 3), jnp.float32))) for _ in range(F)])
+    t_gt = rng.normal(0, 0.1, (F, 3)).astype(np.float32)
+    pc = np.einsum("fij,fmj->fmi", R_gt, pts) + t_gt[:, None, :]
+    uv = np.asarray(cameras.project(CAM, jnp.asarray(pc.reshape(-1, 3)))
+                    ).reshape(F, M, 2).copy()
+    uv += rng.normal(0, 0.3, uv.shape)
+    R0 = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+    t0 = np.zeros((F, 3), np.float32)
+    w = np.ones((F, M), np.float32)
+    valid = np.ones((F, M), bool)
+
+    popt = dist_ba.make_frame_parallel_pose_opt(mesh, CAM)
+    Rp, tp, ni = popt(jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(pts),
+                      jnp.asarray(uv, jnp.float32), jnp.asarray(w),
+                      jnp.asarray(valid))
+    # each frame's pose must match the serial optimizer
+    for f in range(F):
+        res = pose_opt.pose_optimization(
+            SE3(jnp.asarray(R0[f]), jnp.asarray(t0[f])), jnp.asarray(pts[f]),
+            jnp.asarray(uv[f], jnp.float32), jnp.asarray(w[f]),
+            jnp.asarray(valid[f]), CAM)
+        np.testing.assert_allclose(np.asarray(tp[f]), np.asarray(res.T_cw.t),
+                                   atol=1e-4)
+        err = np.linalg.norm(np.asarray(tp[f]) - t_gt[f])
+        assert err < 0.01, (f, err)

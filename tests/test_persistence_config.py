@@ -173,3 +173,79 @@ class TestNativeLib:
         np.testing.assert_allclose(m1.pt_normal[:20], m2.pt_normal[:20], atol=1e-5)
         np.testing.assert_allclose(m1.pt_max_dist[:20], m2.pt_max_dist[:20],
                                    rtol=1e-5)
+
+
+class TestStereoRectification:
+    def test_legacy_left_right_blocks(self, tmp_path):
+        """Legacy EuRoC-style LEFT.*/RIGHT.* rectification blocks produce
+        remap grids + a rectified pinhole camera + the baseline
+        (reference: Settings' precomputed maps, Settings.h:157)."""
+        from orb_slam3_detailed_comments_tpu.utils import config
+        y = tmp_path / "stereo.yaml"
+        y.write_text("""%YAML:1.0
+Camera.fx: 458.654
+Camera.fy: 457.296
+Camera.cx: 367.215
+Camera.cy: 248.375
+Camera.width: 752
+Camera.height: 480
+Camera.bf: 47.90639384423901
+LEFT.width: 752
+LEFT.height: 480
+LEFT.K: !!opencv-matrix
+  rows: 3
+  cols: 3
+  dt: d
+  data: [458.654, 0.0, 367.215, 0.0, 457.296, 248.375, 0.0, 0.0, 1.0]
+LEFT.D: !!opencv-matrix
+  rows: 1
+  cols: 5
+  dt: d
+  data: [-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0]
+LEFT.R: !!opencv-matrix
+  rows: 3
+  cols: 3
+  dt: d
+  data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+LEFT.P: !!opencv-matrix
+  rows: 3
+  cols: 4
+  dt: d
+  data: [435.2046959714599, 0.0, 367.4517211914062, 0.0,
+         0.0, 435.2046959714599, 252.2008514404297, 0.0, 0.0, 0.0, 1.0, 0.0]
+RIGHT.width: 752
+RIGHT.height: 480
+RIGHT.K: !!opencv-matrix
+  rows: 3
+  cols: 3
+  dt: d
+  data: [457.587, 0.0, 379.999, 0.0, 456.134, 255.238, 0.0, 0.0, 1.0]
+RIGHT.D: !!opencv-matrix
+  rows: 1
+  cols: 5
+  dt: d
+  data: [-0.28368365, 0.07451284, -0.00010473, -3.55590700e-05, 0.0]
+RIGHT.R: !!opencv-matrix
+  rows: 3
+  cols: 3
+  dt: d
+  data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+RIGHT.P: !!opencv-matrix
+  rows: 3
+  cols: 4
+  dt: d
+  data: [435.2046959714599, 0.0, 367.4517211914062, -47.90639384423901,
+         0.0, 435.2046959714599, 252.2008514404297, 0.0, 0.0, 0.0, 1.0, 0.0]
+""")
+        s = config.load_settings(str(y))
+        rect = config.stereo_rectify_maps(s)
+        assert rect is not None
+        maps_l, maps_r, cam_rect, baseline = rect
+        assert maps_l[0].shape == (480, 752)
+        assert abs(cam_rect.fx - 435.2046959714599) < 1e-6
+        assert abs(baseline - 47.90639384423901 / 435.2046959714599) < 1e-9
+        img = np.zeros((480, 752), np.float32)
+        img[240, 376] = 255.0
+        out = config.rectify(img, maps_l)
+        assert out.shape == (480, 752)
+        assert np.isfinite(out).all()

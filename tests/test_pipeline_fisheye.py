@@ -1,0 +1,87 @@
+"""Fisheye (Kannala-Brandt8) monocular pipeline end-to-end: the whole
+front end — unprojection, two-view init, projection matching, pose
+optimization, BA — must run through the KB8 camera model on ray-cast
+fisheye imagery (reference: the KannalaBrandt8 + TUM-VI path,
+CameraModels/KannalaBrandt8.cpp)."""
+import numpy as np
+import pytest
+
+from orb_slam3_detailed_comments_tpu.models import cameras
+from orb_slam3_detailed_comments_tpu.pipeline.system import System, MONOCULAR
+from orb_slam3_detailed_comments_tpu.utils import evaluate_ate, synth_render
+
+# TUM-VI-like equidistant fisheye intrinsics (moderate distortion)
+CAM = cameras.fisheye_kb8(
+    fx=380.0, fy=380.0, cx=376.0, cy=240.0, width=752, height=480,
+    k1=0.0034, k2=0.0008, k3=-0.0007, k4=0.0001)
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    rng = np.random.default_rng(17)
+    planes = synth_render.default_world(rng)
+    n = 40
+    R, t = synth_render.orbit_trajectory(n)
+    frames = [synth_render.render_frame_raycast(CAM, planes, R[i], t[i])
+              for i in range(n)]
+    return frames, R, t
+
+
+def test_fisheye_mono_end_to_end(sequence):
+    frames, R_gt, t_gt = sequence
+    slam = System(CAM, MONOCULAR, enable_loop_closing=False)
+    ts = np.arange(len(frames)) * 0.05
+    n_ok = 0
+    for i, img in enumerate(frames):
+        if slam.track_monocular(img, float(ts[i])) is not None:
+            n_ok += 1
+    assert n_ok > 0.7 * len(frames), f"tracked {n_ok}/{len(frames)}"
+    assert slam.n_map_points > 150
+
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    gt_xyz = synth_render.camera_centers(R_gt, t_gt)
+    rmse, n, scale = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz)
+    assert n > 0.6 * len(frames)
+    assert rmse < 0.06, f"fisheye ATE {rmse:.4f} m over {n} (scale {scale:.3f})"
+
+
+def test_fisheye_stereo_end_to_end(sequence):
+    """Non-rectified fisheye stereo: epipolar-gated matching + triangulation
+    gives metric depth; the map must come out at true scale
+    (reference: ComputeStereoFishEyeMatches + TriangulateMatches path)."""
+    from orb_slam3_detailed_comments_tpu.pipeline.system import STEREO
+    frames, R_gt, t_gt = sequence
+    rng = np.random.default_rng(17)
+    planes = synth_render.default_world(rng)
+    BASE = 0.11
+    T_c1c2 = np.eye(4, dtype=np.float32)
+    T_c1c2[0, 3] = BASE            # right camera displaced along left +x
+    n = 30
+    rights = []
+    for i in range(n):
+        c = -R_gt[i].T @ t_gt[i]
+        c_r = c + R_gt[i].T @ np.array([BASE, 0.0, 0.0])
+        t_r = -R_gt[i] @ c_r
+        rights.append(synth_render.render_frame_raycast(
+            CAM, planes, R_gt[i], t_r.astype(np.float32)))
+
+    slam = System(CAM, STEREO, camera2=CAM, T_c1c2=T_c1c2,
+                  enable_loop_closing=False)
+    ts = np.arange(n) * 0.05
+    n_ok = 0
+    for i in range(n):
+        if slam.track_stereo(frames[i], rights[i], float(ts[i])) is not None:
+            n_ok += 1
+    assert n_ok > 0.7 * n, f"tracked {n_ok}/{n}"
+
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    gt_xyz = synth_render.camera_centers(R_gt[:n], t_gt[:n])
+    # metric: no scale alignment
+    rmse, npair, _ = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz,
+                                           with_scale=False)
+    assert npair > 0.6 * n
+    assert rmse < 0.06, f"fisheye-stereo metric ATE {rmse:.4f} over {npair}"
