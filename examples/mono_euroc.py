@@ -21,27 +21,34 @@ def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 1
-    settings_path, seq = sys.argv[1], sys.argv[2]
-    out = sys.argv[3] if len(sys.argv) > 3 else "trajectory_tum.txt"
+    settings_path = sys.argv[1]
+    seqs = [a for a in sys.argv[2:] if not a.endswith(".txt")]
+    outs = [a for a in sys.argv[2:] if a.endswith(".txt")]
+    out = outs[0] if outs else "trajectory_tum.txt"
 
     from orb_slam3_detailed_comments_tpu.pipeline.system import System, MONOCULAR
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
 
     s = config.load_settings(settings_path)
     slam = System(s.camera, MONOCULAR, enable_loop_closing=s.loop_closing)
-    paths, ts = datasets.load_euroc_images(seq)
-    print(f"{len(paths)} frames in {seq}")
-
     t_track = []
-    for i, (p, t) in enumerate(zip(paths, ts)):
-        img = datasets.read_gray(p)
-        t0 = time.perf_counter()
-        slam.track_monocular(img, float(t))
-        t_track.append(time.perf_counter() - t0)
-        if i % 50 == 0:
-            print(f"frame {i}/{len(paths)} state={slam.tracker.state} "
-                  f"kf={slam.n_keyframes} pts={slam.n_map_points} "
-                  f"{1.0 / max(np.mean(t_track[-50:]), 1e-9):.1f} fps")
+    for si, seq in enumerate(seqs):
+        if si > 0:
+            # multi-sequence: fresh map, welded back by place recognition
+            # (reference: System::ChangeDataset, mono_euroc.cc:173-183)
+            slam.change_dataset()
+        paths, ts = datasets.load_euroc_images(seq)
+        print(f"[seq {si}] {len(paths)} frames in {seq}")
+        for i, (p, t) in enumerate(zip(paths, ts)):
+            img = datasets.read_gray(p)
+            t0 = time.perf_counter()
+            slam.track_monocular(img, float(t))
+            t_track.append(time.perf_counter() - t0)
+            if i % 50 == 0:
+                print(f"frame {i}/{len(paths)} state={slam.tracker.state} "
+                      f"kf={slam.n_keyframes} pts={slam.n_map_points} "
+                      f"maps={len(slam.atlas.maps)} "
+                      f"{1.0 / max(np.mean(t_track[-50:]), 1e-9):.1f} fps")
 
     slam.save_trajectory_tum(out)
     slam.save_keyframe_trajectory_tum(out.replace(".txt", "_kf.txt"))
