@@ -29,9 +29,13 @@ def main():
     import jax.numpy as jnp
 
     s = config.load_settings(settings_path)
+    if s.T_bc is not None:
+        R_bc, t_bc = jnp.asarray(s.T_bc[:3, :3]), jnp.asarray(s.T_bc[:3, 3])
+    else:
+        R_bc, t_bc = jnp.eye(3), jnp.zeros(3)
     calib = ImuCalib(noise_gyro=s.imu_noise_gyro, noise_acc=s.imu_noise_acc,
                      walk_gyro=s.imu_walk_gyro, walk_acc=s.imu_walk_acc,
-                     R_bc=jnp.eye(3), t_bc=jnp.zeros(3))
+                     R_bc=R_bc, t_bc=t_bc)
     slam = System(s.camera, IMU_MONOCULAR, enable_loop_closing=s.loop_closing,
                   imu_calib=calib)
     paths, ts = datasets.load_euroc_images(seq)

@@ -124,6 +124,28 @@ class MapStore:
     def kf_ids(self) -> np.ndarray:
         return np.where(self.kf_valid)[0]
 
+    # ---- device-resident view -------------------------------------------
+
+    def device_points(self):
+        """Device copies of the point arrays, cached per map version.
+
+        The hot per-frame path must not re-upload host map slices each frame
+        (over a network-attached chip that upload dominates the frame time);
+        points change only when local mapping/BA bumps `version`, so one
+        upload then serves every tracking step until the next keyframe.
+        """
+        import jax.numpy as jnp
+        if getattr(self, "_dev_pts_v", -1) != self.version:
+            self._dev_pts = dict(
+                xyz=jnp.asarray(self.pt_xyz),
+                desc=jnp.asarray(self.pt_desc),
+                normal=jnp.asarray(self.pt_normal),
+                min_dist=jnp.asarray(self.pt_min_dist),
+                max_dist=jnp.asarray(self.pt_max_dist),
+                valid=jnp.asarray(self.pt_valid))
+            self._dev_pts_v = self.version
+        return self._dev_pts
+
     # ---- keyframe insertion ---------------------------------------------
 
     def add_keyframe(self, R, t, ts, frame_id, feat_xy, feat_xyn, feat_level,

@@ -81,21 +81,29 @@ def pose_inertial_optimization(T_cw0: SE3, v0: jnp.ndarray,
                                inv_sigma2: jnp.ndarray, valid: jnp.ndarray,
                                cam: cameras.CameraParams,
                                gravity: jnp.ndarray,
+                               R_cb: jnp.ndarray = None,
+                               t_cb: jnp.ndarray = None,
                                iters: int = 8, rounds: int = 2
                                ) -> PoseInertialResult:
     """Visual-inertial motion-only optimization: the current frame's 9-dof
     nav state (pose + velocity) against its visual matches plus one
     preintegrated edge to a fixed anchor state (the last keyframe or frame)
     (reference: Optimizer::PoseInertialOptimizationLastKeyFrame/LastFrame,
-    Optimizer.cc:416/983). Camera == body frame; biases held at the anchor's
-    (the reference optimizes them too, constrained by a random-walk edge —
-    with per-frame windows of ~50 ms the motion-only bias update is
-    negligible and the local inertial BA refines biases anyway).
+    Optimizer.cc:416/983). R_cb/t_cb: camera-from-body extrinsic (identity
+    when omitted). Biases held at the anchor's (the reference optimizes them
+    too, constrained by a random-walk edge — with per-frame windows of
+    ~50 ms the motion-only bias update is negligible and the local inertial
+    BA refines biases anyway).
     """
     from ..imu import factors
     delta2 = reproj.CHI2_MONO
-    R_wb0 = T_cw0.R.T
-    p0 = -R_wb0 @ T_cw0.t
+    if R_cb is None:
+        R_cb = jnp.eye(3)
+    if t_cb is None:
+        t_cb = jnp.zeros(3)
+    # body init from the camera pose: R_bw = R_cb^T R_cw (R_bc = R_cb^T)
+    R_wb0 = (R_cb.T @ T_cw0.R).T
+    p0 = T_cw0.R.T @ (t_cb - T_cw0.t)
     info9 = factors.information_9(pre)
     L9 = jnp.linalg.cholesky(info9 + 1e-6 * jnp.eye(9))
 
@@ -105,8 +113,8 @@ def pose_inertial_optimization(T_cw0: SE3, v0: jnp.ndarray,
         return R, p_base + x[3:6], v_base + x[6:9]
 
     def visual_residual(R_wb, p_w):
-        R_cw = R_wb.T
-        x_c = (X_w - p_w) @ R_wb   # rows: R_cw (X - p)
+        x_b = (X_w - p_w) @ R_wb   # rows: R_bw (X - p)
+        x_c = x_b @ R_cb.T + t_cb
         uv_hat = cameras.project(cam, x_c)
         return uv_hat - uv, x_c[:, 2] > 0.05
 
@@ -147,5 +155,6 @@ def pose_inertial_optimization(T_cw0: SE3, v0: jnp.ndarray,
         (R_wb0, p0, v0, jnp.ones(X_w.shape[0], jnp.bool_)))
     from ..lie import so3 as so3_mod
     R_f = so3_mod.normalize(R_f)
-    T = SE3(R_f.T, -R_f.T @ p_f)
+    R_cw = R_cb @ R_f.T
+    T = SE3(R_cw, t_cb - R_cw @ p_f)
     return PoseInertialResult(T, v_f, inlier, jnp.sum(inlier.astype(jnp.int32)))

@@ -6,8 +6,9 @@ PredictStateIMU 1892, UpdateFrameIMU 4769) and LocalMapping (InitializeIMU
 LocalMapping.cc:1516, the VIBA1/VIBA2 schedule at 236-310), built on
 imu/preintegration.py, imu/inertial_init.py and optim/vi_ba.py.
 
-Convention in this round: camera frame == body frame (identity extrinsic) —
-the T_bc plumbing exists in ImuCalib and vi_ba for the general case.
+Frames: the map stores CAMERA poses (T_cw); inertial quantities live on the
+BODY. calib.R_bc/t_bc is the camera-in-body extrinsic (x_b = R_bc x_c + t_bc,
+the reference's Tbc); helpers below convert both ways.
 """
 from __future__ import annotations
 
@@ -61,25 +62,54 @@ def integrate_frame_window(calib: ImuCalib, gyro: np.ndarray, acc: np.ndarray,
                              valid=jnp.asarray(valid))
 
 
+def _extr(calib: ImuCalib):
+    """(R_bc, t_bc) as numpy; identity when unset."""
+    R_bc = np.asarray(calib.R_bc) if calib.R_bc is not None else np.eye(3)
+    t_bc = np.asarray(calib.t_bc) if calib.t_bc is not None else np.zeros(3)
+    return R_bc.astype(np.float32), t_bc.astype(np.float32)
+
+
+def body_from_camera(R_cw, t_cw, R_bc, t_bc):
+    """T_cw (camera pose, world->cam) -> body state (R_wb, p_wb).
+    R_bw = R_bc R_cw; p_wb = c_w - R_wc R_bc^T t_bc + ... derived from
+    t_cw = t_cb - R_cw p_wb with T_cb = T_bc^{-1}."""
+    R_cb = R_bc.T
+    t_cb = -R_cb @ t_bc
+    R_cw = np.asarray(R_cw)
+    t_cw = np.asarray(t_cw)
+    R_bw = R_bc @ R_cw
+    R_wb = R_bw.T
+    p_wb = R_cw.T @ (t_cb - t_cw)
+    return R_wb.astype(np.float32), p_wb.astype(np.float32)
+
+
+def camera_from_body(R_wb, p_wb, R_bc, t_bc):
+    """Body state -> T_cw (R_cw, t_cw)."""
+    R_cb = R_bc.T
+    t_cb = -R_cb @ t_bc
+    R_cw = R_cb @ np.asarray(R_wb).T
+    t_cw = t_cb - R_cw @ np.asarray(p_wb)
+    return R_cw.astype(np.float32), t_cw.astype(np.float32)
+
+
 def predict_pose_imu(m: MapStore, imu: ImuFrameState,
                      last_T_cw: SE3, pre: Preintegrated):
     """Dead-reckoned T_cw prediction from the last frame's state
-    (reference: Tracking::PredictStateIMU). Camera == body."""
-    R_wb = np.asarray(last_T_cw.R).T
-    p_w = -R_wb @ np.asarray(last_T_cw.t)
+    (reference: Tracking::PredictStateIMU)."""
+    R_bc, t_bc = _extr(imu.calib)
+    R_wb, p_w = body_from_camera(last_T_cw.R, last_T_cw.t, R_bc, t_bc)
     g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
     R2, v2, p2 = pre_mod.predict_state(
         jnp.asarray(R_wb), jnp.asarray(imu.v_w), jnp.asarray(p_w), pre,
         jnp.asarray(imu.bg), jnp.asarray(imu.ba), gravity=jnp.asarray(g))
-    R2 = np.asarray(R2)
-    p2 = np.asarray(p2)
-    R_cw = R2.T
-    return SE3(jnp.asarray(R_cw), jnp.asarray(-R_cw @ p2)), np.asarray(v2)
+    R_cw, t_cw = camera_from_body(np.asarray(R2), np.asarray(p2), R_bc, t_bc)
+    return SE3(jnp.asarray(R_cw), jnp.asarray(t_cw)), np.asarray(v2)
 
 
 def try_initialize_imu(m: MapStore, min_kf: int = 8, min_time: float = 1.0,
                        prior_gyro: float = 1e2, prior_acc: float = 1e6,
-                       fix_scale: bool = False):
+                       fix_scale: bool = False,
+                       calib: Optional[ImuCalib] = None):
     """IMU initialization: gravity/scale/bias/velocity solve + map re-scaling
     (reference: LocalMapping::InitializeIMU + Map::ApplyScaledRotation).
 
@@ -96,9 +126,14 @@ def try_initialize_imu(m: MapStore, min_kf: int = 8, min_time: float = 1.0,
             return None
 
     pres = m.get_kf_preintegration(chain[1:])
-    R_wb = jnp.asarray(np.transpose(m.kf_R[chain], (0, 2, 1)))  # cam==body
+    R_bc, t_bc = _extr(calib) if calib is not None else (np.eye(3, dtype=np.float32),
+                                                         np.zeros(3, np.float32))
+    t_cb = -R_bc.T @ t_bc
+    R_wb = jnp.asarray(np.transpose(
+        np.einsum("ij,kjl->kil", R_bc, m.kf_R[chain]), (0, 2, 1)))
     centers = -np.einsum("kij,ki->kj", m.kf_R[chain], m.kf_t[chain])
-    p_w = jnp.asarray(centers)
+    p_body = centers + np.einsum("kji,j->ki", m.kf_R[chain], t_cb)
+    p_w = jnp.asarray(p_body)
 
     R_wg0 = inertial_init.initial_gravity_estimate(R_wb, pres)
     res = inertial_init.inertial_optimization(
@@ -142,7 +177,8 @@ def apply_scaled_rotation(m: MapStore, R_wg: np.ndarray, s: float):
 def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
                           iters: int = 8, max_points: int = 2048,
                           max_obs: int = 8192,
-                          prior_gyro: float = 1.0, prior_acc: float = 1e4):
+                          prior_gyro: float = 1.0, prior_acc: float = 1e4,
+                          calib: Optional[ImuCalib] = None):
     """Temporal-window visual-inertial BA
     (reference: Optimizer::LocalInertialBA, Optimizer.cc:2203: Nd=10
     optimizable recent KFs, older frontier fixed)."""
@@ -219,9 +255,15 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
     pres_p = pres_p._replace(dT=jnp.asarray(dTp), C=jnp.asarray(Cp))
 
     padC = C - n_real
-    R_wb = np.concatenate([np.transpose(m.kf_R[kfs], (0, 2, 1)),
+    R_bc, t_bc = _extr(calib) if calib is not None else (np.eye(3, dtype=np.float32),
+                                                         np.zeros(3, np.float32))
+    t_cb = (-R_bc.T @ t_bc).astype(np.float32)
+    R_wb_real = np.transpose(np.einsum("ij,kjl->kil", R_bc, m.kf_R[kfs]),
+                             (0, 2, 1))
+    R_wb = np.concatenate([R_wb_real,
                            np.tile(np.eye(3, dtype=np.float32), (padC, 1, 1))])
     centers = -np.einsum("kij,ki->kj", m.kf_R[kfs], m.kf_t[kfs])
+    centers = centers + np.einsum("kji,j->ki", m.kf_R[kfs], t_cb)
     p_w = np.concatenate([centers, np.zeros((padC, 3), np.float32)])
     v_w = np.concatenate([m.kf_vel[kfs], np.zeros((padC, 3), np.float32)])
     bg = np.concatenate([m.kf_bg[kfs], np.zeros((padC, 3), np.float32)])
@@ -256,21 +298,22 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
         fixed_cam=jnp.asarray(fixed))
 
     g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
-    res = vi_ba.vi_ba_solve(prob, cam, jnp.eye(3), jnp.zeros(3),
+    res = vi_ba.vi_ba_solve(prob, cam, jnp.asarray(R_bc.T),
+                            jnp.asarray(t_cb),
                             gravity=jnp.asarray(g),
                             prior_gyro=prior_gyro, prior_acc=prior_acc,
                             iters=iters)
     if not np.isfinite(np.asarray(res.p_w)[:n_real]).all():
         return
-    # write back
+    # write back (body -> camera poses)
     R_wb_new = np.asarray(res.R_wb)[:n_real]
     p_new = np.asarray(res.p_w)[:n_real]
     for i, k in enumerate(kfs):
         if fixed[i]:
             continue
-        R_cw = R_wb_new[i].T
+        R_cw, t_cw = camera_from_body(R_wb_new[i], p_new[i], R_bc, t_bc)
         m.kf_R[k] = R_cw
-        m.kf_t[k] = -R_cw @ p_new[i]
+        m.kf_t[k] = t_cw
     m.kf_vel[kfs] = np.asarray(res.v_w)[:n_real]
     m.kf_bg[kfs] = np.asarray(res.bg)[:n_real]
     m.kf_ba[kfs] = np.asarray(res.ba)[:n_real]

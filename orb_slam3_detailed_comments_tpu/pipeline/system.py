@@ -68,7 +68,8 @@ class System:
         if self.inertial:
             from .inertial import run_local_inertial_ba
             self.local_mapper.inertial_ba = (
-                lambda: run_local_inertial_ba(self.map, self.cam))
+                lambda: run_local_inertial_ba(
+                    self.map, self.cam, calib=self.tracker.imu.calib))
             self._viba_stage = 0   # 0: not init, 1: init done, 2: VIBA1, 3: VIBA2
         self.enable_loop_closing = enable_loop_closing
         self.loop_closer = None
@@ -145,7 +146,8 @@ class System:
             if self.inertial:
                 self._imu_schedule(ts)
         from .tracking import LOST
-        if self.tracker.state == LOST or self._change_dataset_pending:
+        if ((self.tracker.state == LOST and not self.tracker.localization_only)
+                or self._change_dataset_pending):
             self._spawn_or_reset_map()
             self._change_dataset_pending = False
         return pose
@@ -239,13 +241,14 @@ class System:
         if self._viba_stage == 0:
             out = try_initialize_imu(m, min_kf=8, min_time=1.0,
                                      prior_gyro=1e2, prior_acc=1e6,
-                                     fix_scale=fix_scale)
+                                     fix_scale=fix_scale, calib=imu.calib)
             if out is None:
                 return
             R_wg, s = out
             self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
             run_local_inertial_ba(m, self.cam, window=16,
-                                  prior_gyro=1e2, prior_acc=1e6)
+                                  prior_gyro=1e2, prior_acc=1e6,
+                                  calib=imu.calib)
             self._viba_stage = 1
             self._t_init = ts
             return
@@ -253,18 +256,19 @@ class System:
         if self._viba_stage == 1 and t_since > 5.0:
             out = try_initialize_imu(m, min_kf=8, min_time=1.0,
                                      prior_gyro=1.0, prior_acc=1e5,
-                                     fix_scale=fix_scale)
+                                     fix_scale=fix_scale, calib=imu.calib)
             if out is not None:
                 R_wg, s = out
                 self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
                 run_local_inertial_ba(m, self.cam, window=16,
-                                      prior_gyro=1.0, prior_acc=1e5)
+                                      prior_gyro=1.0, prior_acc=1e5,
+                                      calib=imu.calib)
             self._viba_stage = 2
             m.imu_ba1 = True
         elif self._viba_stage == 2 and t_since > 15.0:
             out = try_initialize_imu(m, min_kf=8, min_time=1.0,
                                      prior_gyro=0.0, prior_acc=0.0,
-                                     fix_scale=fix_scale)
+                                     fix_scale=fix_scale, calib=imu.calib)
             if out is not None:
                 R_wg, s = out
                 self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
@@ -418,6 +422,7 @@ class System:
 
     def load_atlas(self, path: str):
         from ..utils import serialization
+        from .tracking import LOST
         self.atlas = serialization.load_atlas(path)
         for i, m in enumerate(self.atlas.maps):
             m.map_id = i
@@ -426,6 +431,11 @@ class System:
         self.local_mapper.map = self.map
         if self.loop_closer is not None:
             self.loop_closer.map = self.map
+        # resume = relocalize into the loaded map (reference: LoadAtlas
+        # session resume, System.cc:180)
+        if self.map.n_kf > 0:
+            self.tracker.state = LOST
+            self.tracker.lost_count = 0
 
     @property
     def n_keyframes(self):

@@ -198,7 +198,13 @@ class Tracker:
         self.cur_ts = ts
 
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-            self.state = NOT_INITIALIZED
+            if self.localization_only or (self.map.n_kf > 0 and self.ref_kf < 0):
+                # a map already exists (loaded atlas): relocalize into it
+                # instead of initializing a new one
+                self.state = LOST
+            else:
+                self.state = NOT_INITIALIZED
+        if self.state == NOT_INITIALIZED:
             if depth is None:
                 self._monocular_initialization(prep, ts, fid)
             else:
@@ -233,10 +239,13 @@ class Tracker:
                 if self.imu is not None and self.map.imu_initialized:
                     dt = ts - self.last.ts
                     if dt > 1e-6:
-                        c1 = -np.asarray(self.last.T_cw.R).T @ np.asarray(
-                            self.last.T_cw.t)
-                        c2 = -np.asarray(self.cur_T.R).T @ np.asarray(self.cur_T.t)
-                        self.imu.v_w = ((c2 - c1) / dt).astype(np.float32)
+                        from .inertial import _extr, body_from_camera
+                        R_bc, t_bc = _extr(self.imu.calib)
+                        _, p1 = body_from_camera(self.last.T_cw.R,
+                                                 self.last.T_cw.t, R_bc, t_bc)
+                        _, p2 = body_from_camera(self.cur_T.R, self.cur_T.t,
+                                                 R_bc, t_bc)
+                        self.imu.v_w = ((p2 - p1) / dt).astype(np.float32)
             self._update_found_counters()
             if self._need_new_keyframe():
                 self._create_new_keyframe(ts, fid)
@@ -455,29 +464,34 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _candidate_points(self, pt_ids: np.ndarray, T_pred: SE3):
-        """Pad candidate point set + device projection."""
+        """Pad candidate point set + device projection. Map arrays live on
+        device (cached per map version) — only the id list is uploaded per
+        frame, the row gathers happen on-chip."""
         cap = self.cfg.local_pts_cap
         pt_ids = pt_ids[:cap]
         pad = cap - len(pt_ids)
         ids = np.concatenate([pt_ids, np.full(pad, -1, np.int64)])
         safe = np.where(ids >= 0, ids, 0)
+        dp = self.map.device_points()
+        safe_d = jnp.asarray(safe, jnp.int32)
         proj = kernels.project_points(
             T_pred,
-            jnp.asarray(self.map.pt_xyz[safe]),
-            jnp.asarray(self.map.pt_normal[safe]),
-            jnp.asarray(self.map.pt_min_dist[safe]),
-            jnp.asarray(self.map.pt_max_dist[safe]),
-            jnp.asarray((ids >= 0) & self.map.pt_valid[safe]),
+            dp["xyz"][safe_d],
+            dp["normal"][safe_d],
+            dp["min_dist"][safe_d],
+            dp["max_dist"][safe_d],
+            jnp.asarray(ids >= 0) & dp["valid"][safe_d],
             self.cam, self.orb_cfg.scale, self.orb_cfg.n_levels)
         return ids, safe, proj
 
     def _run_track(self, prep, T_pred, ids, safe, proj, radius_px, prior=None):
         prior = (jnp.full((self.map.cfg.n_feat,), -1, jnp.int32)
                  if prior is None else jnp.asarray(prior))
+        dp = self.map.device_points()
         res = kernels.match_and_optimize(
             T_pred, prep, jnp.asarray(ids, jnp.int32), proj,
-            jnp.asarray(self.map.pt_desc[safe]),
-            jnp.asarray(self.map.pt_xyz),
+            dp["desc"][jnp.asarray(safe, jnp.int32)],
+            dp["xyz"],
             radius_px * self.radius_scale, self.inv_sigma2,
             prior, self.cam)
         return res
@@ -615,26 +629,28 @@ class Tracker:
                 or not self.map.kf_valid[self.last_kf_id]):
             return
         from ..optim import pose_opt
-        from .inertial import GRAVITY_MAG
+        from .inertial import GRAVITY_MAG, _extr, body_from_camera
         m = self.map
         k = self.last_kf_id
-        R_wb_a = m.kf_R[k].T
-        p_a = -R_wb_a @ m.kf_t[k]
+        R_bc, t_bc = _extr(self.imu.calib)
+        R_wb_a, p_a = body_from_camera(m.kf_R[k], m.kf_t[k], R_bc, t_bc)
         match = self.cur_match
         has = match >= 0
         safe = np.where(has, match, 0)
         prep = self.cur_prep
         g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
+        dp = m.device_points()
         res = pose_opt.pose_inertial_optimization(
             self.cur_T, jnp.asarray(self.imu.v_w),
             jnp.asarray(R_wb_a.astype(np.float32)),
             jnp.asarray(p_a.astype(np.float32)),
             jnp.asarray(m.kf_vel[k]), jnp.asarray(m.kf_bg[k]),
             jnp.asarray(m.kf_ba[k]), self.imu.pre_since_kf,
-            jnp.asarray(m.pt_xyz[safe]), prep.xy_ud,
+            dp["xyz"][jnp.asarray(safe, jnp.int32)], prep.xy_ud,
             self.inv_sigma2[prep.feat.level],
             jnp.asarray(has) & prep.feat.valid, self.cam,
-            gravity=jnp.asarray(g))
+            gravity=jnp.asarray(g),
+            R_cb=jnp.asarray(R_bc.T), t_cb=jnp.asarray(-R_bc.T @ t_bc))
         n2 = int(res.n_inliers)
         if n2 < self.cfg.min_inliers_local:
             return   # keep the visual-only solution

@@ -249,3 +249,47 @@ RIGHT.P: !!opencv-matrix
         out = config.rectify(img, maps_l)
         assert out.shape == (480, 752)
         assert np.isfinite(out).all()
+
+
+class TestResumeLocalization:
+    def test_localize_against_loaded_atlas(self, rng, tmp_path):
+        """Checkpoint/resume: save the atlas after a mapping session, load it
+        in a fresh System, and relocalize + track in localization-only mode
+        (reference: SaveAtlas/LoadAtlas + ActivateLocalizationMode,
+        'session resume = localization-from-saved-map', SURVEY.md §5.4)."""
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.models import cameras
+        from orb_slam3_detailed_comments_tpu.pipeline.system import (
+            System, MONOCULAR)
+        from orb_slam3_detailed_comments_tpu.utils import synth_render
+        cam = cameras.pinhole(fx=458.0, fy=457.0, cx=376.0, cy=240.0,
+                              width=752, height=480)
+        world_rng = np.random.default_rng(7)
+        planes = synth_render.default_world(world_rng)
+        n = 30
+        R, t = synth_render.orbit_trajectory(n)
+        frames = [synth_render.render_frame(cam, planes, R[i], t[i])
+                  for i in range(n)]
+        ts = np.arange(n) * 0.05
+        slam = System(cam, MONOCULAR)
+        for i in range(n):
+            slam.track_monocular(frames[i], float(ts[i]))
+        assert slam.map.n_kf >= 3
+        p = str(tmp_path / "session.zip")
+        slam.save_atlas(p)
+
+        slam2 = System(cam, MONOCULAR)
+        slam2.load_atlas(p)
+        assert slam2.map.n_kf == slam.map.n_kf
+        slam2.activate_localization_mode()
+        slam2._build_recognition()   # vocabulary from the loaded map
+        for kk in slam2.map.kf_ids():
+            slam2.kfdb.add(kk, slam2.map.kf_feat_desc[kk],
+                           slam2.map.kf_feat_valid[kk])
+        n_kf_before = slam2.map.n_kf
+        ok = 0
+        for i in range(10, 20):
+            if slam2.track_monocular(frames[i], float(100.0 + i * 0.05)) is not None:
+                ok += 1
+        assert ok >= 5, f"only {ok}/10 frames localized against the loaded map"
+        assert slam2.map.n_kf == n_kf_before   # map frozen

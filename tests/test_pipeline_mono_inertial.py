@@ -79,3 +79,52 @@ def test_gravity_alignment(sequence):
     g_true = traj["gravity"] / np.linalg.norm(traj["gravity"])
     cos = float((R @ g_map) @ g_true)
     assert cos > 0.99, f"gravity misaligned: cos={cos:.4f}"
+
+
+def test_mono_inertial_with_body_camera_extrinsic():
+    """Non-identity Tbc (reference: IMU.T_b_c1 in EuRoC yaml — the camera is
+    rotated/offset from the IMU body): the pipeline must recover metric
+    scale and track with the extrinsic-aware inertial math."""
+    import jax.numpy as jnp
+    from orb_slam3_detailed_comments_tpu.imu.preintegration import ImuCalib
+    from orb_slam3_detailed_comments_tpu.lie import so3
+    from orb_slam3_detailed_comments_tpu.pipeline import inertial as inertial_mod
+
+    rng = np.random.default_rng(23)
+    planes = synth_render.default_world(rng)
+    n = 55
+    traj = synth_render.inertial_trajectory(n, true_bg=TRUE_BG)
+    # traj poses are the BODY; place the camera at Tbc off the body
+    R_bc = np.asarray(so3.exp(jnp.asarray([0.10, -0.20, 0.15], jnp.float32)))
+    t_bc = np.array([0.05, -0.02, 0.03], np.float32)
+    frames = []
+    R_cams, t_cams = [], []
+    for i in range(n):
+        R_bw = traj["R_cw"][i]           # generator: world->body
+        p_wb = traj["centers"][i]
+        R_cw, t_cw = inertial_mod.camera_from_body(R_bw.T, p_wb, R_bc, t_bc)
+        R_cams.append(R_cw)
+        t_cams.append(t_cw)
+        frames.append(synth_render.render_frame(CAM, planes, R_cw, t_cw))
+
+    calib = ImuCalib(R_bc=jnp.asarray(R_bc), t_bc=jnp.asarray(t_bc))
+    slam = System(CAM, IMU_MONOCULAR, imu_calib=calib,
+                  enable_loop_closing=False)
+    n_ok = 0
+    for i, img in enumerate(frames):
+        if slam.track_monocular(img, float(traj["ts"][i]),
+                                imu=traj["windows"][i]) is not None:
+            n_ok += 1
+    assert n_ok > 0.7 * n, f"tracked {n_ok}/{n}"
+    assert slam.map.imu_initialized
+
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    cam_centers = np.array([-np.asarray(R).T @ np.asarray(t)
+                            for R, t in zip(R_cams, t_cams)])
+    rmse, npair, scale = evaluate_ate.ate_rmse(
+        traj["ts"], cam_centers, est_ts, est_xyz)
+    assert npair > 0.6 * n
+    assert abs(scale - 1.0) < 0.12, f"metric scale off with Tbc: {scale:.3f}"
+    assert rmse < 0.08, f"ATE {rmse:.4f} m (scale {scale:.3f})"
