@@ -24,22 +24,24 @@ def main():
     out = jfn(*args)
     jax.block_until_ready(out)  # compile
 
-    # re-render a realistic textured frame so the kernel sees real work
+    # realistic textured frames; DISTINCT input per iteration so no runtime
+    # layer can replay/memoize identical executions
     from orb_slam3_detailed_comments_tpu.utils import synth_render
     from orb_slam3_detailed_comments_tpu.models import cameras
     rng = np.random.default_rng(3)
     cam = cameras.pinhole(fx=458.0, fy=457.0, cx=376.0, cy=240.0,
                           width=752, height=480)
     planes = synth_render.default_world(rng)
-    R, t = synth_render.orbit_trajectory(4)
-    img = synth_render.render_frame(cam, planes, R[1], t[1])
-    args = (jnp.asarray(img),) + args[1:]
-    jax.block_until_ready(jfn(*args))
+    n_frames = 8
+    R, t = synth_render.orbit_trajectory(n_frames)
+    imgs = [jnp.asarray(synth_render.render_frame(cam, planes, R[i], t[i]))
+            for i in range(n_frames)]
+    jax.block_until_ready(jfn(imgs[0], *args[1:]))
 
-    n_iter = 50
+    n_iter = 48
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = jfn(*args)
+    for i in range(n_iter):
+        out = jfn(imgs[i % n_frames], *args[1:])
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
     fps = 1.0 / dt
