@@ -200,16 +200,17 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
         return
     pt_slot = {int(p): i for i, p in enumerate(pt_ids)}
 
-    oc, op, ouv, ow = [], [], [], []
     sf2 = (m.cfg.scale ** np.arange(m.cfg.n_levels)) ** 2
-    for c in kfs:
-        fp = m.kf_feat_point[c]
-        sel = np.where((fp >= 0) & np.isin(fp, pt_ids))[0]
-        for f in sel:
-            oc.append(slot[int(c)])
-            op.append(pt_slot[int(fp[f])])
-            ouv.append(m.kf_feat_xy[c, f])
-            ow.append(1.0 / sf2[m.kf_feat_level[c, f]])
+    lut = np.full(m.cfg.max_pt, -1, np.int32)
+    lut[pt_ids] = np.arange(len(pt_ids), dtype=np.int32)
+    fp_all = m.kf_feat_point[kfs]
+    slot_of = lut[np.maximum(fp_all, 0)]
+    sel = (fp_all >= 0) & (slot_of >= 0)
+    ci, fi = np.nonzero(sel)
+    oc = ci.astype(np.int32)
+    op = slot_of[ci, fi]
+    ouv = m.kf_feat_xy[kfs][ci, fi].astype(np.float32)
+    ow = (1.0 / sf2[m.kf_feat_level[kfs][ci, fi]]).astype(np.float32)
     O = len(oc)
     if O < 50:
         return
@@ -286,7 +287,7 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
         points=jnp.asarray(pt_xyz), point_valid=jnp.asarray(pt_mask),
         obs_cam=jnp.asarray(pad_arr(oc), jnp.int32),
         obs_pt=jnp.asarray(pad_arr(op), jnp.int32),
-        obs_uv=jnp.asarray(pad_arr(np.stack(ouv))),
+        obs_uv=jnp.asarray(pad_arr(ouv)),
         obs_w=jnp.asarray(pad_arr(ow), jnp.float32),
         obs_valid=jnp.asarray(np.concatenate(
             [np.ones(len(keep), bool), np.zeros(pad_o, bool)])),

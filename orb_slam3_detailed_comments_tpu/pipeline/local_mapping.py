@@ -289,17 +289,18 @@ def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
     n_real = len(cams)
     C = ((n_real + 7) // 8) * 8
 
-    # observations from kf_feat_point
-    oc, op, ouv, ow = [], [], [], []
+    # observations from kf_feat_point (vectorized over the whole window)
     sf2 = (m.cfg.scale ** np.arange(m.cfg.n_levels)) ** 2
-    for c in cams:
-        fp = m.kf_feat_point[c]
-        sel = np.where((fp >= 0) & np.isin(fp, pt_ids))[0]
-        for f in sel:
-            oc.append(cam_slot[c])
-            op.append(pt_slot[int(fp[f])])
-            ouv.append(m.kf_feat_xy[c, f])
-            ow.append(1.0 / sf2[m.kf_feat_level[c, f]])
+    lut = np.full(m.cfg.max_pt, -1, np.int32)
+    lut[pt_ids] = np.arange(len(pt_ids), dtype=np.int32)
+    fp_all = m.kf_feat_point[cams]                     # [C, N]
+    slot_of = lut[np.maximum(fp_all, 0)]
+    sel = (fp_all >= 0) & (slot_of >= 0)
+    ci, fi = np.nonzero(sel)
+    oc = ci.astype(np.int32)                           # window slot == row
+    op = slot_of[ci, fi]
+    ouv = m.kf_feat_xy[cams][ci, fi]
+    ow = (1.0 / sf2[m.kf_feat_level[cams][ci, fi]]).astype(np.float32)
     O = len(oc)
     if O < 20:
         return
@@ -329,7 +330,7 @@ def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
         points=jnp.asarray(pt_xyz),
         obs_cam=jnp.asarray(pad_arr(oc), jnp.int32),
         obs_pt=jnp.asarray(pad_arr(op), jnp.int32),
-        obs_uv=jnp.asarray(pad_arr(np.stack(ouv) if ouv else np.zeros((0, 2)))),
+        obs_uv=jnp.asarray(pad_arr(ouv.astype(np.float32))),
         obs_w=jnp.asarray(pad_arr(ow), jnp.float32),
         obs_valid=jnp.asarray(np.concatenate(
             [np.ones(len(keep), bool), np.zeros(pad, bool)])),

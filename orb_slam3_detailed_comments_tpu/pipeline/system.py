@@ -97,9 +97,20 @@ class System:
             if vocab_path is not None:
                 self.vocab = vocab_mod.load(vocab_path)
             else:
-                kfs = self.map.kf_ids()
-                descs = self.map.kf_feat_desc[kfs][self.map.kf_feat_valid[kfs]]
-                self.vocab = vocab_mod.train(np.asarray(descs), k=10, levels=3)
+                # bundled pretrained vocabulary (trained offline on diverse
+                # synthetic imagery; the analog of shipping ORBvoc.txt);
+                # fall back to training from this run's descriptors
+                import os
+                default = os.path.join(os.path.dirname(vocab_mod.__file__),
+                                       "default_vocab.npz")
+                if os.path.exists(default):
+                    self.vocab = vocab_mod.load(default)
+                else:
+                    kfs = self.map.kf_ids()
+                    descs = self.map.kf_feat_desc[kfs][
+                        self.map.kf_feat_valid[kfs]]
+                    self.vocab = vocab_mod.train(np.asarray(descs),
+                                                 k=10, levels=3)
         self.kfdb = KeyFrameDatabase(self.vocab, self.map.cfg.max_kf)
         self.kfdbs[self.map.map_id] = self.kfdb
         self.loop_closer = LoopCloser(self.map, self.cam, self.kfdb)

@@ -213,6 +213,15 @@ class Tracker:
                 return None
             return self._log_and_return(ts)
 
+        # timestamp jump: the sequence skipped ahead (>1 s) — abandon the
+        # frame and let the System spawn/reset a map, like a dataset change
+        # (reference: Tracking.cc:2010-2043)
+        if (self.state == OK and not self.localization_only
+                and self.last is not None and ts - self.last.ts > 1.0):
+            self.state = LOST
+            self.velocity = None
+            return None
+
         # --- normal tracking ---
         from ..utils import timing
         ok = False

@@ -89,3 +89,25 @@ def test_reset_active_map_on_early_loss(sequence):
             ok += 1
     assert slam.map.n_kf >= 2
     assert ok > 5
+
+
+def test_timestamp_jump_spawns_new_map(sequence):
+    """A >1 s timestamp jump mid-run abandons tracking and starts a fresh
+    map, like the reference's timestamp-jump reset (Tracking.cc:2010-2043)."""
+    frames, R_gt, t_gt = sequence
+    slam = System(CAM, MONOCULAR, enable_loop_closing=False)
+    ts = np.arange(len(frames)) * 0.05
+    for i in range(30):
+        slam.track_monocular(frames[i], float(ts[i]))
+    assert slam.tracker.state == OK
+    maps_before = len(slam.atlas.maps)
+    # jump 5 s ahead
+    ok2 = 0
+    for j, i in enumerate(range(30, 46)):
+        if slam.track_monocular(frames[i], float(ts[i] + 5.0)) is not None:
+            ok2 += 1
+    # map was spawned or reset, and tracking re-established
+    spawned = len(slam.atlas.maps) > maps_before
+    reset = slam.map.n_kf > 0 and not spawned
+    assert spawned or reset
+    assert ok2 > 5
