@@ -36,7 +36,8 @@ class System:
                  enable_loop_closing: bool = True,
                  vocab_path: Optional[str] = None,
                  baseline: float = 0.0, th_depth: float = 35.0,
-                 imu_calib=None, camera2=None, T_c1c2=None):
+                 imu_calib=None, camera2=None, T_c1c2=None,
+                 async_mapping: bool = False):
         if sensor not in (MONOCULAR, STEREO, RGBD,
                           IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
             raise ValueError(f"unknown sensor {sensor}")
@@ -83,6 +84,22 @@ class System:
             self._build_recognition(vocab_path=vocab_path)
         if enable_loop_closing or True:
             self.tracker.relocalizer = self._relocalize
+        # async stage overlap (reference: the LocalMapping/LoopClosing
+        # threads + the per-map update lock, Map.h:141): keyframe work runs
+        # on a worker thread; tracking overlaps its (map-free) feature
+        # extraction with it and takes the lock for the map-dependent part
+        import threading
+        self.map_lock = threading.RLock()
+        self.tracker.map_lock = self.map_lock
+        self._async = async_mapping
+        self._kf_queue = None
+        self._worker = None
+        if async_mapping:
+            import queue
+            self._kf_queue = queue.Queue()
+            self._worker = threading.Thread(target=self._mapping_worker,
+                                            daemon=True)
+            self._worker.start()
 
     # ------------------------------------------------------------------
     def _build_recognition(self, vocab_path=None):
@@ -138,30 +155,59 @@ class System:
     def _post_track(self, pose, ts: float = 0.0):
         while self.tracker.new_keyframes:
             k = self.tracker.new_keyframes.pop(0)
-            if self.map.kf_valid[k] and self.map.n_kf > 2:
-                self.local_mapper.process_keyframe(k)
-            if self.enable_loop_closing:
-                if self.loop_closer is None and self.map.n_kf >= 3:
-                    self._build_recognition()
-                    for kk in self._kfdb_pending:
-                        if self.map.kf_valid[kk]:
-                            self.kfdb.add(kk, self.map.kf_feat_desc[kk],
-                                          self.map.kf_feat_valid[kk])
-                    self._kfdb_pending.clear()
-                if self.loop_closer is not None:
-                    if self.map.kf_valid[k]:
-                        self.loop_closer.process_keyframe(k)
-                        self._detect_merge(k)
-                else:
-                    self._kfdb_pending.append(k)
-            if self.inertial:
-                self._imu_schedule(ts)
+            if self._async:
+                self._kf_queue.put((k, ts))
+            else:
+                self._process_keyframe(k, ts)
         from .tracking import LOST
         if ((self.tracker.state == LOST and not self.tracker.localization_only)
                 or self._change_dataset_pending):
-            self._spawn_or_reset_map()
+            if self._async:
+                self.wait_idle()
+            with self.map_lock:
+                self._spawn_or_reset_map()
             self._change_dataset_pending = False
         return pose
+
+    def _process_keyframe(self, k: int, ts: float):
+        """One LocalMapping + LoopClosing iteration for keyframe k
+        (the body of the reference's mapping/loop threads)."""
+        if self.map.kf_valid[k] and self.map.n_kf > 2:
+            self.local_mapper.process_keyframe(k)
+        if self.enable_loop_closing:
+            if self.loop_closer is None and self.map.n_kf >= 3:
+                self._build_recognition()
+                for kk in self._kfdb_pending:
+                    if self.map.kf_valid[kk]:
+                        self.kfdb.add(kk, self.map.kf_feat_desc[kk],
+                                      self.map.kf_feat_valid[kk])
+                self._kfdb_pending.clear()
+            if self.loop_closer is not None:
+                if self.map.kf_valid[k]:
+                    self.loop_closer.process_keyframe(k)
+                    self._detect_merge(k)
+            else:
+                self._kfdb_pending.append(k)
+        if self.inertial:
+            self._imu_schedule(ts)
+
+    def _mapping_worker(self):
+        while True:
+            item = self._kf_queue.get()
+            if item is None:
+                self._kf_queue.task_done()
+                return
+            k, ts = item
+            try:
+                with self.map_lock:
+                    self._process_keyframe(k, ts)
+            finally:
+                self._kf_queue.task_done()
+
+    def wait_idle(self):
+        """Block until the mapping worker has drained its queue."""
+        if self._async and self._kf_queue is not None:
+            self._kf_queue.join()
 
     # ------------------------------------------------------------------
     def change_dataset(self):
@@ -335,7 +381,14 @@ class System:
         return None
 
     def shutdown(self):
-        pass
+        """(reference: System::Shutdown, System.cc:563 — waits for the
+        mapping/loop threads to finish)"""
+        if self._async and self._worker is not None:
+            self.wait_idle()
+            self._kf_queue.put(None)
+            self._worker.join(timeout=30)
+            self._worker = None
+            self._async = False
 
     def activate_localization_mode(self):
         """Camera tracking only; the map is frozen

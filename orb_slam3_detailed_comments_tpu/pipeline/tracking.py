@@ -88,6 +88,8 @@ class Tracker:
         self.orb_cfg = orb_cfg or extractor.OrbConfig(n_features=cfg.n_features)
         self.state = NO_IMAGES_YET
         self.localization_only = False
+        import threading
+        self.map_lock = threading.RLock()   # System shares its own in async
         self.velocity: Optional[SE3] = None
         self.last: Optional[FrameRecord] = None
         self.ref_kf: int = -1
@@ -196,7 +198,15 @@ class Tracker:
                 self._preintegrate(ts, imu_meas)
         self.last_ts = ts
         self.cur_ts = ts
+        # everything below reads/writes the map: hold the per-map update
+        # lock so the async mapping worker can't mutate it mid-frame
+        # (reference: the mMutexMapUpdate acquisition in Track(),
+        # Tracking.cc:2078); feature extraction ran before this, unlocked
+        with self.map_lock:
+            return self._track_frame_locked(prep, depth, ts, fid)
 
+    def _track_frame_locked(self, prep, depth, ts: float,
+                            fid: int) -> Optional[np.ndarray]:
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             if self.localization_only or (self.map.n_kf > 0 and self.ref_kf < 0):
                 # a map already exists (loaded atlas): relocalize into it

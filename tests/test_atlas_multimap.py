@@ -111,3 +111,22 @@ def test_timestamp_jump_spawns_new_map(sequence):
     reset = slam.map.n_kf > 0 and not spawned
     assert spawned or reset
     assert ok2 > 5
+
+
+def test_async_mapping_mode(sequence):
+    """Async stage overlap (reference: the LocalMapping/LoopClosing threads
+    + per-map update lock): keyframe processing on a worker thread while
+    tracking continues; results stay sane and shutdown drains the queue."""
+    frames, R_gt, t_gt = sequence
+    slam = System(CAM, MONOCULAR, async_mapping=True)
+    ts = np.arange(len(frames)) * 0.05
+    ok = 0
+    for i in range(40):
+        if slam.track_monocular(frames[i], float(ts[i])) is not None:
+            ok += 1
+    slam.shutdown()
+    assert ok > 0.6 * 40, f"tracked {ok}/40"
+    assert slam.map.n_kf >= 3
+    assert slam.map.n_points > 150
+    rows = slam.trajectory_tum()
+    assert len(rows) > 0.6 * 40
