@@ -108,17 +108,25 @@ def _read_camera2(d: dict) -> Optional[cameras.CameraParams]:
                            k1=g("k1", 0.0) or 0.0, k2=g("k2", 0.0) or 0.0)
 
 
+def _read_se3(v) -> Optional[np.ndarray]:
+    """Reads a rigid transform given as a cv-matrix dict or flat list.
+    The reference's YAMLs use both 4x4 (EuRoC Tbc) and 3x4
+    (TUM_512.yaml Stereo.T_c1_c2) layouts; always returns 4x4."""
+    if v is None:
+        return None
+    data = v["data"] if isinstance(v, dict) else v
+    a = np.asarray(data, np.float32).reshape(-1, 4)
+    if a.shape[0] == 3:
+        a = np.vstack([a, np.array([[0, 0, 0, 1]], np.float32)])
+    return a
+
+
 def load_settings(path: str) -> Settings:
     d = _load_yaml(path)
     s = Settings(raw=d)
     s.camera = _read_camera(d)
     s.camera2 = _read_camera2(d)
-    tc12 = _get(d, "Stereo.T_c1_c2", "Tlr")
-    if tc12 is not None:
-        data = tc12["data"] if isinstance(tc12, dict) else tc12
-        s.T_c1c2 = np.asarray(data, np.float32).reshape(4, 4)
-    else:
-        s.T_c1c2 = None
+    s.T_c1c2 = _read_se3(_get(d, "Stereo.T_c1_c2", "Tlr"))
     s.fps = float(_get(d, "Camera.fps", default=30.0))
     s.rgb = bool(_get(d, "Camera.RGB", default=1))
     bf = _get(d, "Camera.bf")
@@ -127,6 +135,10 @@ def load_settings(path: str) -> Settings:
     st_b = _get(d, "Stereo.b")
     if st_b is not None:
         s.baseline = float(st_b)
+    if s.baseline == 0.0 and s.T_c1c2 is not None:
+        # v1.0 rigs give the extrinsic only; the reference's Settings derives
+        # b (and bf) from it (Settings.cc readCamera2 rectification path)
+        s.baseline = float(np.linalg.norm(s.T_c1c2[:3, 3]))
     s.th_depth = float(_get(d, "ThDepth", "Stereo.ThDepth", "Camera.ThDepth",
                             default=35.0))
     dmf = _get(d, "DepthMapFactor", "RGBD.DepthMapFactor")
@@ -142,11 +154,7 @@ def load_settings(path: str) -> Settings:
     s.imu_walk_gyro = float(_get(d, "IMU.GyroWalk", default=1.9e-5))
     s.imu_walk_acc = float(_get(d, "IMU.AccWalk", default=3.0e-3))
     s.imu_frequency = float(_get(d, "IMU.Frequency", default=200.0))
-    tbc = _get(d, "IMU.T_b_c1", "Tbc")
-    if isinstance(tbc, dict) and "data" in tbc:
-        s.T_bc = np.asarray(tbc["data"], np.float32).reshape(4, 4)
-    elif isinstance(tbc, (list, tuple)):
-        s.T_bc = np.asarray(tbc, np.float32).reshape(4, 4)
+    s.T_bc = _read_se3(_get(d, "IMU.T_b_c1", "Tbc"))
     s.insert_kfs_when_lost = bool(_get(d, "IMU.InsertKFsWhenLost", default=1))
     s.load_atlas = _get(d, "System.LoadAtlasFromFile")
     s.save_atlas = _get(d, "System.SaveAtlasToFile")

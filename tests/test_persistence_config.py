@@ -123,6 +123,37 @@ Camera.height: 512
         from orb_slam3_detailed_comments_tpu.models import cameras
         assert s.camera.kind == cameras.FISHEYE_KB8
 
+    def test_3x4_extrinsic_and_derived_baseline(self, tmp_path):
+        """TUM_512.yaml-style rigs give Stereo.T_c1_c2 as a 3x4 cv-matrix and
+        no explicit baseline; the parser must pad to 4x4 and derive b=||t||
+        (reference: Settings.cc readCamera2)."""
+        y = tmp_path / "rig.yaml"
+        y.write_text("""%YAML:1.0
+Camera.type: "KannalaBrandt8"
+Camera1.fx: 190.0
+Camera1.fy: 190.0
+Camera1.cx: 256.0
+Camera1.cy: 256.0
+Camera2.fx: 190.5
+Camera2.fy: 190.5
+Camera2.cx: 252.0
+Camera2.cy: 255.0
+Camera.width: 512
+Camera.height: 512
+Stereo.T_c1_c2: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: f
+   data: [1.0, 0.0, 0.0, 0.101,
+          0.0, 1.0, 0.0, 0.002,
+          0.0, 0.0, 1.0, 0.001,]
+""")
+        s = config.load_settings(str(y))
+        assert s.T_c1c2.shape == (4, 4)
+        assert np.allclose(s.T_c1c2[3], [0, 0, 0, 1])
+        assert s.camera2 is not None
+        assert abs(s.baseline - np.linalg.norm([0.101, 0.002, 0.001])) < 1e-6
+
 
 class TestAtlasMerge:
     def test_merge_transforms_and_copies(self, rng):
