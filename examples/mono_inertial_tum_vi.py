@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Monocular-inertial TUM-VI (fisheye) example
+(reference: Examples/Monocular-Inertial/mono_inertial_tum_vi.cc; rig in
+Examples/Monocular-Inertial/TUM_512.yaml). TUM-VI ships in EuRoC/ASL
+layout; frames are CLAHE-equalized like the reference main.
+
+Usage:
+    python examples/mono_inertial_tum_vi.py <settings.yaml> <sequence_dir> [<out.txt>]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import numpy as np
+
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 1
+    settings_path, seq = sys.argv[1], sys.argv[2]
+    out = sys.argv[3] if len(sys.argv) > 3 else "trajectory_tum_vi_mono.txt"
+
+    from orb_slam3_detailed_comments_tpu.imu.preintegration import ImuCalib
+    from orb_slam3_detailed_comments_tpu.pipeline.system import (
+        System, IMU_MONOCULAR)
+    from orb_slam3_detailed_comments_tpu.utils import config, datasets
+    import jax.numpy as jnp
+
+    s = config.load_settings(settings_path)
+    if s.T_bc is not None:
+        R_bc, t_bc = jnp.asarray(s.T_bc[:3, :3]), jnp.asarray(s.T_bc[:3, 3])
+    else:
+        R_bc, t_bc = jnp.eye(3), jnp.zeros(3)
+    calib = ImuCalib(noise_gyro=s.imu_noise_gyro, noise_acc=s.imu_noise_acc,
+                     walk_gyro=s.imu_walk_gyro, walk_acc=s.imu_walk_acc,
+                     R_bc=R_bc, t_bc=t_bc)
+    slam = System(s.camera, IMU_MONOCULAR, enable_loop_closing=s.loop_closing,
+                  imu_calib=calib)
+
+    paths, ts = datasets.load_euroc_images(seq, cam="cam0")
+    imu_ts, gyro, acc = datasets.load_euroc_imu(seq)
+    first = int(np.searchsorted(ts, imu_ts[0]))
+    paths, ts = paths[first:], ts[first:]
+    print(f"{len(paths)} frames, {len(imu_ts)} IMU samples in {seq}")
+
+    try:
+        import cv2
+        clahe = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8))
+        equalize = lambda im: clahe.apply(im.astype(np.uint8))
+    except ImportError:
+        equalize = lambda im: im
+
+    t_track = []
+    t_prev = ts[0]
+    for i, (p, t) in enumerate(zip(paths, ts)):
+        img = equalize(datasets.read_gray(p))
+        lo, hi = datasets.imu_between(imu_ts, t_prev, t)
+        window = (acc[lo:hi], gyro[lo:hi], imu_ts[lo:hi]) if hi > lo else None
+        t0 = time.perf_counter()
+        slam.track_monocular(img, float(t), imu=window)
+        t_track.append(time.perf_counter() - t0)
+        t_prev = t
+        if i % 50 == 0:
+            print(f"frame {i}/{len(paths)} state={slam.tracker.state} "
+                  f"kf={slam.n_keyframes} pts={slam.n_map_points} "
+                  f"imu_init={slam.map.imu_initialized} "
+                  f"{1.0 / max(np.mean(t_track[-50:]), 1e-9):.1f} fps")
+
+    slam.save_trajectory_tum(out)
+    slam.save_keyframe_trajectory_tum(out.replace(".txt", "_kf.txt"))
+    print(f"median track time {np.median(t_track) * 1e3:.1f} ms; saved {out}")
+    slam.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

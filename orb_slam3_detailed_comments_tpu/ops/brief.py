@@ -152,10 +152,92 @@ def describe(img_blur: jnp.ndarray, yx: jnp.ndarray, angle: jnp.ndarray) -> jnp.
 
 
 def _pack_bits(v1, v2):
-    bits = (v1 < v2).astype(jnp.uint32)              # [N, 256]
+    return _pack_bool(v1 < v2)
+
+
+def _pack_bool(b):
+    bits = b.astype(jnp.uint32)                      # [N, 256]
     bits = bits.reshape(-1, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
     return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)  # [N, 8]
+
+
+# --- MXU descriptor path ---------------------------------------------------
+# The ORB paper itself discretizes orientation to 12-degree steps and keeps a
+# lookup table of 30 pre-rotated patterns (Rublee et al. 2011, sec. 4.2;
+# the reference bakes the same idea into computeOrbDescriptor's rounded
+# rotation, ORBextractor.cc:150). On TPU that table becomes 30 sparse +-1
+# matrices [patch, 256] so all 256 comparisons of all keypoints are a few
+# [N,1369]x[1369,256] matmuls on the MXU instead of 512k random HBM gathers.
+
+N_ANGLE_BINS = 30
+PATCH_R = 18      # ceil(13 * sqrt(2)): rotated box corner stays inside
+PATCH_W = 2 * PATCH_R + 1
+
+
+def _make_bin_patterns() -> np.ndarray:
+    """[B, PATCH_W*PATCH_W, 256] float32; -1 at sample1, +1 at sample2 of the
+    pattern rotated by each bin's center angle (nearest-pixel rounding, like
+    describe()'s jnp.round). bit = (v2 - v1) > 0 == (v1 < v2)."""
+    pats = np.zeros((N_ANGLE_BINS, PATCH_W * PATCH_W, N_BITS), np.float32)
+    cols = np.arange(N_BITS)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * (b + 0.5) / N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        for sign, px, py in ((-1.0, PATTERN[:, 0], PATTERN[:, 1]),
+                             (+1.0, PATTERN[:, 2], PATTERN[:, 3])):
+            rx = np.round(px * c - py * s).astype(np.int64)
+            ry = np.round(px * s + py * c).astype(np.int64)
+            idx = (ry + PATCH_R) * PATCH_W + (rx + PATCH_R)
+            np.add.at(pats[b], (idx, cols), sign)
+    return pats
+
+
+_BIN_PATTERNS = _make_bin_patterns()
+
+
+def angle_bin(angle: jnp.ndarray) -> jnp.ndarray:
+    frac = jnp.mod(angle, 2.0 * jnp.pi) / (2.0 * jnp.pi)
+    return jnp.clip((frac * N_ANGLE_BINS).astype(jnp.int32),
+                    0, N_ANGLE_BINS - 1)
+
+
+def describe_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated-BRIEF from pre-extracted patches, bit-packed.
+
+    patches: [N, PATCH_W*PATCH_W] float32 (blurred intensities centered on
+    each keypoint); angle: [N] radians. Returns [N, 8] uint32.
+
+    One masked matmul per angle bin, accumulated — the mask-multiply fuses
+    into the matmul epilogue so the [B,N,256] intermediate never hits HBM.
+    """
+    bins = angle_bin(angle)
+    pats = jnp.asarray(_BIN_PATTERNS)
+    diff = jnp.zeros((patches.shape[0], N_BITS), jnp.float32)
+    for b in range(N_ANGLE_BINS):
+        m = (bins == b).astype(patches.dtype)[:, None]
+        diff = diff + m * (patches @ pats[b])
+    return _pack_bool(diff > 0)
+
+
+def extract_patches(img: jnp.ndarray, yx: jnp.ndarray,
+                    content_hw: tuple) -> jnp.ndarray:
+    """[N, PATCH_W*PATCH_W] patches centered on yx (row, col), slid inward
+    at borders so they always cover real content (keypoints live >= margin
+    from the content edge; the <= 2 px slide for margin < PATCH_R keypoints
+    is the same class of border hack as describe_flat's coordinate clip).
+
+    vmapped dynamic_slice lowers to one gather of [PATCH_W, PATCH_W] slices
+    — contiguous-row DMA, not per-pixel addressing.
+    """
+    ch, cw = content_hw
+    r0 = jnp.clip(yx[:, 0] - PATCH_R, 0, max(ch - PATCH_W, 0))
+    c0 = jnp.clip(yx[:, 1] - PATCH_R, 0, max(cw - PATCH_W, 0))
+
+    def slc(r, c):
+        return jax.lax.dynamic_slice(img, (r, c), (PATCH_W, PATCH_W))
+
+    return jax.vmap(slc)(r0, c0).reshape(yx.shape[0], -1)
 
 
 def describe_flat(flat_blur: jnp.ndarray, yx: jnp.ndarray, angle: jnp.ndarray,

@@ -66,9 +66,8 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
     scales = pyramid.scale_factors(cfg.n_levels, cfg.scale)
 
     xs, lvs, angs, scs, vals = [], [], [], [], []
-    yxs, offs, widths, heights = [], [], [], []
-    blur_flats = []
-    off = 0
+    yxs = []
+    patches = []
     for lv in range(cfg.n_levels):
         lvl = levels[lv]
         ch = int(round(h / cfg.scale ** lv))
@@ -78,7 +77,8 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
             k_per_cell=cfg.k_per_cell, min_th=cfg.min_th, margin=cfg.margin,
         )
         ang = brief.ic_angle(lvl, kps.yx)
-        blur_flats.append(pyramid.gaussian_blur(lvl).reshape(-1))
+        patches.append(brief.extract_patches(pyramid.gaussian_blur(lvl),
+                                             kps.yx, (ch, cw)))
         # to level-0 coords (u=col, v=row)
         s = float(scales[lv])
         xy0 = jnp.stack([kps.yx[:, 1].astype(jnp.float32) * s,
@@ -89,22 +89,12 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
         scs.append(kps.score)
         vals.append(kps.valid)
         yxs.append(kps.yx)
-        b = budgets[lv]
-        # strides/offsets use the PADDED level shape (levels are rounded up
-        # to tiling multiples); content size only bounds the clip
-        ph, pw = lvl.shape
-        offs.append(jnp.full((b,), off, jnp.int32))
-        widths.append(jnp.full((b,), pw, jnp.int32))
-        heights.append(jnp.full((b,), ph, jnp.int32))
-        off += ph * pw
 
-    # one batched BRIEF gather across all levels (8 small gather chains
-    # -> 1 large one; the fixed dispatch cost dominated the per-level form)
+    # MXU rBRIEF: per-keypoint blurred patches (one slice-gather per level)
+    # -> per-angle-bin +-1 pattern matmuls, batched across all levels
     angle_all = jnp.concatenate(angs, axis=0)
-    desc_all = brief.describe_flat(
-        jnp.concatenate(blur_flats), jnp.concatenate(yxs, axis=0),
-        angle_all, jnp.concatenate(offs), jnp.concatenate(widths),
-        jnp.concatenate(heights))
+    desc_all = brief.describe_patches(jnp.concatenate(patches, axis=0),
+                                      angle_all)
 
     return FrameFeatures(
         xy=jnp.concatenate(xs, axis=0),

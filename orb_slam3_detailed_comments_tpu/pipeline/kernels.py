@@ -171,7 +171,8 @@ def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
                        radius_per_level: jnp.ndarray,
                        inv_sigma2_per_level: jnp.ndarray,
                        prior_match_pt: jnp.ndarray,
-                       cam: cameras.CameraParams) -> TrackResult:
+                       cam: cameras.CameraParams,
+                       proj_angle: jnp.ndarray | None = None) -> TrackResult:
     """Projection search + motion-only pose optimization, fused.
 
     Covers both TrackWithMotionModel and TrackLocalMap's hot loops
@@ -180,6 +181,10 @@ def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
     pt_ids [P]: global point ids of the candidate set (-1 padding).
     prior_match_pt [N]: existing feature->point assignments to keep
     (features with a prior match are excluded from the new search).
+    proj_angle [P] (optional): source-observation keypoint angle per
+    candidate point; when given, matches must fall in the dominant
+    rotation-histogram bins (reference: the mbCheckOrientation pass of
+    the last-frame SearchByProjection, ORBmatcher.cc:1950,2038-2058).
     """
     feat = frame.feat
     radius = radius_per_level[proj.level]
@@ -189,6 +194,10 @@ def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
         feat._replace(xy=frame.xy_ud), radius,
         level_lo=-1, level_hi=1, max_dist=matching.TH_HIGH, ratio=0.8,
         taken=taken)
+    if proj_angle is not None:
+        dang = proj_angle - feat.angle[res.idx]
+        res = res._replace(
+            valid=matching.rotation_consistency_mask(dang, res.valid))
 
     # invert: feature -> point (first projected point wins via scatter-min)
     N = feat.xy.shape[0]

@@ -503,7 +503,8 @@ class Tracker:
             self.cam, self.orb_cfg.scale, self.orb_cfg.n_levels)
         return ids, safe, proj
 
-    def _run_track(self, prep, T_pred, ids, safe, proj, radius_px, prior=None):
+    def _run_track(self, prep, T_pred, ids, safe, proj, radius_px, prior=None,
+                   proj_angle=None):
         prior = (jnp.full((self.map.cfg.n_feat,), -1, jnp.int32)
                  if prior is None else jnp.asarray(prior))
         dp = self.map.device_points()
@@ -512,7 +513,9 @@ class Tracker:
             dp["desc"][jnp.asarray(safe, jnp.int32)],
             dp["xyz"],
             radius_px * self.radius_scale, self.inv_sigma2,
-            prior, self.cam)
+            prior, self.cam,
+            proj_angle=(None if proj_angle is None
+                        else jnp.asarray(proj_angle, jnp.float32)))
         return res
 
     def _track_with_motion_model(self, prep, ts, fid, use_imu=False) -> bool:
@@ -531,8 +534,15 @@ class Tracker:
         if len(last_pts) < 10:
             return False
         ids, safe, proj = self._candidate_points(last_pts, T_pred)
+        # rotation-consistency reference angle: the last-frame keypoint that
+        # observed each candidate point (ORBmatcher.cc:1950 orientation pass)
+        lm = self.last.match_pt
+        sel = lm >= 0
+        ang_of_pt = np.zeros(self.map.pt_valid.shape[0], np.float32)
+        ang_of_pt[lm[sel]] = np.asarray(self.last.prepared.feat.angle)[sel]
         res = self._run_track(prep, T_pred, ids, safe, proj,
-                              self.cfg.motion_radius)
+                              self.cfg.motion_radius,
+                              proj_angle=ang_of_pt[safe])
         n = int(res.n_inliers)
         if n < self.cfg.min_inliers_mm:
             return False
@@ -559,6 +569,12 @@ class Tracker:
             jnp.asarray(self.map.kf_feat_valid[k]
                         & (self.map.kf_feat_point[k] >= 0)),
             max_dist=matching.TH_LOW, ratio=0.7, mutual=True)
+        # orientation-consistency gate (reference: the mbCheckOrientation
+        # pass of SearchByBoW, ORBmatcher.cc:259,404-424)
+        dang = (jnp.asarray(self.map.kf_feat_angle[k])[res.idx]
+                - prep.feat.angle)
+        res = res._replace(
+            valid=matching.rotation_consistency_mask(dang, res.valid))
         valid = np.asarray(res.valid)
         kf_pt = self.map.kf_feat_point[k][np.asarray(res.idx)]
         match = np.where(valid & (kf_pt >= 0), kf_pt, -1).astype(np.int32)

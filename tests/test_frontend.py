@@ -121,6 +121,42 @@ class TestDescriptors:
         assert good > 0.6 * matched
 
 
+    def test_mxu_patches_match_golden_gather(self, rng):
+        """describe_patches (per-angle-bin +-1 pattern matmuls on patches)
+        must be bit-identical to the golden coordinate-rotating gather form
+        when the angle sits at a bin center (same nearest-pixel rounding)."""
+        img = jnp.asarray(synth_image(rng, h=200, w=300))
+        n = 64
+        yx = np.stack([rng.integers(30, 170, n),
+                       rng.integers(30, 270, n)], 1).astype(np.int32)
+        bins = rng.integers(0, brief.N_ANGLE_BINS, n)
+        ang = (2 * np.pi * (bins + 0.5) / brief.N_ANGLE_BINS).astype(np.float32)
+        d_gold = np.asarray(brief.describe(img, jnp.asarray(yx),
+                                           jnp.asarray(ang)))
+        patches = brief.extract_patches(img, jnp.asarray(yx), (200, 300))
+        d_new = np.asarray(brief.describe_patches(patches, jnp.asarray(ang)))
+        assert (d_gold == d_new).all()
+
+    def test_mxu_patches_close_at_arbitrary_angles(self, rng):
+        """At arbitrary angles only the 12-degree orientation quantization
+        (the ORB paper's own discretization) separates the two forms; on a
+        smooth (blurred) image the Hamming gap must stay far below the
+        TH_LOW=50 match gate."""
+        import cv2 as _cv2
+        img = _cv2.GaussianBlur(synth_image(rng, h=200, w=300), (7, 7), 2.0)
+        img = jnp.asarray(img)
+        n = 96
+        yx = np.stack([rng.integers(30, 170, n),
+                       rng.integers(30, 270, n)], 1).astype(np.int32)
+        ang = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+        d_gold = np.asarray(brief.describe(img, jnp.asarray(yx),
+                                           jnp.asarray(ang)))
+        patches = brief.extract_patches(img, jnp.asarray(yx), (200, 300))
+        d_new = np.asarray(brief.describe_patches(patches, jnp.asarray(ang)))
+        dist = np.diagonal(hamming_np(d_gold, d_new))
+        assert dist.mean() < 25, dist.mean()
+
+
 def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """[N,8]x[M,8] uint32 -> [N,M] popcount Hamming distances (numpy ref)."""
     x = a[:, None, :] ^ b[None, :, :]
