@@ -221,23 +221,88 @@ def describe_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def extract_patches(img: jnp.ndarray, yx: jnp.ndarray,
-                    content_hw: tuple) -> jnp.ndarray:
-    """[N, PATCH_W*PATCH_W] patches centered on yx (row, col), slid inward
+                    content_hw: tuple, radius: int = PATCH_R) -> jnp.ndarray:
+    """[N, (2r+1)^2] patches centered on yx (row, col), slid inward
     at borders so they always cover real content (keypoints live >= margin
-    from the content edge; the <= 2 px slide for margin < PATCH_R keypoints
+    from the content edge; the <= 2 px slide for margin < radius keypoints
     is the same class of border hack as describe_flat's coordinate clip).
 
-    vmapped dynamic_slice lowers to one gather of [PATCH_W, PATCH_W] slices
+    vmapped dynamic_slice lowers to one gather of [w, w] slices
     — contiguous-row DMA, not per-pixel addressing.
     """
     ch, cw = content_hw
-    r0 = jnp.clip(yx[:, 0] - PATCH_R, 0, max(ch - PATCH_W, 0))
-    c0 = jnp.clip(yx[:, 1] - PATCH_R, 0, max(cw - PATCH_W, 0))
+    w = 2 * radius + 1
+    r0 = jnp.clip(yx[:, 0] - radius, 0, max(ch - w, 0))
+    c0 = jnp.clip(yx[:, 1] - radius, 0, max(cw - w, 0))
 
     def slc(r, c):
-        return jax.lax.dynamic_slice(img, (r, c), (PATCH_W, PATCH_W))
+        return jax.lax.dynamic_slice(img, (r, c), (w, w))
 
     return jax.vmap(slc)(r0, c0).reshape(yx.shape[0], -1)
+
+
+def ic_angle_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle from raw-image patches [N, 31*31]
+    (same circular-mask moments as ic_angle; two matvecs instead of the
+    dense per-pixel moment maps — the patches are a slice-gather shared
+    with the descriptor path)."""
+    wx = jnp.asarray(_WX.reshape(-1))
+    wy = jnp.asarray(_WY.reshape(-1))
+    return jnp.arctan2(patches @ wy, patches @ wx)
+
+
+RAW_R = PATCH_R + 3  # descriptor patch + 7x7 blur halo
+
+
+def extract_patches_ctr(img: jnp.ndarray, yx: jnp.ndarray, content_hw: tuple,
+                        radius: int = RAW_R):
+    """Like extract_patches but 2-D [N, w, w] plus the keypoint's in-patch
+    coordinates [N, 2] (the patch slides inward at borders; ctr records
+    where the keypoint actually sits so sub-crops can re-center)."""
+    ch, cw = content_hw
+    w = 2 * radius + 1
+    r0 = jnp.clip(yx[:, 0] - radius, 0, max(ch - w, 0))
+    c0 = jnp.clip(yx[:, 1] - radius, 0, max(cw - w, 0))
+
+    def slc(r, c):
+        return jax.lax.dynamic_slice(img, (r, c), (w, w))
+
+    patches = jax.vmap(slc)(r0, c0)
+    ctr = jnp.stack([yx[:, 0] - r0, yx[:, 1] - c0], axis=-1)
+    return patches, ctr
+
+
+def crop_centered(patches: jnp.ndarray, ctr: jnp.ndarray,
+                  radius_out: int) -> jnp.ndarray:
+    """[N, w, w] + per-keypoint centers -> flat [N, (2r+1)^2] crops centered
+    on the keypoint (VMEM-resident re-slicing, no HBM gather)."""
+    w = patches.shape[1]
+    wo = 2 * radius_out + 1
+    r0 = jnp.clip(ctr[:, 0] - radius_out, 0, w - wo)
+    c0 = jnp.clip(ctr[:, 1] - radius_out, 0, w - wo)
+
+    def slc(p, r, c):
+        return jax.lax.dynamic_slice(p, (r, c), (wo, wo))
+
+    return jax.vmap(slc)(patches, r0, c0).reshape(patches.shape[0], -1)
+
+
+def blur_patches(patches: jnp.ndarray, ksize: int = 7,
+                 sigma: float = 2.0) -> jnp.ndarray:
+    """Per-patch separable 7x7 sigma=2 Gaussian, 'valid' (the raw patch
+    carries the halo), [N, w, w] -> [N, w-6, w-6]. Same static-slice
+    shift-add scheme as pyramid.gaussian_blur (VPU, no conv)."""
+    from .pyramid import _gauss_kernel1d
+    k = _gauss_kernel1d(ksize, sigma)
+    r = ksize // 2
+    n, h, w = patches.shape
+    out = jnp.zeros((n, h - 2 * r, w), patches.dtype)
+    for i, wt in enumerate(k):
+        out = out + float(wt) * patches[:, i:i + h - 2 * r, :]
+    out2 = jnp.zeros((n, h - 2 * r, w - 2 * r), patches.dtype)
+    for i, wt in enumerate(k):
+        out2 = out2 + float(wt) * out[:, :, i:i + w - 2 * r]
+    return out2
 
 
 def describe_flat(flat_blur: jnp.ndarray, yx: jnp.ndarray, angle: jnp.ndarray,

@@ -265,6 +265,23 @@ def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
     the frontier — observers of window points that are not in the window —
     plus the two oldest window KFs if no frontier exists).
     """
+    built = build_ba_problem(m, window, fixed,
+                             max_points=max_points, max_obs=max_obs)
+    if built is None:
+        return
+    prob, meta = built
+    res = ba.ba_solve(prob, cam, iters=iters)
+    apply_ba_result(m, meta, res)
+
+
+def build_ba_problem(m: MapStore, window: list, fixed,
+                     max_points: int = 4096, max_obs: int = 16384):
+    """Snapshot a keyframe window into a device BAProblem + host metadata.
+
+    Split from run_local_ba so the solve can run OFF the map lock (the
+    async global-BA path): build under the lock (cheap host gathers), solve
+    lock-free, apply_ba_result under the lock again.
+    """
     window = [int(k) for k in window if m.kf_valid[k]]
     pt_ids = m.local_point_ids(np.asarray(window))[:max_points]
     if len(pt_ids) == 0 or len(window) == 0:
@@ -336,19 +353,26 @@ def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
             [np.ones(len(keep), bool), np.zeros(pad, bool)])),
         fixed_cam=jnp.asarray(fixed_mask),
         point_valid=jnp.asarray(pt_mask))
-    res = ba.ba_solve(prob, cam, iters=iters)
+    meta = dict(cams=cams, n_real=n_real, pt_ids=pt_ids, keep=keep,
+                oc=np.asarray(oc)[keep], op=np.asarray(op)[keep],
+                cam_slot=cam_slot, pt_slot=pt_slot)
+    return prob, meta
 
+
+def apply_ba_result(m: MapStore, meta: dict, res):
+    """Write a BAResult back into the map (poses, points, outlier edges).
+    Runs under the map lock; `meta` is build_ba_problem's host snapshot."""
+    cams, n_real, pt_ids = meta["cams"], meta["n_real"], meta["pt_ids"]
     m.kf_R[cams] = np.asarray(res.kf_R)[:n_real]
     m.kf_t[cams] = np.asarray(res.kf_t)[:n_real]
     m.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
 
     # detach outlier observations (reference: Optimizer.cc:2040-2100)
-    inl = np.asarray(res.obs_inlier)[: len(keep)]
-    oc_np = np.asarray(oc)[keep]
-    op_np = np.asarray(op)[keep]
+    inl = np.asarray(res.obs_inlier)[: len(meta["keep"])]
+    oc_np, op_np = meta["oc"], meta["op"]
     bad = np.where(~inl)[0]
-    inv_cam = {i: c for c, i in cam_slot.items()}
-    inv_pt = {i: p for p, i in pt_slot.items()}
+    inv_cam = {i: c for c, i in meta["cam_slot"].items()}
+    inv_pt = {i: p for p, i in meta["pt_slot"].items()}
     for o in bad:
         c = inv_cam[int(oc_np[o])]
         pid = inv_pt[int(op_np[o])]

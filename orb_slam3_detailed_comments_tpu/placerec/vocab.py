@@ -39,15 +39,34 @@ class Vocabulary(NamedTuple):
         return self.k ** self.levels
 
 
+_POP_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(1).astype(np.uint16)
+
+
 def _popcount_np(x: np.ndarray) -> np.ndarray:
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    # byte-LUT popcount: 8x less peak memory than unpackbits
+    return _POP_LUT[x.view(np.uint8)].sum(-1, dtype=np.int32)
+
+
+def _assign_np(descs: np.ndarray, cents: np.ndarray,
+               chunk: int = 200_000) -> np.ndarray:
+    """argmin Hamming assignment [M,8]x[k,8] -> [M], chunked so million-
+    descriptor training runs stay within memory."""
+    out = np.empty(len(descs), np.int32)
+    for i in range(0, len(descs), chunk):
+        d = _popcount_np(descs[i:i + chunk, None, :] ^ cents[None, :, :])
+        out[i:i + chunk] = d.argmin(1)
+    return out
 
 
 def _majority_centroid(descs: np.ndarray) -> np.ndarray:
     """Bitwise majority vote of [M, 8] uint32 -> [8] uint32
     (reference: FORB::meanValue, Thirdparty/DBoW2/DBoW2/FORB.cpp)."""
-    bits = np.unpackbits(descs.view(np.uint8), axis=-1)   # [M, 256]
-    maj = (bits.sum(0) * 2 >= len(descs)).astype(np.uint8)
+    tot = np.zeros(256, np.int64)
+    for i in range(0, len(descs), 200_000):   # chunked: million-row groups
+        tot += np.unpackbits(descs[i:i + 200_000].view(np.uint8),
+                             axis=-1).sum(0, dtype=np.int64)
+    maj = (tot * 2 >= len(descs)).astype(np.uint8)
     return np.packbits(maj).view(np.uint32)
 
 
@@ -61,8 +80,7 @@ def _kmedians(descs: np.ndarray, k: int, rng, iters: int = 8) -> np.ndarray:
     if len(cents) < k:
         cents = np.concatenate([cents, np.tile(cents[-1:], (k - len(cents), 1))])
     for _ in range(iters):
-        d = _popcount_np(descs[:, None, :] ^ cents[None, :, :])  # [M, k]
-        assign = d.argmin(1)
+        assign = _assign_np(descs, cents)                        # [M]
         new = []
         for c in range(k):
             sel = descs[assign == c]
@@ -93,8 +111,7 @@ def train(descriptors: np.ndarray, k: int = 10, levels: int = 3,
         for g in groups:
             cg = _kmedians(descriptors[g], k, rng)
             cents_l.append(cg)
-            d = _popcount_np(descriptors[g][:, None, :] ^ cg[None, :, :])
-            a = d.argmin(1)
+            a = _assign_np(descriptors[g], cg)
             for c in range(k):
                 new_groups.append(g[a == c])
         centroids.append(np.concatenate(cents_l, axis=0))    # [k^(l+1), 8]

@@ -157,6 +157,29 @@ class TestDescriptors:
         assert dist.mean() < 25, dist.mean()
 
 
+    def test_patch_angle_and_blur_match_dense_forms(self, rng):
+        """The single raw-patch gather must reproduce the dense golden
+        forms for interior keypoints: IC angle from the centered 31x31
+        crop == dense moment maps; per-patch valid blur == full-image
+        Gaussian blur."""
+        img = jnp.asarray(synth_image(rng, h=200, w=300))
+        yx = np.stack([rng.integers(30, 170, 60),
+                       rng.integers(30, 270, 60)], 1).astype(np.int32)
+        raw, ctr = brief.extract_patches_ctr(img, jnp.asarray(yx), (200, 300))
+        a_patch = np.asarray(brief.ic_angle_patches(
+            brief.crop_centered(raw, ctr, brief.HALF_PATCH)))
+        a_dense = np.asarray(brief.ic_angle(img, jnp.asarray(yx)))
+        wrap = np.abs(np.angle(np.exp(1j * (a_patch - a_dense))))
+        assert wrap.max() < 1e-3
+        dense_blur = np.asarray(pyramid.gaussian_blur(img))
+        pb = np.asarray(brief.blur_patches(raw))
+        for i in range(10):
+            y, x = yx[i]
+            ref = dense_blur[y - brief.PATCH_R:y + brief.PATCH_R + 1,
+                             x - brief.PATCH_R:x + brief.PATCH_R + 1]
+            assert np.abs(pb[i] - ref).max() < 1e-3
+
+
 def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """[N,8]x[M,8] uint32 -> [N,M] popcount Hamming distances (numpy ref)."""
     x = a[:, None, :] ^ b[None, :, :]
