@@ -206,17 +206,24 @@ def describe_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """Rotated-BRIEF from pre-extracted patches, bit-packed.
 
     patches: [N, PATCH_W*PATCH_W] float32 (blurred intensities centered on
-    each keypoint); angle: [N] radians. Returns [N, 8] uint32.
+    each keypoint, integer-valued — the extractor rounds the blurred level
+    like the reference's uint8 GaussianBlur, ORBextractor.cc:1630); angle:
+    [N] radians. Returns [N, 8] uint32.
 
     One masked matmul per angle bin, accumulated — the mask-multiply fuses
     into the matmul epilogue so the [B,N,256] intermediate never hits HBM.
+    The matmuls run in bfloat16 with f32 accumulation: integers 0..255 are
+    exact in bf16, so the bits are identical to the f32 form but the MXU
+    runs at full rate (~20% faster end-to-end, measured).
     """
     bins = angle_bin(angle)
-    pats = jnp.asarray(_BIN_PATTERNS)
+    pats = jnp.asarray(_BIN_PATTERNS, jnp.bfloat16)
+    p16 = patches.astype(jnp.bfloat16)
     diff = jnp.zeros((patches.shape[0], N_BITS), jnp.float32)
     for b in range(N_ANGLE_BINS):
-        m = (bins == b).astype(patches.dtype)[:, None]
-        diff = diff + m * (patches @ pats[b])
+        m = (bins == b).astype(jnp.float32)[:, None]
+        diff = diff + m * jnp.dot(p16, pats[b],
+                                  preferred_element_type=jnp.float32)
     return _pack_bool(diff > 0)
 
 

@@ -77,8 +77,11 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
             k_per_cell=cfg.k_per_cell, min_th=cfg.min_th, margin=cfg.margin,
         )
         ang = brief.ic_angle(lvl, kps.yx)
-        patches.append(brief.extract_patches(pyramid.gaussian_blur(lvl),
-                                             kps.yx, (ch, cw)))
+        # round the blur like the reference's uint8 GaussianBlur
+        # (ORBextractor.cc:1630) — integer intensities are exact in bf16,
+        # keeping describe_patches' fast-path matmuls bit-exact
+        patches.append(brief.extract_patches(
+            jnp.round(pyramid.gaussian_blur(lvl)), kps.yx, (ch, cw)))
         # to level-0 coords (u=col, v=row)
         s = float(scales[lv])
         xy0 = jnp.stack([kps.yx[:, 1].astype(jnp.float32) * s,

@@ -10,6 +10,7 @@ Sim3 RANSAC, pose-graph GN and global BA are device programs.
 """
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -18,12 +19,13 @@ import numpy as np
 
 from ..lie import SE3, Sim3, sim3
 from ..models import cameras
+from ..optim import ba
 from ..ops import matching
 from ..placerec import sim3_solver
 from ..placerec.keyframe_db import KeyFrameDatabase
 from ..mapping.mapstore import MapStore, NO_POINT
 from . import kernels
-from .local_mapping import run_local_ba
+from .local_mapping import build_ba_problem, run_local_ba
 
 
 @dataclass
@@ -43,6 +45,10 @@ class LoopClosingConfig:
     covis_edge_min_weight: int = 100  # essential-graph covis edges
     run_global_ba: bool = True
     gba_iters: int = 10
+    async_gba: bool = False       # race GBA against tracking on a thread
+                                  # (reference: RunGlobalBundleAdjustment's
+                                  # detached thread + mbStopGBA abort flag)
+    gba_chunk: int = 5            # LM iterations per abort-flag check
 
 
 class LoopCloser:
@@ -57,6 +63,13 @@ class LoopCloser:
         self.n_loops_closed = 0
         self.n_processed = 0
         self.cooldown_until = 0
+        # async global BA (reference: LoopClosing::RunGlobalBundleAdjustment
+        # on a detached thread, aborted via mbStopGBA when a new loop lands)
+        self.map_lock = None          # set by System in async mode
+        self._gba_thread = None
+        self._gba_abort = threading.Event()
+        self.n_gba_runs = 0
+        self.n_gba_aborted = 0
 
     # ------------------------------------------------------------------
     def process_keyframe(self, k: int) -> bool:
@@ -236,9 +249,73 @@ class LoopCloser:
         if self.cfg.run_global_ba:
             window = [int(x) for x in m.kf_ids()]
             anchor = [match_kf] if match_kf in window else window[:1]
-            run_local_ba(m, window, fixed=anchor, cam=self.cam,
-                         iters=self.cfg.gba_iters,
-                         max_points=m.cfg.max_pt // 2, max_obs=32768)
+            if self.cfg.async_gba and self.map_lock is not None:
+                self._launch_global_ba(window, anchor)
+            else:
+                run_local_ba(m, window, fixed=anchor, cam=self.cam,
+                             iters=self.cfg.gba_iters,
+                             max_points=m.cfg.max_pt // 2, max_obs=32768)
+
+    # -------------------------------------------------------------- GBA
+    def _launch_global_ba(self, window, anchor):
+        """Snapshot the map into a BA problem (under the caller's map lock)
+        and solve it on a thread racing tracking/mapping; the result is
+        applied under the lock with drift propagation to keyframes and
+        points created while it ran (reference: the mpThreadGBA launch in
+        CorrectLoop and the propagation loop in RunGlobalBundleAdjustment,
+        LoopClosing.cc:1530-1620)."""
+        # a new loop while GBA runs discards the stale run (mbStopGBA)
+        self.abort_gba()
+        m = self.map
+        built = build_ba_problem(m, window, fixed=anchor,
+                                 max_points=m.cfg.max_pt // 2, max_obs=32768)
+        if built is None:
+            return
+        prob, meta = built
+        self._gba_abort = threading.Event()
+        self._gba_thread = threading.Thread(
+            target=self._gba_worker, args=(m, prob, meta), daemon=True)
+        self._gba_thread.start()
+
+    def _gba_worker(self, m: MapStore, prob, meta):
+        """Chunked LM solve with an abort check between chunks (the jit'd
+        chunk is the abort granularity — a traced program can't be stopped
+        mid-flight, so the reference's per-iteration mbStopGBA check becomes
+        a per-chunk one)."""
+        res = None
+        done = 0
+        while done < self.cfg.gba_iters and not self._gba_abort.is_set():
+            res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk)
+            prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
+                                 points=res.points)
+            done += self.cfg.gba_chunk
+        if res is None or self._gba_abort.is_set():
+            self.n_gba_aborted += 1
+            return
+        # timeout-acquire so an aborter holding the map lock can't deadlock
+        # against us (it joins this thread while we'd block on the lock)
+        while not self.map_lock.acquire(timeout=0.1):
+            if self._gba_abort.is_set():
+                self.n_gba_aborted += 1
+                return
+        try:
+            apply_gba_with_propagation(m, meta, res)
+            self.n_gba_runs += 1
+        finally:
+            self.map_lock.release()
+
+    def abort_gba(self):
+        """Stop a running GBA and discard its result (mbStopGBA=true)."""
+        if self._gba_thread is not None and self._gba_thread.is_alive():
+            self._gba_abort.set()
+            self._gba_thread.join(timeout=120)
+        self._gba_thread = None
+
+    def wait_gba(self):
+        """Block until a running GBA finishes and its result is applied."""
+        if self._gba_thread is not None:
+            self._gba_thread.join(timeout=600)
+            self._gba_thread = None
 
     def _fuse_loop_points(self, k: int, c: int):
         """Project loop-side points into k's covisible window and merge
@@ -385,3 +462,70 @@ def count_projection_matches(mk: MapStore, k: int, mc: MapStore, c: int,
         _kf_feat(mk, k), 8.0, level_lo=-8, level_hi=8,
         max_dist=matching.TH_LOW, ratio=1.0)
     return int(np.asarray(res.valid).sum())
+
+
+def apply_gba_with_propagation(m: MapStore, meta: dict, res):
+    """Write a finished global-BA result into a map that kept evolving
+    while the solve ran (reference: the correction loop at the end of
+    LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:1530-1620).
+
+    Keyframes/points in the GBA snapshot take the optimized values
+    (mTcwGBA / mPosGBA). Keyframes created during the solve are corrected
+    through their temporal predecessor (our analog of the spanning-tree
+    children propagation): T_c_new = T_c_bef . inv(T_a_bef) . T_a_new in
+    the world->camera convention, applied in id order so anchors are
+    corrected first. Points outside the snapshot ride their reference
+    keyframe: x_new = Twc_ref_new . Tcw_ref_bef . x.
+    """
+    cams, n_real = meta["cams"], meta["n_real"]
+    pt_ids = np.asarray(meta["pt_ids"])
+    bef_R, bef_t = m.kf_R.copy(), m.kf_t.copy()
+    new_R, new_t = m.kf_R.copy(), m.kf_t.copy()
+    gR = np.asarray(res.kf_R)[:n_real]
+    gt = np.asarray(res.kf_t)[:n_real]
+    done = np.zeros(m.cfg.max_kf, bool)
+    for i, c in enumerate(cams):
+        if m.kf_valid[c]:
+            new_R[c], new_t[c] = gR[i], gt[i]
+            done[c] = True
+    if not done.any():
+        return
+
+    for c in np.where(m.kf_valid & ~done)[0]:   # increasing id order
+        a = int(m.kf_prev[c])
+        if a < 0 or not done[a]:
+            smaller = np.where(done[:c])[0]     # nearest corrected earlier KF
+            if len(smaller) == 0:
+                continue
+            a = int(smaller[-1])
+        Rrel = bef_R[c] @ bef_R[a].T
+        trel = bef_t[c] - Rrel @ bef_t[a]
+        new_R[c] = Rrel @ new_R[a]
+        new_t[c] = Rrel @ new_t[a] + trel
+        done[c] = True
+
+    # snapshot points -> optimized positions (only those still alive)
+    alive = m.pt_valid[pt_ids]
+    m.pt_xyz[pt_ids[alive]] = np.asarray(res.points)[: len(pt_ids)][alive]
+    # points born during the solve ride their reference keyframe
+    others = np.setdiff1d(np.where(m.pt_valid)[0], pt_ids)
+    if len(others):
+        r = m.pt_ref_kf[others]
+        ok = (r >= 0) & done[np.maximum(r, 0)]
+        r = np.maximum(r, 0)
+        xc = np.einsum("nij,nj->ni", bef_R[r], m.pt_xyz[others]) + bef_t[r]
+        xn = np.einsum("nji,nj->ni", new_R[r], xc - new_t[r])
+        m.pt_xyz[others[ok]] = xn[ok]
+
+    m.kf_R[:], m.kf_t[:] = new_R, new_t
+
+    # detach outlier observations found by the solve (Optimizer.cc:2040)
+    inl = np.asarray(res.obs_inlier)[: len(meta["keep"])]
+    inv_cam = {i: c for c, i in meta["cam_slot"].items()}
+    inv_pt = {i: p for p, i in meta["pt_slot"].items()}
+    for o in np.where(~inl)[0]:
+        c = inv_cam[int(meta["oc"][o])]
+        pid = inv_pt[int(meta["op"][o])]
+        feats = np.where(m.kf_feat_point[c] == pid)[0]
+        m.kf_feat_point[c, feats] = NO_POINT
+    m.version += 1

@@ -72,6 +72,7 @@ class System:
                 lambda: run_local_inertial_ba(
                     self.map, self.cam, calib=self.tracker.imu.calib))
             self._viba_stage = 0   # 0: not init, 1: init done, 2: VIBA1, 3: VIBA2
+            self._last_scale_refine = 0.0
         self.enable_loop_closing = enable_loop_closing
         self.loop_closer = None
         self.kfdb = None
@@ -130,7 +131,13 @@ class System:
                                                  k=10, levels=3)
         self.kfdb = KeyFrameDatabase(self.vocab, self.map.cfg.max_kf)
         self.kfdbs[self.map.map_id] = self.kfdb
-        self.loop_closer = LoopCloser(self.map, self.cam, self.kfdb)
+        from .loop_closing import LoopClosingConfig
+        self.loop_closer = LoopCloser(
+            self.map, self.cam, self.kfdb,
+            LoopClosingConfig(async_gba=self._async))
+        # in async mode the post-closure global BA races tracking on its
+        # own thread (reference: mpThreadGBA) and applies under the map lock
+        self.loop_closer.map_lock = self.map_lock
 
     def track_monocular(self, img: np.ndarray, ts: float,
                         imu=None) -> Optional[np.ndarray]:
@@ -205,9 +212,12 @@ class System:
                 self._kf_queue.task_done()
 
     def wait_idle(self):
-        """Block until the mapping worker has drained its queue."""
+        """Block until the mapping worker has drained its queue and any
+        racing global BA has applied its result."""
         if self._async and self._kf_queue is not None:
             self._kf_queue.join()
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
 
     # ------------------------------------------------------------------
     def change_dataset(self):
@@ -228,12 +238,15 @@ class System:
             self.atlas.maps[mid] = MapStore(self.atlas.map_cfg)
             self.atlas.maps[mid].map_id = mid
             new_map = self.atlas.maps[mid]
+        if self.loop_closer is not None:
+            self.loop_closer.abort_gba()   # stale map: discard a racing GBA
         self.map = new_map
         self.tracker.reset_for_new_map(new_map)
         self.local_mapper.map = new_map
         self.local_mapper.recent_points.clear()
         if self.inertial:
             self._viba_stage = 0
+            self._last_scale_refine = 0.0
         # fresh per-map recognition database (shared vocabulary)
         self.loop_closer = None
         self.kfdb = None
@@ -271,6 +284,10 @@ class System:
                 T_c = Sim3(jnp.asarray(other.kf_R[int(c)]),
                            jnp.asarray(other.kf_t[int(c)]), jnp.asarray(1.0))
                 S_ao = T_k.inverse().compose(S_kc).compose(T_c)
+                # the reference stops a running GBA before welding
+                # (MergeLocal sets mbStopGBA); the merge rewrites the
+                # snapshot the solve was taken from
+                self.loop_closer.abort_gba()
                 slot_map = self.atlas.merge_map_into_active(mid, S_ao)
                 # index the welded keyframes in the active map's database
                 for old, new in slot_map.items():
@@ -331,6 +348,21 @@ class System:
                 self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
             self._viba_stage = 3
             m.imu_ba2 = True
+        elif (self._viba_stage >= 3 and self.sensor == IMU_MONOCULAR
+              and m.n_kf <= 200 and 25.0 <= t_since <= 75.0
+              and t_since - self._last_scale_refine >= 10.0):
+            # mono scale refinement: periodic scale/gravity-only re-solve
+            # while the map is young (reference: LocalMapping.cc:295-310
+            # ScaleRefinement -> Optimizer::InertialOptimization(scale,Rwg),
+            # Optimizer.cc:4067). Huge bias priors pin the biases so only
+            # scale/gravity/velocities move.
+            self._last_scale_refine = t_since
+            out = try_initialize_imu(m, min_kf=8, min_time=1.0,
+                                     prior_gyro=1e6, prior_acc=1e8,
+                                     fix_scale=False, calib=imu.calib)
+            if out is not None:
+                R_wg, s = out
+                self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
 
     # ------------------------------------------------------------------
     def _relocalize(self, prep):

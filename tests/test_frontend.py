@@ -131,6 +131,7 @@ class TestDescriptors:
                        rng.integers(30, 270, n)], 1).astype(np.int32)
         bins = rng.integers(0, brief.N_ANGLE_BINS, n)
         ang = (2 * np.pi * (bins + 0.5) / brief.N_ANGLE_BINS).astype(np.float32)
+        img = jnp.round(img)   # production feeds integer-rounded blur
         d_gold = np.asarray(brief.describe(img, jnp.asarray(yx),
                                            jnp.asarray(ang)))
         patches = brief.extract_patches(img, jnp.asarray(yx), (200, 300))
@@ -144,7 +145,7 @@ class TestDescriptors:
         TH_LOW=50 match gate."""
         import cv2 as _cv2
         img = _cv2.GaussianBlur(synth_image(rng, h=200, w=300), (7, 7), 2.0)
-        img = jnp.asarray(img)
+        img = jnp.round(jnp.asarray(img))
         n = 96
         yx = np.stack([rng.integers(30, 170, n),
                        rng.integers(30, 270, n)], 1).astype(np.int32)

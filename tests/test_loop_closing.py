@@ -88,3 +88,151 @@ def test_relocalization_after_blackout():
     R, t, match_pt, ref = out
     assert (match_pt >= 0).sum() >= 15
     assert np.isfinite(R).all() and np.isfinite(t).all()
+
+
+class TestAsyncGlobalBA:
+    """The racing global-BA thread (reference: RunGlobalBundleAdjustment +
+    mbStopGBA): snapshot solve off the map lock, propagation of the result
+    to keyframes/points created during the solve, and the abort protocol."""
+
+    def _scene_map(self, rng, n_cams=4):
+        from orb_slam3_detailed_comments_tpu.mapping.mapstore import (
+            MapConfig, MapStore)
+        from tests import synthetic
+        sc = synthetic.make_scene(rng, n_points=120, n_cams=n_cams,
+                                  noise_px=0.0)
+        m = MapStore(MapConfig(max_kf=16, max_pt=512, n_feat=128))
+        for c in range(n_cams):
+            vis = np.where(sc["vis"][c])[0][:128]
+            fp = np.full(128, -1, np.int32)
+            fp[: len(vis)] = vis
+            xy = np.zeros((128, 2), np.float32)
+            xy[: len(vis)] = sc["uv"][c][vis]
+            val = np.zeros(128, bool)
+            val[: len(vis)] = True
+            m.add_keyframe(sc["R"][c], sc["t"][c], 0.1 * c, c, xy,
+                           np.zeros((128, 2), np.float32),
+                           np.zeros(128, np.int32), np.zeros(128, np.float32),
+                           np.zeros((128, 8), np.uint32), val, fp)
+        m.pt_xyz[:120] = sc["points"]
+        m.pt_valid[:120] = True
+        m.pt_ref_kf[:120] = 0
+        return m, sc
+
+    def test_propagation_is_exact_for_rigid_corrections(self):
+        """If GBA moves the snapshot by a rigid transform D, keyframes and
+        points born during the solve must come out transformed by exactly
+        the same D (relative geometry preserved)."""
+        from orb_slam3_detailed_comments_tpu.optim.ba import BAResult
+        from orb_slam3_detailed_comments_tpu.pipeline.local_mapping import (
+            build_ba_problem)
+        from orb_slam3_detailed_comments_tpu.pipeline.loop_closing import (
+            apply_gba_with_propagation)
+        from tests import synthetic
+        rng = np.random.default_rng(3)
+        m, sc = self._scene_map(rng)
+        prob, meta = build_ba_problem(m, [0, 1, 2, 3], fixed=[0])
+
+        # "during the solve": one more keyframe and one more point appear
+        R4 = sc["R"][3].copy()
+        t4 = sc["t"][3] + np.array([0.2, 0.0, 0.1], np.float32)
+        k4 = m.add_keyframe(R4, t4, 0.4, 4,
+                            np.zeros((128, 2), np.float32),
+                            np.zeros((128, 2), np.float32),
+                            np.zeros(128, np.int32), np.zeros(128, np.float32),
+                            np.zeros((128, 8), np.uint32),
+                            np.zeros(128, bool), np.full(128, -1, np.int32))
+        x_new = np.array([[0.5, -0.3, 1.0]], np.float32)
+        pid_new = m.add_points(x_new, np.zeros((1, 8), np.uint32), ref_kf=k4)[0]
+
+        # result = snapshot moved by rigid D (world x -> Rd x + td)
+        Rd = synthetic.rotvec_to_R([0.02, -0.05, 0.03]).astype(np.float32)
+        td = np.array([0.3, -0.1, 0.2], np.float32)
+        C = np.asarray(prob.kf_R).shape[0]
+        n_real, pt_ids = meta["n_real"], np.asarray(meta["pt_ids"])
+        res_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        res_t = np.zeros((C, 3), np.float32)
+        for i in range(n_real):
+            c = meta["cams"][i]
+            res_R[i] = m.kf_R[c] @ Rd.T
+            res_t[i] = m.kf_t[c] - res_R[i] @ td
+        res_pts = np.zeros_like(np.asarray(prob.points))
+        res_pts[: len(pt_ids)] = m.pt_xyz[pt_ids] @ Rd.T + td
+        res = BAResult(kf_R=res_R, kf_t=res_t, points=res_pts,
+                       obs_inlier=np.ones(np.asarray(prob.obs_cam).shape[0],
+                                          bool),
+                       cost=np.float32(0.0))
+        apply_gba_with_propagation(m, meta, res)
+
+        # the late keyframe must carry the same correction
+        np.testing.assert_allclose(m.kf_R[k4], R4 @ Rd.T, atol=1e-5)
+        np.testing.assert_allclose(
+            m.kf_t[k4], t4 - (R4 @ Rd.T) @ td, atol=1e-5)
+        # the late point rides its reference keyframe: x -> Rd x + td
+        np.testing.assert_allclose(m.pt_xyz[pid_new],
+                                   (x_new @ Rd.T + td)[0], atol=1e-5)
+        # snapshot points take the optimized positions verbatim
+        np.testing.assert_allclose(m.pt_xyz[pt_ids[0]],
+                                   res_pts[0], atol=1e-6)
+
+    def test_async_solve_applies_and_abort_discards(self):
+        """A launched GBA must improve a noise-perturbed map and bump
+        n_gba_runs; an aborted one must leave the map untouched."""
+        import threading
+        from orb_slam3_detailed_comments_tpu.pipeline.loop_closing import (
+            LoopCloser, LoopClosingConfig)
+        from tests import synthetic
+        rng = np.random.default_rng(7)
+        m, sc = self._scene_map(rng)
+        m.kf_t[1:4] += rng.normal(0, 0.05, (3, 3)).astype(np.float32)
+        m.pt_xyz[:120] += rng.normal(0, 0.02, (120, 3)).astype(np.float32)
+        err0 = float(np.abs(m.kf_t[1:4] - sc["t"][1:4]).max())
+
+        lc = LoopCloser(m, synthetic.CAM, kfdb=None,
+                        cfg=LoopClosingConfig(async_gba=True, gba_iters=6,
+                                              gba_chunk=3))
+        lc.map_lock = threading.RLock()
+        lc._launch_global_ba([0, 1, 2, 3], anchor=[0])
+        lc.wait_gba()
+        assert lc.n_gba_runs == 1 and lc.n_gba_aborted == 0
+        err1 = float(np.abs(m.kf_t[1:4] - sc["t"][1:4]).max())
+        assert err1 < 0.5 * err0, (err0, err1)
+
+        # abort: result discarded, map untouched
+        snap_t = m.kf_t.copy()
+        v0 = m.version
+        lc.cfg.gba_iters = 400   # long enough that abort lands mid-solve
+        lc.cfg.gba_chunk = 1
+        lc._launch_global_ba([0, 1, 2, 3], anchor=[0])
+        lc.abort_gba()
+        assert lc.n_gba_aborted >= 1
+        assert m.version == v0
+        np.testing.assert_array_equal(m.kf_t, snap_t)
+
+
+def test_async_loop_closure_with_racing_gba(loop_sequence):
+    """Full async mode around the loop: mapping worker + a global-BA thread
+    racing tracking (reference: the three-thread layout of System.cc:283).
+    The closure must land, the GBA must run (or be superseded), and the
+    trajectory must stay consistent after shutdown drains everything."""
+    frames, R_gt, t_gt = loop_sequence
+    slam = System(CAM, MONOCULAR, enable_loop_closing=True,
+                  async_mapping=True)
+    ts = np.arange(len(frames)) * 0.05
+    n_ok = 0
+    for i, img in enumerate(frames):
+        if slam.track_monocular(img, float(ts[i])) is not None:
+            n_ok += 1
+    slam.shutdown()
+    assert n_ok > 0.7 * len(frames), f"tracked {n_ok}/{len(frames)}"
+    assert slam.loop_closer is not None
+    assert slam.loop_closer.n_loops_closed >= 1
+    assert (slam.loop_closer.n_gba_runs
+            + slam.loop_closer.n_gba_aborted) >= 1
+
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    gt_xyz = synth_render.camera_centers(R_gt, t_gt)
+    rmse, n, scale = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz)
+    assert rmse < 0.25, f"ATE {rmse:.3f} m over {n} poses (scale {scale:.3f})"
