@@ -49,6 +49,9 @@ class LoopClosingConfig:
                                   # (reference: RunGlobalBundleAdjustment's
                                   # detached thread + mbStopGBA abort flag)
     gba_chunk: int = 5            # LM iterations per abort-flag check
+    dist_gba: bool = True         # shard GBA observations across all local
+                                  # devices (parallel/dist_ba psum Schur
+                                  # reduction) when more than one is present
 
 
 class LoopCloser:
@@ -284,11 +287,33 @@ class LoopCloser:
         a per-chunk one)."""
         res = None
         done = 0
-        while done < self.cfg.gba_iters and not self._gba_abort.is_set():
-            res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk)
-            prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
-                                 points=res.points)
-            done += self.cfg.gba_chunk
+        ndev = jax.device_count()
+        O = int(prob.obs_cam.shape[0])
+        if self.cfg.dist_gba and ndev > 1 and O % ndev == 0:
+            # global BA is the biggest solve in the system — shard its
+            # observations over every local device and psum-reduce the
+            # Schur system over ICI (SURVEY.md §2.9's landmark-sharded BA)
+            from jax.sharding import Mesh
+            from ..parallel import dist_ba
+            mesh = Mesh(np.asarray(jax.devices()), (dist_ba.OBS_AXIS,))
+            step = dist_ba.make_dist_ba_step(mesh, self.cam)
+            while done < max(self.cfg.gba_iters - 1, 1) \
+                    and not self._gba_abort.is_set():
+                R, t, pts = step(prob.kf_R, prob.kf_t, prob.points,
+                                 prob.obs_cam, prob.obs_pt, prob.obs_uv,
+                                 prob.obs_w, prob.obs_valid,
+                                 prob.fixed_cam, prob.point_valid)
+                prob = prob._replace(kf_R=R, kf_t=t, points=pts)
+                done += 1
+            if not self._gba_abort.is_set():
+                # single-device polish pass also produces the inlier gate
+                res = ba.ba_solve(prob, self.cam, iters=1)
+        else:
+            while done < self.cfg.gba_iters and not self._gba_abort.is_set():
+                res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk)
+                prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
+                                     points=res.points)
+                done += self.cfg.gba_chunk
         if res is None or self._gba_abort.is_set():
             self.n_gba_aborted += 1
             return

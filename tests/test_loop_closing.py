@@ -175,9 +175,11 @@ class TestAsyncGlobalBA:
         np.testing.assert_allclose(m.pt_xyz[pt_ids[0]],
                                    res_pts[0], atol=1e-6)
 
-    def test_async_solve_applies_and_abort_discards(self):
+    @pytest.mark.parametrize("dist", [False, True])
+    def test_async_solve_applies_and_abort_discards(self, dist):
         """A launched GBA must improve a noise-perturbed map and bump
-        n_gba_runs; an aborted one must leave the map untouched."""
+        n_gba_runs; an aborted one must leave the map untouched. dist=True
+        shards the solve over the 8-device virtual mesh (psum Schur)."""
         import threading
         from orb_slam3_detailed_comments_tpu.pipeline.loop_closing import (
             LoopCloser, LoopClosingConfig)
@@ -190,7 +192,7 @@ class TestAsyncGlobalBA:
 
         lc = LoopCloser(m, synthetic.CAM, kfdb=None,
                         cfg=LoopClosingConfig(async_gba=True, gba_iters=6,
-                                              gba_chunk=3))
+                                              gba_chunk=3, dist_gba=dist))
         lc.map_lock = threading.RLock()
         lc._launch_global_ba([0, 1, 2, 3], anchor=[0])
         lc.wait_gba()
