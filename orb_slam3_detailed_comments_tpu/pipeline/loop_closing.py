@@ -146,29 +146,36 @@ class LoopCloser:
         window = [k] + [int(x) for x in covis_k]
         T_kw = Sim3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]), jnp.asarray(1.0))
         delta = S_kw_corr.compose(T_kw.inverse())    # correction in world
-        for w in window:
-            Sw = Sim3(jnp.asarray(m.kf_R[w]), jnp.asarray(m.kf_t[w]), jnp.asarray(1.0))
-            Sc = Sw.compose(delta.inverse())
-            R0[slot[w]] = np.asarray(Sc.R)
-            t0[slot[w]] = np.asarray(Sc.t)
-            s0[slot[w]] = float(Sc.s)
+        # Sw ∘ delta^-1 for the whole window in one batched host op:
+        # s' = 1/s_d, R' = Rw Rd^T, t' = tw - s' R' t_d
+        Rd, td = np.asarray(delta.R), np.asarray(delta.t)
+        sc = 1.0 / float(delta.s)
+        widx = np.asarray([slot[w] for w in window])
+        Rc = np.einsum("nij,kj->nik", m.kf_R[window], Rd)
+        tc = m.kf_t[window] - sc * np.einsum("nij,j->ni", Rc, td)
+        R0[widx] = Rc
+        t0[widx] = tc
+        s0[widx] = sc
 
-        # essential graph edges: covisibility (pre-correction measurements)
-        ei, ej, eR, et, es, ew = [], [], [], [], [], []
+        # essential graph edges: strong covisibility + the sequential chain
+        # (pre-correction measurements). Batched host math — the per-pair
+        # Sim3 composes this replaces were O(K^2) device round-trips.
         covm = m.covisibility_matrix()
-        for a_i, a in enumerate(kf_ids):
-            for b_i, b in enumerate(kf_ids):
-                if b_i <= a_i:
-                    continue
-                w_ab = covm[a, b]
-                if w_ab < self.cfg.covis_edge_min_weight and b_i != a_i + 1:
-                    continue   # keep strong covis edges + sequential chain
-                Sa = Sim3(jnp.asarray(m.kf_R[a]), jnp.asarray(m.kf_t[a]), jnp.asarray(1.0))
-                Sb = Sim3(jnp.asarray(m.kf_R[b]), jnp.asarray(m.kf_t[b]), jnp.asarray(1.0))
-                mm = Sa.compose(Sb.inverse())
-                ei.append(a_i); ej.append(b_i)
-                eR.append(np.asarray(mm.R)); et.append(np.asarray(mm.t))
-                es.append(1.0); ew.append(1.0)
+        ai, bi = np.triu_indices(K, 1)
+        keep = ((covm[kf_ids[ai], kf_ids[bi]]
+                 >= self.cfg.covis_edge_min_weight) | (bi == ai + 1))
+        ai, bi = ai[keep], bi[keep]
+        Ra, ta = m.kf_R[kf_ids[ai]], m.kf_t[kf_ids[ai]]
+        Rb, tb = m.kf_R[kf_ids[bi]], m.kf_t[kf_ids[bi]]
+        # Sa ∘ Sb^-1 at unit scale: R = Ra Rb^T, t = ta - R tb
+        Rrel = np.einsum("nij,nkj->nik", Ra, Rb)
+        trel = ta - np.einsum("nij,nj->ni", Rrel, tb)
+        ei = [int(x) for x in ai]
+        ej = [int(x) for x in bi]
+        eR = list(Rrel)
+        et = list(trel)
+        es = [1.0] * len(ei)
+        ew = [1.0] * len(ei)
         # loop edge k <-> match_kf with the verified relative similarity
         Sc_m = Sim3(jnp.asarray(m.kf_R[match_kf]), jnp.asarray(m.kf_t[match_kf]),
                     jnp.asarray(1.0))

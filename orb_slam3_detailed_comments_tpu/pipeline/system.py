@@ -511,6 +511,47 @@ class System:
                 f.write(f"{self.map.kf_ts[k]:.9f} "
                         + " ".join(f"{v:.9f}" for v in [*t_wc, *q]) + "\n")
 
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """Keyframe poses with ns timestamps (reference:
+        System::SaveKeyFrameTrajectoryEuRoC, System.cc:940)."""
+        import jax.numpy as jnp
+        from ..lie import so3 as so3_mod
+        kfs = self.map.kf_ids()
+        order = np.argsort(self.map.kf_ts[kfs])
+        with open(path, "w") as f:
+            for k in kfs[order]:
+                R_wc = self.map.kf_R[k].T
+                t_wc = -R_wc @ self.map.kf_t[k]
+                q = np.asarray(so3_mod.to_quat(jnp.asarray(R_wc)))
+                f.write(f"{self.map.kf_ts[k] * 1e9:.0f} "
+                        + " ".join(f"{v:.9f}" for v in [*t_wc, *q]) + "\n")
+
+    # ------------------------------------------------------------ state
+    def get_tracking_state(self) -> int:
+        """(reference: System::GetTrackingState, System.h:176)"""
+        return int(self.tracker.state)
+
+    def is_lost(self) -> bool:
+        """(reference: System::isLost, System.h:182)"""
+        from .tracking import LOST, RECENTLY_LOST
+        return self.tracker.state in (LOST, RECENTLY_LOST)
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Per-feature map-point id of the last frame, -1 where untracked
+        (reference: System::GetTrackedMapPoints, System.h:177)."""
+        last = self.tracker.last
+        if last is None:
+            return np.empty(0, np.int64)
+        return np.asarray(last.match_pt).copy()
+
+    def get_tracked_keypoints(self) -> np.ndarray:
+        """Undistorted keypoints [N, 2] of the last frame (reference:
+        System::GetTrackedKeyPointsUn, System.h:178)."""
+        last = self.tracker.last
+        if last is None:
+            return np.empty((0, 2), np.float32)
+        return np.asarray(last.prepared.xy_ud)
+
     def save_atlas(self, path: str):
         """Checkpoint all maps (reference: System::SaveAtlas, System.cc:1466)."""
         from ..utils import serialization

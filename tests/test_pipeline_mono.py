@@ -35,6 +35,20 @@ def test_mono_end_to_end(sequence):
     assert slam.n_keyframes >= 3
     assert slam.n_map_points > 200
 
+    # state accessors (reference: System.h:176-187)
+    from orb_slam3_detailed_comments_tpu.pipeline.tracking import OK
+    assert slam.get_tracking_state() == OK and not slam.is_lost()
+    mp = slam.get_tracked_map_points()
+    assert (mp >= 0).sum() > 30     # last frame tracks real map points
+    kp = slam.get_tracked_keypoints()
+    assert kp.shape[0] == mp.shape[0] and kp.shape[1] == 2
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "kf_euroc.txt")
+        slam.save_keyframe_trajectory_euroc(p)
+        lines = open(p).read().splitlines()
+        assert len(lines) == slam.n_keyframes and len(lines[0].split()) == 8
+
     rows = slam.trajectory_tum()
     assert len(rows) > 0.7 * len(frames)
     est_ts = np.array([r[0] for r in rows])
