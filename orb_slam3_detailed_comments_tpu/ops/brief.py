@@ -121,7 +121,14 @@ def ic_angle(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     Returns angle [N] float32 in radians.
     """
     m10, m01 = _moment_maps(img)
-    h, w = img.shape
+    return angle_from_maps(m10, m01, yx)
+
+
+def angle_from_maps(m10: jnp.ndarray, m01: jnp.ndarray,
+                    yx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-keypoint angles from precomputed moment maps (shared by
+    the XLA and fused-Pallas frontend paths)."""
+    h, w = m10.shape
     flat = jnp.clip(yx[:, 0], 0, h - 1) * w + jnp.clip(yx[:, 1], 0, w - 1)
     return jnp.arctan2(jnp.take(m01.reshape(-1), flat),
                        jnp.take(m10.reshape(-1), flat))

@@ -59,8 +59,20 @@ def level_budgets(cfg: OrbConfig) -> list:
     return budgets
 
 
-@partial(jax.jit, static_argnames=("cfg", "h", "w"))
-def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeatures:
+def _frontend_mode() -> str:
+    """Fused-Pallas dense maps are opt-in for now (ORB_TPU_PALLAS=1:
+    compiled on TPU, interpret elsewhere); default is the XLA path until
+    the kernel is validated at speed on real hardware."""
+    import os
+    if os.environ.get("ORB_TPU_PALLAS") == "1":
+        return ("pallas" if jax.default_backend() == "tpu"
+                else "pallas_interpret")
+    return "xla"
+
+
+@partial(jax.jit, static_argnames=("cfg", "h", "w", "frontend"))
+def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int,
+                  frontend: str = "xla") -> FrameFeatures:
     levels = pyramid.build_pyramid(img, cfg.n_levels, cfg.scale)
     budgets = level_budgets(cfg)
     scales = pyramid.scale_factors(cfg.n_levels, cfg.scale)
@@ -72,16 +84,29 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
         lvl = levels[lv]
         ch = int(round(h / cfg.scale ** lv))
         cw = int(round(w / cfg.scale ** lv))
-        kps = fast.detect_level(
-            lvl, (ch, cw), budgets[lv], cell=cfg.cell,
-            k_per_cell=cfg.k_per_cell, min_th=cfg.min_th, margin=cfg.margin,
-        )
-        ang = brief.ic_angle(lvl, kps.yx)
-        # round the blur like the reference's uint8 GaussianBlur
+        # The blur is rounded like the reference's uint8 GaussianBlur
         # (ORBextractor.cc:1630) — integer intensities are exact in bf16,
         # keeping describe_patches' fast-path matmuls bit-exact
-        patches.append(brief.extract_patches(
-            jnp.round(pyramid.gaussian_blur(lvl)), kps.yx, (ch, cw)))
+        if frontend != "xla":
+            # one fused VMEM-resident pass for all four dense maps
+            from . import pallas_frontend
+            score, blurred, m10, m01 = pallas_frontend.dense_frontend(
+                lvl, interpret=(frontend == "pallas_interpret"))
+            kps = fast.select_from_nms_score(
+                score, (ch, cw), budgets[lv], cell=cfg.cell,
+                k_per_cell=cfg.k_per_cell, min_th=cfg.min_th,
+                margin=cfg.margin)
+            ang = brief.angle_from_maps(m10, m01, kps.yx)
+            patches.append(brief.extract_patches(blurred, kps.yx, (ch, cw)))
+        else:
+            kps = fast.detect_level(
+                lvl, (ch, cw), budgets[lv], cell=cfg.cell,
+                k_per_cell=cfg.k_per_cell, min_th=cfg.min_th,
+                margin=cfg.margin,
+            )
+            ang = brief.ic_angle(lvl, kps.yx)
+            patches.append(brief.extract_patches(
+                jnp.round(pyramid.gaussian_blur(lvl)), kps.yx, (ch, cw)))
         # to level-0 coords (u=col, v=row)
         s = float(scales[lv])
         xy0 = jnp.stack([kps.yx[:, 1].astype(jnp.float32) * s,
@@ -112,4 +137,4 @@ def _extract_impl(img: jnp.ndarray, cfg: OrbConfig, h: int, w: int) -> FrameFeat
 def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> FrameFeatures:
     """img: [H, W] float32 grayscale in [0, 255]."""
     h, w = img.shape
-    return _extract_impl(img, cfg, h, w)
+    return _extract_impl(img, cfg, h, w, frontend=_frontend_mode())

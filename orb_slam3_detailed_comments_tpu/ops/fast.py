@@ -146,6 +146,17 @@ def detect_level(level_img: jnp.ndarray, content_hw, n_target: int,
     """FAST + NMS + uniform selection for one pyramid level."""
     sc = fast_score(level_img)
     sc = nms3x3(sc)
-    sc = jnp.where(border_mask(level_img.shape, content_hw, margin), sc, 0.0)
+    return select_from_nms_score(sc, content_hw, n_target, cell=cell,
+                                 k_per_cell=k_per_cell, min_th=min_th,
+                                 margin=margin)
+
+
+def select_from_nms_score(score_nms: jnp.ndarray, content_hw, n_target: int,
+                          cell: int = 32, k_per_cell: int = 4,
+                          min_th: float = 7.0, margin: int = 16) -> Keypoints:
+    """Border-mask + uniform selection on a precomputed NMS'd score map
+    (the fused Pallas frontend produces the map; this is the shared tail)."""
+    sc = jnp.where(border_mask(score_nms.shape, content_hw, margin),
+                   score_nms, 0.0)
     return select_grid_topk(sc, n_target, cell=cell, k_per_cell=k_per_cell,
                             min_th=min_th)

@@ -252,3 +252,46 @@ class TestPallasHamming:
         sel = np.asarray(r_ref.valid)
         np.testing.assert_array_equal(np.asarray(r_ref.idx)[sel],
                                       np.asarray(r_pal.idx)[sel])
+
+
+class TestPallasFrontend:
+    """Fused dense-frontend Pallas kernel (ops/pallas_frontend.py): one
+    VMEM-resident pass producing FAST score + blur + moment maps."""
+
+    def test_dense_maps_match_golden(self, rng):
+        from orb_slam3_detailed_comments_tpu.ops import pallas_frontend
+        img = jnp.asarray(np.round(synth_image(rng, h=120, w=160)))
+        score, blur_m, m10, m01 = pallas_frontend.dense_frontend(
+            img, interpret=True)
+        g_score = fast.nms3x3(fast.fast_score(img))
+        g_blur = jnp.round(pyramid.gaussian_blur(img))
+        g_m10, g_m01 = brief._moment_maps(img)
+        # interior only: borders use edge replication instead of wrap rolls
+        sl = np.s_[20:-20, 20:-20]
+        np.testing.assert_array_equal(np.asarray(score)[sl],
+                                      np.asarray(g_score)[sl])
+        np.testing.assert_array_equal(np.asarray(blur_m)[sl],
+                                      np.asarray(g_blur)[sl])
+        # moments: same values, different f32 summation order (values are
+        # O(1e5), so a few ULP of absolute drift is ~1e-5 relative)
+        assert np.abs(np.asarray(m10) - np.asarray(g_m10))[sl].max() < 5.0
+        assert np.abs(np.asarray(m01) - np.asarray(g_m01))[sl].max() < 5.0
+
+    def test_extractor_equivalence(self, rng):
+        """The fused-frontend extractor must select the same keypoints as
+        the XLA path and produce near-identical angles/descriptors."""
+        img = jnp.asarray(np.round(synth_image(rng, h=240, w=320)))
+        cfg = extractor.OrbConfig(n_features=256, n_levels=4)
+        fx = extractor._extract_impl(img, cfg, 240, 320, frontend="xla")
+        fp = extractor._extract_impl(img, cfg, 240, 320,
+                                     frontend="pallas_interpret")
+        np.testing.assert_array_equal(np.asarray(fx.valid), np.asarray(fp.valid))
+        v = np.asarray(fx.valid)
+        np.testing.assert_array_equal(np.asarray(fx.xy)[v], np.asarray(fp.xy)[v])
+        np.testing.assert_array_equal(np.asarray(fx.level)[v],
+                                      np.asarray(fp.level)[v])
+        wrap = np.abs(np.angle(np.exp(1j * (np.asarray(fx.angle)[v]
+                                            - np.asarray(fp.angle)[v]))))
+        assert wrap.max() < 1e-3
+        same = (np.asarray(fx.desc)[v] == np.asarray(fp.desc)[v]).all(axis=1)
+        assert same.mean() > 0.97   # only angle-bin boundary flips may differ
