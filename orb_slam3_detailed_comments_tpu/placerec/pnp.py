@@ -5,7 +5,10 @@ Tracking::Relocalization at Tracking.cc:4324). Works on bearing-style
 normalized coordinates so it is camera-model agnostic (fisheye-safe, like
 MLPnP). Each hypothesis solves the 6-point DLT for the 3x4 projection
 matrix — all hypotheses as one batched eigenproblem — then the best
-hypothesis is polished by the GN pose optimizer.
+hypothesis is polished by MLPnP's maximum-likelihood refinement: Gauss-
+Newton on the nullspace-tangent residuals of the observed bearing vectors
+(reference: MLPnPsolver.cpp:mlpnp_gn / residuals_and_jacs), which stays
+well-defined for >90° fisheye bearings where perspective division breaks.
 """
 from __future__ import annotations
 
@@ -43,6 +46,49 @@ def _pnp_dlt(X: jnp.ndarray, xn: jnp.ndarray):
     return R, t
 
 
+def _tangent_basis(b: jnp.ndarray):
+    """Orthonormal (s, u) spanning the nullspace of each unit bearing b
+    [N, 3] (MLPnPsolver.cpp computes the same basis via Householder)."""
+    ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], b.dtype), b.shape)
+    ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], b.dtype), b.shape)
+    a = jnp.where(jnp.abs(b[..., :1]) < 0.9, ex, ey)
+    s = jnp.cross(b, a)
+    s = s / jnp.linalg.norm(s, axis=-1, keepdims=True)
+    u = jnp.cross(b, s)
+    return s, u
+
+
+def _ml_refine(R0: jnp.ndarray, t0: jnp.ndarray, X: jnp.ndarray,
+               bear: jnp.ndarray, w: jnp.ndarray, n_iter: int = 6):
+    """MLPnP maximum-likelihood polish: GN on the 2-dof tangent-space
+    residuals r_i = [s_i; u_i]^T (R X_i + t)/|R X_i + t|, weighted by w
+    (inlier mask; per-point covariance would slot in here identically)."""
+    s, u = _tangent_basis(bear)
+
+    def residuals(xi, R, t):
+        dR = so3.exp(xi[:3])
+        Rn = dR @ R
+        tn = dR @ t + xi[3:]
+        p = X @ Rn.T + tn
+        ph = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+        return jnp.stack([jnp.sum(s * ph, -1), jnp.sum(u * ph, -1)], -1)
+
+    def step(carry, _):
+        R, t = carry
+        zero = jnp.zeros(6, X.dtype)
+        r = residuals(zero, R, t)                       # [N, 2]
+        J = jax.jacfwd(residuals)(zero, R, t)           # [N, 2, 6]
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("nki,nkj->ij", Jw, J) + 1e-9 * jnp.eye(6, dtype=X.dtype)
+        g = jnp.einsum("nki,nk->i", Jw, r)
+        xi = -jnp.linalg.solve(H, g)
+        dR = so3.exp(xi[:3])
+        return (dR @ R, dR @ t + xi[3:]), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=n_iter)
+    return R, t
+
+
 class PnPResult(NamedTuple):
     R: jnp.ndarray
     t: jnp.ndarray
@@ -73,12 +119,10 @@ def solve_pnp_ransac(X: jnp.ndarray, xn: jnp.ndarray, valid: jnp.ndarray,
     counts = jnp.sum(inls, -1)
     best = jnp.argmax(counts)
     inl = inls[best]
-    # polish with all inliers via weighted DLT
-    c = jnp.sum(X * inl[:, None], 0) / jnp.maximum(jnp.sum(inl), 1.0)
-    Xw = jnp.where(inl[:, None], X, c)
-    xnw = jnp.where(inl[:, None], xn, 0.0)
-    # weight rows: set non-inlier rows to duplicated centroid (harmless)
-    Rb, tb = _pnp_dlt(Xw, xnw)
+    # MLPnP-style ML polish over the inliers (bearing tangent residuals)
+    bear = jnp.concatenate([xn, jnp.ones_like(xn[:, :1])], axis=-1)
+    bear = bear / jnp.linalg.norm(bear, axis=-1, keepdims=True)
+    Rb, tb = _ml_refine(R[best], t[best], X, bear, inl.astype(X.dtype))
     inl2 = score(Rb, tb)
     use = jnp.sum(inl2) >= jnp.sum(inl)
     Rf = jnp.where(use, Rb, R[best])
