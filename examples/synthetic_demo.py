@@ -63,6 +63,9 @@ def main():
 
     drawers.save_png(os.path.join(outdir, "map_topdown.png"),
                      drawers.draw_map_topdown(slam.map))
+    from orb_slam3_detailed_comments_tpu.viz import webviewer
+    webviewer.export_html(slam, os.path.join(outdir, "map_viewer.html"),
+                          title=f"synthetic {mode}")
     traj = os.path.join(outdir, f"trajectory_{mode}.txt")
     slam.save_trajectory_tum(traj)
 
