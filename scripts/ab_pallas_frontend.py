@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import faulthandler
-    faulthandler.dump_traceback_later(240, exit=True)
+    faulthandler.dump_traceback_later(520, exit=True)
     import jax
     import jax.numpy as jnp
     from orb_slam3_detailed_comments_tpu.ops import extractor
@@ -27,22 +27,28 @@ def main():
     rng = np.random.default_rng(3)
     cam = cameras.pinhole(fx=458.0, fy=457.0, cx=376.0, cy=240.0,
                           width=752, height=480)
-    planes = synth_render.default_world(rng)
+
     n_frames = 8
-    R, t = synth_render.orbit_trajectory(n_frames)
-    imgs = [jnp.asarray(synth_render.render_frame(cam, planes, R[i], t[i]))
-            for i in range(n_frames)]
+    imgs = [jnp.asarray(np.zeros((480, 752), np.float32))]
 
     def run(flag, n):
         os.environ["ORB_TPU_PALLAS"] = flag
         out = None
         for i in range(n):
-            out = extractor.extract(imgs[i % n_frames])
+            out = extractor.extract(imgs[i % len(imgs)])
         jax.block_until_ready(out.desc)
 
-    # compile both variants
+    # compile both variants FIRST (rendering frames first has repeatedly
+    # wedged the axon compile service)
+    print("compiling xla...", flush=True)
     run("0", 1)
+    print("compiling pallas...", flush=True)
     run("1", 1)
+
+    planes = synth_render.default_world(rng)
+    R, t = synth_render.orbit_trajectory(n_frames)
+    imgs = [jnp.asarray(synth_render.render_frame(cam, planes, R[i], t[i]))
+            for i in range(n_frames)]
     # warm
     run("0", 4)
     run("1", 4)
