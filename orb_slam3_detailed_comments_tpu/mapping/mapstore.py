@@ -96,6 +96,10 @@ class MapStore:
         self.pt_first_kf = np.full(P, -1, np.int32)
         self.pt_found = np.zeros(P, np.int32)     # matched-in-tracking count
         self.pt_visible = np.zeros(P, np.int32)   # predicted-visible count
+        # forwarding pointer set by replace_point, so id lists captured
+        # before a fuse can be re-resolved (reference: MapPoint::GetReplaced,
+        # MapPoint.cc mpReplaced)
+        self.pt_replaced_by = np.full(P, -1, np.int32)
         self.version = 0
         self._scale_factors = cfg.scale ** np.arange(cfg.n_levels)
 
@@ -161,7 +165,26 @@ class MapStore:
         self.kf_feat_angle[k] = feat_angle
         self.kf_feat_desc[k] = feat_desc
         self.kf_feat_valid[k] = feat_valid
-        self.kf_feat_point[k] = feat_point
+        # follow fuse forwarding for links whose point was replaced since the
+        # frame was matched, and drop links to culled points (the reference
+        # filters with MapPoint::isBad / GetReplaced when building KeyFrame
+        # observations)
+        fp = np.asarray(feat_point).copy()
+        for _ in range(4):
+            dead = (fp >= 0) & ~self.pt_valid[np.clip(fp, 0, None)]
+            if not dead.any():
+                break
+            fp = np.where(dead, self.pt_replaced_by[np.clip(fp, 0, None)], fp)
+        fp = np.where((fp >= 0) & self.pt_valid[np.clip(fp, 0, None)],
+                      fp, NO_POINT)
+        # forwarding can collide two features onto one point: keep the first
+        idx = np.where(fp >= 0)[0]
+        if len(idx):
+            _, first = np.unique(fp[idx], return_index=True)
+            dup = np.ones(len(idx), bool)
+            dup[first] = False
+            fp[idx[dup]] = NO_POINT
+        self.kf_feat_point[k] = fp
         self.kf_valid[k] = True
         self.kf_epoch[k] += 1
         self.version += 1
@@ -254,6 +277,7 @@ class MapStore:
         self.pt_xyz[ids] = xyz
         self.pt_desc[ids] = desc
         self.pt_valid[ids] = True
+        self.pt_replaced_by[ids] = -1    # slots may be reused after culling
         self.pt_ref_kf[ids] = ref_kf
         self.pt_first_kf[ids] = ref_kf
         self.pt_found[ids] = 1
@@ -292,7 +316,18 @@ class MapStore:
         self.pt_found[new_id] += self.pt_found[old_id]
         self.pt_visible[new_id] += self.pt_visible[old_id]
         self.pt_valid[old_id] = False
+        self.pt_replaced_by[old_id] = new_id
         self.version += 1
+
+    def resolve_pid(self, pid: int) -> int:
+        """Follow replace_point forwarding to the surviving point; -1 if the
+        chain ends at a dead/unreplaced point (reference: the
+        MapPoint::GetReplaced loop in LoopClosing::SearchAndFuse)."""
+        hops = 0
+        while pid >= 0 and not self.pt_valid[pid] and hops < 32:
+            pid = int(self.pt_replaced_by[pid])
+            hops += 1
+        return pid if pid >= 0 and self.pt_valid[pid] else -1
 
     # ---- derived structures ----------------------------------------------
 
@@ -347,6 +382,49 @@ class MapStore:
 
     def point_observers(self, pid: int) -> np.ndarray:
         return np.where((self.kf_feat_point == pid).any(axis=1) & self.kf_valid)[0]
+
+    def check_invariants(self) -> list:
+        """Debug self-check of the tensor map's graph consistency — the
+        SoA analog of the reference's Map::CheckEssentialGraph (Map.h:128),
+        which walks the spanning tree validating parent links. Returns a
+        list of violation strings; empty means consistent."""
+        errs = []
+        inc = self.incidence()
+        # live feature->point links must target live points
+        fp = self.kf_feat_point[self.kf_valid]
+        live = fp[fp >= 0]
+        if live.size:
+            n_dead = int((~self.pt_valid[live]).sum())
+            if n_dead:
+                errs.append(f"{n_dead} feature links target dead points")
+        # no keyframe may observe the same point through two features
+        for k in self.kf_ids():
+            row = self.kf_feat_point[k]
+            row = row[row >= 0]
+            if len(row) != len(np.unique(row)):
+                errs.append(f"KF {k} has duplicate point observations")
+        # every live point must be observed by >=1 live keyframe
+        n_orphan = int((self.pt_valid & ~inc.any(axis=0)).sum())
+        if n_orphan:
+            errs.append(f"{n_orphan} live points have no observers")
+        # reference keyframes of live points must be live
+        ref = self.pt_ref_kf[self.pt_valid]
+        bad_ref = int(((ref < 0) | ~self.kf_valid[np.clip(ref, 0, None)]).sum())
+        if bad_ref:
+            errs.append(f"{bad_ref} live points have dead/absent ref KF")
+        # inertial chain: prev links live, strictly back in time
+        for k in self.kf_ids():
+            p = int(self.kf_prev[k])
+            if p >= 0:
+                if not self.kf_valid[p]:
+                    errs.append(f"KF {k} prev link -> dead KF {p}")
+                elif self.kf_ts[p] >= self.kf_ts[k]:
+                    errs.append(f"KF {k} prev link not back in time")
+        # tombstone chains (culled-KF re-anchoring) must resolve acyclically
+        for (slot, epoch) in self.tombstones:
+            if self.resolve_kf_pose(slot, epoch) is None:
+                errs.append(f"tombstone ({slot},{epoch}) does not resolve")
+        return errs
 
     def local_point_ids(self, kf_ids) -> np.ndarray:
         """Union of points observed by the given keyframes."""

@@ -192,7 +192,10 @@ class LocalMapper:
         fidx = np.asarray(res.idx)
         obs = m.observation_counts()
         for i in np.where(valid)[0]:
-            pid = int(ids[i])
+            # an earlier fuse in this loop may have replaced this candidate
+            pid = m.resolve_pid(int(ids[i]))
+            if pid < 0:
+                continue
             f = int(fidx[i])
             existing = int(m.kf_feat_point[k, f])
             if existing >= 0:

@@ -382,7 +382,11 @@ class LoopCloser:
             fidx = np.asarray(res.idx)
             obs = m.observation_counts()
             for i in np.where(valid)[0]:
-                pid = int(ids[i]); f = int(fidx[i])
+                # earlier fuses in this very loop may have replaced this id:
+                # follow the forwarding chain, drop it if the point died
+                pid = m.resolve_pid(int(ids[i])); f = int(fidx[i])
+                if pid < 0:
+                    continue
                 existing = int(m.kf_feat_point[w, f])
                 if existing >= 0 and m.pt_valid[existing] and existing != pid:
                     keep, kill = ((pid, existing) if obs[pid] >= obs[existing]

@@ -472,6 +472,37 @@ class System:
             for row in self.trajectory_tum():
                 f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
 
+    def save_sub_trajectory(self, path: str, t_start: float, t_end: float):
+        """Save only the frames with t_start <= ts <= t_end (reference:
+        Tracking::SaveSubTrajectory, Tracking.h:106)."""
+        with open(path, "w") as f:
+            for row in self.trajectory_tum():
+                if t_start <= row[0] <= t_end:
+                    f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+
+    def print_point_distribution(self):
+        """Per-pyramid-level feature/tracked-point counts of the last frame
+        (reference: Frame::PrintPointDistribution, Frame.h:357)."""
+        fr = self.tracker.last
+        if fr is None:
+            print("point distribution: no frame yet")
+            return
+        lv = np.asarray(fr.prepared.feat.level)
+        ok = np.asarray(fr.prepared.feat.valid)
+        tracked = fr.match_pt >= 0
+        print("level |  features | tracked points")
+        for l in range(int(lv.max()) + 1 if lv.size else 0):
+            m = ok & (lv == l)
+            print(f"{l:5d} | {int(m.sum()):9d} | {int((m & tracked).sum()):14d}")
+
+    def check_map_consistency(self) -> list:
+        """Run MapStore.check_invariants over every Atlas map (reference:
+        Map::CheckEssentialGraph debug helper, Map.h:128)."""
+        errs = []
+        for i, m in enumerate(self.atlas.maps):
+            errs += [f"map {i}: {e}" for e in m.check_invariants()]
+        return errs
+
     def save_trajectory_euroc(self, path: str):
         """Timestamps in ns, same TUM-style fields
         (reference: System::SaveTrajectoryEuRoC, System.cc:721)."""

@@ -102,6 +102,11 @@ class TestAsyncGlobalBA:
         sc = synthetic.make_scene(rng, n_points=120, n_cams=n_cams,
                                   noise_px=0.0)
         m = MapStore(MapConfig(max_kf=16, max_pt=512, n_feat=128))
+        # points must be live before keyframes link to them: add_keyframe
+        # drops links to dead points
+        m.pt_xyz[:120] = sc["points"]
+        m.pt_valid[:120] = True
+        m.pt_ref_kf[:120] = 0
         for c in range(n_cams):
             vis = np.where(sc["vis"][c])[0][:128]
             fp = np.full(128, -1, np.int32)
@@ -114,9 +119,6 @@ class TestAsyncGlobalBA:
                            np.zeros((128, 2), np.float32),
                            np.zeros(128, np.int32), np.zeros(128, np.float32),
                            np.zeros((128, 8), np.uint32), val, fp)
-        m.pt_xyz[:120] = sc["points"]
-        m.pt_valid[:120] = True
-        m.pt_ref_kf[:120] = 0
         return m, sc
 
     def test_propagation_is_exact_for_rigid_corrections(self):

@@ -17,6 +17,10 @@ CFG = MapConfig(max_kf=16, max_pt=256, n_feat=64)
 
 def tiny_map(rng, n_kf=3, origin=0.0):
     m = MapStore(CFG)
+    # points live before keyframes link to them (add_keyframe drops dead links)
+    m.pt_xyz[:20] = (rng.normal(0, 1, (20, 3)) + [origin, 0, 5]).astype(np.float32)
+    m.pt_valid[:20] = True
+    m.pt_ref_kf[:20] = 0
     for k in range(n_kf):
         fp = np.full(64, -1, np.int32)
         fp[:20] = np.arange(20)
@@ -29,9 +33,6 @@ def tiny_map(rng, n_kf=3, origin=0.0):
             np.zeros(64, np.float32),
             rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32),
             np.ones(64, bool), fp)
-    m.pt_xyz[:20] = (rng.normal(0, 1, (20, 3)) + [origin, 0, 5]).astype(np.float32)
-    m.pt_valid[:20] = True
-    m.pt_ref_kf[:20] = 0
     m.update_point_stats(np.arange(20))
     return m
 

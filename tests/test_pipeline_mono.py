@@ -49,6 +49,18 @@ def test_mono_end_to_end(sequence):
         lines = open(p).read().splitlines()
         assert len(lines) == slam.n_keyframes and len(lines[0].split()) == 8
 
+    # map-graph invariants hold after a full run (the SoA analog of the
+    # reference's Map::CheckEssentialGraph debug walk)
+    assert slam.check_map_consistency() == []
+    # per-level point distribution printer runs (Frame::PrintPointDistribution)
+    slam.print_point_distribution()
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "sub.txt")
+        slam.save_sub_trajectory(p, float(ts[10]), float(ts[30]))
+        sub = open(p).read().splitlines()
+        assert 0 < len(sub) <= 21
+        assert all(float(l.split()[0]) >= ts[10] - 1e-9 for l in sub)
+
     rows = slam.trajectory_tum()
     assert len(rows) > 0.7 * len(frames)
     est_ts = np.array([r[0] for r in rows])
