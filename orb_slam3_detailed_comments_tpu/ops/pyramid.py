@@ -19,6 +19,7 @@ import numpy as np
 
 DEFAULT_N_LEVELS = 8
 DEFAULT_SCALE = 1.2
+RESIZE_IMPL = "mm"   # "mm" = MXU interpolation-matrix matmuls (cv2-exact)
 
 
 def level_shapes(h: int, w: int, n_levels: int = DEFAULT_N_LEVELS,
@@ -39,13 +40,39 @@ def scale_factors(n_levels: int = DEFAULT_N_LEVELS, scale: float = DEFAULT_SCALE
     return np.array([scale ** lv for lv in range(n_levels)], dtype=np.float32)
 
 
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] bilinear interpolation matrix (half-pixel convention,
+    matching jax.image.resize 'bilinear')."""
+    m = np.zeros((n_out, n_in), np.float32)
+    p = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    p = np.clip(p, 0.0, n_in - 1)
+    lo = np.floor(p).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    f = (p - lo).astype(np.float32)
+    m[np.arange(n_out), lo] += 1.0 - f
+    m[np.arange(n_out), hi] += f
+    return m
+
+
+def resize_bilinear_mm(img: jnp.ndarray, nh: int, nw: int) -> jnp.ndarray:
+    """Bilinear resize as two interpolation-matrix matmuls: rides the MXU
+    instead of jax.image.resize's gather-based path (one-channel gathers
+    are VPU/latency-bound on TPU)."""
+    ch, cw = img.shape
+    rh = jnp.asarray(_resize_matrix(nh, ch))
+    rw = jnp.asarray(_resize_matrix(nw, cw))
+    hp = jax.lax.Precision.HIGHEST
+    return jax.lax.dot(jax.lax.dot(rh, img, precision=hp), rw.T, precision=hp)
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int = DEFAULT_N_LEVELS,
                   scale: float = DEFAULT_SCALE) -> list:
     """img [H, W] float32 -> list of [h_l, w_l] float32 levels.
 
     Each level is resized from the previous (cascaded, like the reference)
-    with bilinear interpolation; the padded margin (from rounding shapes up)
-    replicates edge pixels so FAST does not fire on a synthetic border.
+    with bilinear interpolation expressed as interpolation-matrix matmuls
+    (MXU); the padded margin (from rounding shapes up) replicates edge
+    pixels so FAST does not fire on a synthetic border.
     """
     h, w = img.shape
     shapes = level_shapes(h, w, n_levels, scale)
@@ -58,7 +85,10 @@ def build_pyramid(img: jnp.ndarray, n_levels: int = DEFAULT_N_LEVELS,
         if lv > 0:
             nh = int(round(h / scale ** lv))
             nw = int(round(w / scale ** lv))
-            cur = jax.image.resize(cur, (nh, nw), method="bilinear")
+            if RESIZE_IMPL == "mm":
+                cur = resize_bilinear_mm(cur, nh, nw)
+            else:   # A/B only: the old anti-aliased gather path
+                cur = jax.image.resize(cur, (nh, nw), method="bilinear")
             ch, cw = nh, nw
         pad_h, pad_w = shapes[lv][0] - ch, shapes[lv][1] - cw
         lvl = jnp.pad(cur, ((0, pad_h), (0, pad_w)), mode="edge")
