@@ -108,14 +108,43 @@ class MapStore:
     def alloc_kf(self) -> int:
         free = np.where(~self.kf_valid)[0]
         if len(free) == 0:
-            raise RuntimeError("keyframe capacity exhausted")
+            self.grow(grow_kf=True)
+            free = np.where(~self.kf_valid)[0]
         return int(free[0])
 
     def alloc_points(self, n: int) -> np.ndarray:
         free = np.where(~self.pt_valid)[0]
-        if len(free) < n:
-            raise RuntimeError("map point capacity exhausted")
+        while len(free) < n:
+            self.grow(grow_pt=True)
+            free = np.where(~self.pt_valid)[0]
         return free[:n]
+
+    def grow(self, grow_kf: bool = False, grow_pt: bool = False):
+        """Double keyframe and/or point capacity in place. The reference's
+        pointer graph grows unboundedly; our SoA arrays instead re-allocate
+        geometrically, so long sequences never hit a hard capacity wall.
+        Shape-keyed jit caches recompile once per doubling (log2 times over
+        a run); version-keyed caches invalidate via the version bump."""
+        from dataclasses import replace
+        cfg2 = replace(
+            self.cfg,
+            max_kf=self.cfg.max_kf * 2 if grow_kf else self.cfg.max_kf,
+            max_pt=self.cfg.max_pt * 2 if grow_pt else self.cfg.max_pt)
+        fresh = MapStore(cfg2)
+        for name, arr in list(vars(self).items()):
+            if not isinstance(arr, np.ndarray):
+                continue
+            new = getattr(fresh, name, None)
+            # only the freshly-initialized SoA arrays (same trailing shape,
+            # first dim grown or equal); private caches are left to the
+            # version-bump invalidation
+            if (isinstance(new, np.ndarray) and new.dtype == arr.dtype
+                    and new.shape[1:] == arr.shape[1:]
+                    and len(new) >= len(arr)):
+                new[:len(arr)] = arr
+                setattr(self, name, new)
+        self.cfg = cfg2
+        self.version += 1
 
     @property
     def n_kf(self) -> int:

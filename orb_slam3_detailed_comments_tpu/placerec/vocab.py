@@ -150,6 +150,30 @@ def bow_vector(voc: Vocabulary, words: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
 
 
+def bow_sparse(voc: Vocabulary, words: np.ndarray,
+               width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word ids [N] -> sparse L2-normalized tf-idf vector as
+    (ids [width] int32, weights [width] float32), zero-padded. A frame has
+    at most n_features distinct words, so `width`=n_features is lossless —
+    this is the DBoW2 BowVector (sparse map<WordId,WordValue>) shape, kept
+    fixed-width for array storage."""
+    words = np.asarray(words)
+    uw, counts = np.unique(words[words >= 0], return_counts=True)
+    w = counts.astype(np.float32) * np.asarray(voc.idf)[uw]
+    n = np.linalg.norm(w)
+    if n > 1e-9:
+        w = w / n
+    if len(uw) > width:                      # keep the heaviest words
+        keep = np.argsort(-w)[:width]
+        uw, w = uw[keep], w[keep]
+        w = w / max(np.linalg.norm(w), 1e-9)
+    ids = np.zeros(width, np.int32)
+    ws = np.zeros(width, np.float32)
+    ids[:len(uw)] = uw
+    ws[:len(uw)] = w
+    return ids, ws
+
+
 def save(voc: Vocabulary, path: str):
     np.savez_compressed(
         path, k=voc.k, levels=voc.levels, idf=np.asarray(voc.idf),

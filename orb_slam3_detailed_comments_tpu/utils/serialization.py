@@ -27,20 +27,35 @@ _MAP_ARRAYS = [
     "kf_feat_desc", "kf_feat_valid", "kf_feat_point",
     "pt_xyz", "pt_valid", "pt_desc", "pt_normal", "pt_min_dist",
     "pt_max_dist", "pt_ref_kf", "pt_first_kf", "pt_found", "pt_visible",
+    # inertial per-KF state + temporal chain (reference boost-serializes
+    # these with KeyFrame: mVw/mImuBias/mpImuPreintegrated, KeyFrame.h:55-190)
+    "kf_vel", "kf_bg", "kf_ba", "kf_prev", "kf_pre_dT", "kf_pre_dR",
+    "kf_pre_dV", "kf_pre_dP", "kf_pre_C", "kf_pre_JRg", "kf_pre_JVg",
+    "kf_pre_JVa", "kf_pre_JPg", "kf_pre_JPa", "kf_pre_bg0", "kf_pre_ba0",
 ]
 
 
 def _map_to_npz_bytes(m: MapStore) -> bytes:
     buf = io.BytesIO()
-    np.savez_compressed(buf, **{k: getattr(m, k) for k in _MAP_ARRAYS})
+    np.savez_compressed(buf, imu_flags=np.asarray(
+        [m.imu_initialized, m.imu_ba1, m.imu_ba2], bool),
+        **{k: getattr(m, k) for k in _MAP_ARRAYS})
     return buf.getvalue()
 
 
 def _map_from_npz_bytes(data: bytes, cfg: MapConfig) -> MapStore:
-    m = MapStore(cfg)
     z = np.load(io.BytesIO(data))
+    # capacities come from the blob: maps grown past the atlas-level
+    # MapConfig (MapStore.grow) round-trip at their grown size
+    from dataclasses import replace
+    m = MapStore(replace(cfg, max_kf=len(z["kf_valid"]),
+                         max_pt=len(z["pt_valid"])))
     for k in _MAP_ARRAYS:
-        getattr(m, k)[...] = z[k]
+        if k in z.files:        # older checkpoints lack the inertial block
+            getattr(m, k)[...] = z[k]
+    if "imu_flags" in z.files:
+        m.imu_initialized, m.imu_ba1, m.imu_ba2 = (bool(x)
+                                                   for x in z["imu_flags"])
     m.version = 1
     return m
 

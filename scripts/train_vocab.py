@@ -11,8 +11,10 @@ FORB meanValue/Hamming scheme DBoW2 uses).
 
     python scripts/train_vocab.py [levels=4] [n_worlds=60] [out.npz]
 
-Defaults produce a 10k-word L=4 tree (~1 MB), a good trade for maps of a
-few thousand keyframes; pass levels=5 for a 100k-word tree.
+The bundled default_vocab.npz is a 100k-word L=5 tree trained with
+`VOCAB_PHASE=extract python scripts/train_vocab.py 5 150 /tmp/v.npz` then
+`VOCAB_PHASE=train ...` (two phases so the CPU k-medians doesn't hold the
+TPU); quality-check candidates with scripts/eval_vocab.py.
 """
 import os
 import sys
@@ -30,8 +32,14 @@ def main():
                os.path.abspath(__file__))),
                "orb_slam3_detailed_comments_tpu", "placerec",
                "default_vocab.npz"))
+    # phase=extract dumps descriptors and exits (frees the TPU); phase=train
+    # loads them and runs the CPU k-medians; default does both in-process
+    phase = os.environ.get("VOCAB_PHASE", "all")
+    cache = os.environ.get("VOCAB_DESC_CACHE", "/tmp/vocab_desc.npy")
 
     import jax
+    if phase == "train":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from orb_slam3_detailed_comments_tpu.models import cameras
     from orb_slam3_detailed_comments_tpu.ops import extractor
@@ -44,6 +52,11 @@ def main():
     jext = jax.jit(lambda im: extractor.extract(im, cfg))
 
     t0 = time.time()
+    if phase == "train":
+        descs = np.load(cache)
+        print(f"loaded {len(descs)} cached descriptors from {cache}")
+        _train_and_save(descs, levels, out, t0)
+        return
     all_desc = []
     frames_per_world = 10
     for wseed in range(n_worlds):
@@ -65,9 +78,18 @@ def main():
             print(f"world {wseed}/{n_worlds}: {n} descriptors "
                   f"({time.time() - t0:.0f}s)")
     descs = np.concatenate(all_desc, axis=0)
+    if phase == "extract":
+        np.save(cache, descs)
+        print(f"cached {len(descs)} descriptors to {cache}")
+        return
+    _train_and_save(descs, levels, out, t0)
+
+
+def _train_and_save(descs, levels, out, t0):
+    from orb_slam3_detailed_comments_tpu.placerec import vocab
     print(f"training k=10 L={levels} on {len(descs)} descriptors ...")
     voc = vocab.train(descs, k=10, levels=levels, seed=0,
-                      max_train=1_500_000)
+                      max_train=4_000_000 if levels >= 5 else 1_500_000)
     vocab.save(voc, out)
     print(f"saved {voc.n_words}-word vocabulary to {out} "
           f"({os.path.getsize(out) / 1e6:.2f} MB, "

@@ -170,3 +170,40 @@ class TestInertialInit:
         # velocities close to ground truth (scaled world)
         v_err = np.linalg.norm(np.asarray(res.velocities) - sim["v"][kf_idx], axis=1)
         assert np.median(v_err) < 0.1
+
+
+class TestImuCalibrationTooling:
+    """scripts/process_imu.py: stream sync + Allan-deviation noise estimation
+    (reference: Examples/Calibration/python_scripts/process_imu.py)."""
+
+    def test_sync_interpolates_acc_onto_gyro(self, rng):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "process_imu", "scripts/process_imu.py")
+        pi = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pi)
+        ta = np.arange(0.0, 1.0, 0.01)            # 100 Hz acc
+        tg = np.arange(0.005, 1.2, 0.005)         # 200 Hz gyro, longer
+        acc = np.stack([ta, np.sin(ta), np.cos(ta), ta * 2], 1)
+        gyro = np.stack([tg, tg * 0 + 1, tg * 3, -tg], 1)
+        out = pi.sync_acc_to_gyro(acc, gyro)
+        assert (out[:, 0] >= ta[0]).all() and (out[:, 0] <= ta[-1]).all()
+        np.testing.assert_allclose(out[:, 1], 1.0)              # gyro copied
+        np.testing.assert_allclose(out[:, 4], np.sin(out[:, 0]), atol=1e-4)
+        np.testing.assert_allclose(out[:, 6], out[:, 0] * 2, atol=1e-9)
+
+    def test_allan_recovers_noise_density(self, rng):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "process_imu", "scripts/process_imu.py")
+        pi = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pi)
+        dt, n = 0.005, 120_000                    # 10 min at 200 Hz
+        sigma_n, sigma_w = 1.7e-3, 2e-5           # EuRoC-like gyro values
+        white = rng.normal(0, sigma_n / np.sqrt(dt), (n, 3))
+        walk = np.cumsum(rng.normal(0, sigma_w * np.sqrt(dt), (n, 3)), 0)
+        est_n, est_w = pi.estimate_noise_params(white + walk, dt)
+        np.testing.assert_allclose(est_n, sigma_n, rtol=0.1)
+        # the walk needs hours of data for a tight estimate; from 10 min
+        # assert the right order of magnitude (axis-averaged)
+        assert sigma_w / 3 < est_w.mean() < sigma_w * 3

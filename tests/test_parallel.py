@@ -111,3 +111,32 @@ def test_frame_parallel_pose_opt_matches_serial(rng):
                                    atol=1e-4)
         err = np.linalg.norm(np.asarray(tp[f]) - t_gt[f])
         assert err < 0.01, (f, err)
+
+
+def test_batch_extract_sharded_matches_single(rng):
+    """Mesh-sharded batch extraction must produce exactly the single-frame
+    extractor's output for every frame in the batch."""
+    from orb_slam3_detailed_comments_tpu.ops import extractor
+    from orb_slam3_detailed_comments_tpu.parallel import batch_extract
+    from orb_slam3_detailed_comments_tpu.utils import synth_render
+    from orb_slam3_detailed_comments_tpu.models import cameras
+
+    mesh = _mesh(8, batch_extract.FRAME_AXIS)
+    cam = cameras.pinhole(fx=200.0, fy=200.0, cx=96.0, cy=64.0,
+                          width=192, height=128)
+    cfg = extractor.OrbConfig(n_features=128, n_levels=3)
+    planes = synth_render.default_world(rng, tex_size=400)
+    R, t = synth_render.orbit_trajectory(8)
+    imgs = jnp.stack([jnp.asarray(synth_render.render_frame(cam, planes,
+                                                            R[i], t[i]))
+                      for i in range(8)])
+    batched = batch_extract.make_batch_extractor(mesh, cfg)
+    out = batched(imgs)
+    for i in range(8):
+        ref = extractor.extract(imgs[i], cfg)
+        np.testing.assert_array_equal(np.asarray(out.desc[i]),
+                                      np.asarray(ref.desc))
+        np.testing.assert_array_equal(np.asarray(out.valid[i]),
+                                      np.asarray(ref.valid))
+        np.testing.assert_allclose(np.asarray(out.xy[i]),
+                                   np.asarray(ref.xy), atol=1e-5)

@@ -52,6 +52,40 @@ class TestSerialization:
                                       a.maps[1].kf_feat_desc)
         assert b.maps[0].n_kf == 3
 
+    def test_grown_map_and_imu_state_roundtrip(self, rng, tmp_path):
+        a = Atlas(CFG)
+        m = tiny_map(rng)
+        m.kf_vel[:3] = rng.normal(0, 1, (3, 3)).astype(np.float32)
+        m.kf_bg[:3] = 0.01
+        m.kf_prev[1:3] = [0, 1]
+        m.kf_pre_dT[1:3] = 0.25
+        m.imu_initialized = m.imu_ba1 = True
+        old_K, old_P = m.cfg.max_kf, m.cfg.max_pt
+        m.grow(grow_kf=True, grow_pt=True)
+        assert m.cfg.max_kf == 2 * old_K and m.cfg.max_pt == 2 * old_P
+        assert m.n_kf == 3 and m.n_points == 20   # contents preserved
+        assert (m.kf_frame_id[old_K:] == -1).all()
+        a.maps = [m]
+        p = str(tmp_path / "atlas.zip")
+        serialization.save_atlas(a, p)
+        b = serialization.load_atlas(p)
+        m2 = b.maps[0]
+        assert m2.cfg.max_kf == 2 * old_K       # grown capacity round-trips
+        np.testing.assert_array_equal(m2.kf_vel, m.kf_vel)
+        np.testing.assert_array_equal(m2.kf_prev, m.kf_prev)
+        np.testing.assert_array_equal(m2.kf_pre_dT, m.kf_pre_dT)
+        assert m2.imu_initialized and m2.imu_ba1 and not m2.imu_ba2
+
+    def test_alloc_grows_past_capacity(self, rng):
+        m = tiny_map(rng)
+        K = m.cfg.max_kf
+        for _ in range(K + 2):       # run past the keyframe capacity
+            i = m.alloc_kf()         # (may grow; fetch kf_valid after)
+            m.kf_valid[i] = True
+        assert m.cfg.max_kf > K
+        ids = m.alloc_points(m.cfg.max_pt)   # forces a point grow too
+        assert len(ids) == m.cfg.max_pt // 2
+
     def test_checksum_guard(self, rng, tmp_path):
         a = Atlas(CFG)
         a.maps = [tiny_map(rng)]

@@ -66,6 +66,31 @@ class TestVocab:
         assert (w1 == w2).all()
 
 
+class TestKeyFrameDatabase:
+    def test_sparse_scores_match_dense_cosine(self, rng):
+        from orb_slam3_detailed_comments_tpu.placerec.keyframe_db import (
+            KeyFrameDatabase)
+        train = random_desc(rng, 6000)
+        voc = vocab.train(train, k=6, levels=3, seed=2)
+        db = KeyFrameDatabase(voc, max_kf=8)
+        descs = [random_desc(rng, 120) for _ in range(5)]
+        for i, d in enumerate(descs):
+            db.add(i, d, np.ones(120, bool))
+        db.erase(3)
+        q = perturb_desc(rng, descs[1], bits=5)
+        s = db.query_scores(q, np.ones(120, bool))
+        # dense reference: cosine of full tf-idf bow vectors
+        qv = np.asarray(vocab.bow_vector(
+            voc, vocab.transform(voc, jnp.asarray(q), jnp.ones(120, bool))))
+        for i, d in enumerate(descs):
+            dv = np.asarray(vocab.bow_vector(
+                voc, vocab.transform(voc, jnp.asarray(d), jnp.ones(120, bool))))
+            expect = 0.0 if i == 3 else float(qv @ dv)
+            np.testing.assert_allclose(s[i], expect, atol=1e-5)
+        assert s[5:].max() == 0.0
+        assert s[1] == s[:5].max()    # the perturbed source scores best
+
+
 class TestSim3:
     def test_recovers_similarity(self, rng):
         N = 120
