@@ -130,6 +130,28 @@ class Atlas:
             act.pt_first_kf[new_ids] = act.pt_ref_kf[new_ids]
             act.update_point_stats(new_ids)
 
+        # ---- carry per-KF inertial state through the weld ---------------
+        # (reference: MergeLocal2 transforms the welded keyframes' velocities
+        # with the weld rotation/scale and keeps biases + preintegrated
+        # windows, LoopClosing.cc:2310+; a world velocity maps as
+        # v_a = d/dt (s R x_o + t) = s R v_o. Preintegration and biases are
+        # body-frame, invariant to the weld.)
+        _PRE = ("kf_pre_dT", "kf_pre_dR", "kf_pre_dV", "kf_pre_dP",
+                "kf_pre_C", "kf_pre_JRg", "kf_pre_JVg", "kf_pre_JVa",
+                "kf_pre_JPg", "kf_pre_JPa", "kf_pre_bg0", "kf_pre_ba0")
+        for j, k_new in slot_map.items():
+            act.kf_vel[k_new] = s_s * oth.kf_vel[j] @ R_s.T
+            act.kf_bg[k_new] = oth.kf_bg[j]
+            act.kf_ba[k_new] = oth.kf_ba[j]
+            for name in _PRE:
+                getattr(act, name)[k_new] = getattr(oth, name)[j]
+            # IMU temporal chain, remapped within the welded set (the gap
+            # between the two maps has no preintegration; chains stay
+            # internal, as the reference's mPrevKF links do across a merge)
+            p = int(oth.kf_prev[j])
+            if p >= 0 and p in slot_map:
+                act.kf_prev[k_new] = slot_map[p]
+
         # retire the other map
         self.maps[other_id] = MapStore(self.map_cfg)
         self.n_merges += 1

@@ -92,18 +92,34 @@ def camera_from_body(R_wb, p_wb, R_bc, t_bc):
     return R_cw.astype(np.float32), t_cw.astype(np.float32)
 
 
+@jax.jit
+def _predict_pose_jit(R_cw, t_cw, v_w, pre, bg, ba, R_bc, t_bc, g):
+    """body_from_camera -> predict_state -> camera_from_body fused into ONE
+    device program (the eager version cost ~25 dispatches + two host
+    round-trips per IMU-predicted frame)."""
+    R_cb = R_bc.T
+    t_cb = -R_cb @ t_bc
+    R_wb = (R_bc @ R_cw).T
+    p_wb = R_cw.T @ (t_cb - t_cw)
+    R2, v2, p2 = pre_mod.predict_state(R_wb, v_w, p_wb, pre, bg, ba,
+                                       gravity=g)
+    R_cw2 = R_cb @ R2.T
+    t_cw2 = t_cb - R_cw2 @ p2
+    return R_cw2, t_cw2, v2
+
+
 def predict_pose_imu(m: MapStore, imu: ImuFrameState,
                      last_T_cw: SE3, pre: Preintegrated):
     """Dead-reckoned T_cw prediction from the last frame's state
     (reference: Tracking::PredictStateIMU)."""
     R_bc, t_bc = _extr(imu.calib)
-    R_wb, p_w = body_from_camera(last_T_cw.R, last_T_cw.t, R_bc, t_bc)
     g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
-    R2, v2, p2 = pre_mod.predict_state(
-        jnp.asarray(R_wb), jnp.asarray(imu.v_w), jnp.asarray(p_w), pre,
-        jnp.asarray(imu.bg), jnp.asarray(imu.ba), gravity=jnp.asarray(g))
-    R_cw, t_cw = camera_from_body(np.asarray(R2), np.asarray(p2), R_bc, t_bc)
-    return SE3(jnp.asarray(R_cw), jnp.asarray(t_cw)), np.asarray(v2)
+    R_cw, t_cw, v2 = _predict_pose_jit(
+        jnp.asarray(last_T_cw.R), jnp.asarray(last_T_cw.t),
+        jnp.asarray(imu.v_w), pre, jnp.asarray(imu.bg),
+        jnp.asarray(imu.ba), jnp.asarray(R_bc), jnp.asarray(t_bc),
+        jnp.asarray(g))
+    return SE3(R_cw, t_cw), np.asarray(v2)
 
 
 def try_initialize_imu(m: MapStore, min_kf: int = 8, min_time: float = 1.0,

@@ -134,6 +134,25 @@ class ProjectedPoints(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cam", "scale", "n_levels"))
+def gather_and_project(T_cw: SE3, ids: jnp.ndarray,
+                       pt_xyz: jnp.ndarray, pt_normal: jnp.ndarray,
+                       pt_min_dist: jnp.ndarray, pt_max_dist: jnp.ndarray,
+                       pt_valid: jnp.ndarray, cam: cameras.CameraParams,
+                       scale: float = 1.2, n_levels: int = 8
+                       ) -> ProjectedPoints:
+    """project_points with the candidate-row gathers fused into the same
+    program: takes the FULL device-resident map arrays plus the padded id
+    list [C] (-1 padding) and gathers on-chip. One dispatch per frame
+    instead of one eager dispatch per gathered array (the per-frame hot
+    path; eager dispatch latency dominates over a TPU tunnel)."""
+    safe = jnp.maximum(ids, 0)
+    valid = (ids >= 0) & pt_valid[safe]
+    return project_points(T_cw, pt_xyz[safe], pt_normal[safe],
+                          pt_min_dist[safe], pt_max_dist[safe], valid,
+                          cam, scale, n_levels)
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels"))
 def project_points(T_cw: SE3, pts: jnp.ndarray, normals: jnp.ndarray,
                    min_dist: jnp.ndarray, max_dist: jnp.ndarray,
                    valid: jnp.ndarray, cam: cameras.CameraParams,
@@ -179,6 +198,9 @@ def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
     (reference: ORBmatcher.cc:1950/45 + Optimizer::PoseOptimization).
 
     pt_ids [P]: global point ids of the candidate set (-1 padding).
+    pt_desc/pt_xyz are the FULL map arrays; candidate rows are gathered
+    on-chip from pt_ids (keeps the per-frame host->device dispatch count
+    at one for this whole stage).
     prior_match_pt [N]: existing feature->point assignments to keep
     (features with a prior match are excluded from the new search).
     proj_angle [P] (optional): source-observation keypoint angle per
@@ -189,8 +211,9 @@ def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
     feat = frame.feat
     radius = radius_per_level[proj.level]
     taken = prior_match_pt >= 0
+    desc_c = pt_desc[jnp.maximum(pt_ids, 0)]
     res = matching.search_by_projection(
-        proj.uv, proj.visible & (pt_ids >= 0), pt_desc, proj.level,
+        proj.uv, proj.visible & (pt_ids >= 0), desc_c, proj.level,
         feat._replace(xy=frame.xy_ud), radius,
         level_lo=-1, level_hi=1, max_dist=matching.TH_HIGH, ratio=0.8,
         taken=taken)

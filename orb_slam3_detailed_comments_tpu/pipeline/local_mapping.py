@@ -162,6 +162,22 @@ class LocalMapper:
         neighbors = [int(b) for b in covis_ids[:10]]
         if not neighbors:
             return
+        # second-level neighbors (5 covisibles of each first-level target)
+        # + temporal prev/next for inertial maps, as the reference's extended
+        # fuse window (LocalMapping.cc:923-960)
+        seen = set(neighbors) | {k}
+        for b in list(neighbors):
+            sec, _ = m.covisibility(b, min_weight=15)
+            for s in (int(x) for x in sec[:5]):
+                if s not in seen:
+                    neighbors.append(s)
+                    seen.add(s)
+            if len(neighbors) >= 25:
+                break
+        if m.imu_initialized:
+            p = int(m.kf_prev[k])
+            if p >= 0 and p not in seen:
+                neighbors.append(p)
         cand = m.local_point_ids(np.asarray(neighbors))
         own = set(m.kf_feat_point[k][m.kf_feat_point[k] >= 0].tolist())
         cand = np.asarray([p for p in cand if p not in own], np.int64)
@@ -231,6 +247,17 @@ class LocalMapper:
             b = int(b)
             if b <= 1 or b == k or b in recent:
                 continue
+            # inertial spacing rule: culling b merges its preintegration
+            # window into its successor's; never let the merged gap exceed
+            # 0.5 s (3 s once fully inertial-optimized) or the chain becomes
+            # useless for inertial BA (reference: LocalMapping.cc:1230-1260)
+            if m.imu_initialized and m.kf_pre_dT[b] > 0:
+                nxt = np.where(m.kf_prev == b)[0]
+                p = int(m.kf_prev[b])
+                if p >= 0 and len(nxt):
+                    gap = float(m.kf_ts[int(nxt[0])] - m.kf_ts[p])
+                    if gap > (3.0 if m.imu_ba2 else 0.5):
+                        continue
             feats = np.where(m.kf_feat_point[b] >= 0)[0]
             pts = m.kf_feat_point[b][feats]
             ok = m.pt_valid[pts]

@@ -59,13 +59,25 @@ class System:
             # yaml gives T_c1_c2 (right-in-left); the matcher wants left->right
             T_rl = np.linalg.inv(np.asarray(T_c1c2, np.float64)).astype(
                 np.float32)
-        self.tracker = Tracker(cam, self.map, tracking_cfg or TrackingConfig(),
+        if tracking_cfg is None:
+            tracking_cfg = TrackingConfig()
+            if tsensor != SENSOR_MONO:
+                # thRefRatio: 0.9 mono / 0.75 stereo-RGBD (Tracking.cc:3737)
+                tracking_cfg.ref_ratio = 0.75
+        self.tracker = Tracker(cam, self.map, tracking_cfg,
                                sensor=tsensor, bf=baseline * cam.fx,
                                th_depth=th_depth,
                                imu_calib=imu_calib if self.inertial else None,
                                cam2=camera2, T_rl=T_rl)
-        self.local_mapper = LocalMapper(self.map, cam,
-                                        mapping_cfg or LocalMappingConfig())
+        if mapping_cfg is None:
+            # sensor-dependent reference defaults: cnThObs 2 mono / 3
+            # stereo-RGBD (LocalMapping.cc:461), 10 triangulation neighbors
+            # for stereo vs mono's wider window (LocalMapping.cc:510)
+            mapping_cfg = LocalMappingConfig()
+            if tsensor != SENSOR_MONO:
+                mapping_cfg.cull_min_obs = 3
+                mapping_cfg.n_covis_triangulate = 10
+        self.local_mapper = LocalMapper(self.map, cam, mapping_cfg)
         if self.inertial:
             from .inertial import run_local_inertial_ba
             self.local_mapper.inertial_ba = (

@@ -279,6 +279,24 @@ class Tracker:
         else:
             self.state = LOST
         self.velocity = None
+        # IMU dead-reckoning rescue: while RECENTLY_LOST in an initialized
+        # inertial map, keep emitting IMU-predicted poses (and propagating
+        # the state for the next frame's prediction) until relocalization
+        # succeeds or the budget runs out (reference: Tracking.cc:2203-2240,
+        # bOK = PredictStateIMU() during RECENTLY_LOST)
+        if (self.state == RECENTLY_LOST and self.imu is not None
+                and self.map.imu_initialized and self.last is not None
+                and self.imu.pre_last_frame is not None):
+            from . import inertial
+            T_pred, v_pred = inertial.predict_pose_imu(
+                self.map, self.imu, self.last.T_cw, self.imu.pre_last_frame)
+            self.cur_T = T_pred
+            self.cur_prep = prep
+            self.cur_match = np.full(
+                len(np.asarray(prep.feat.valid)), -1, np.int32)
+            self.imu.v_w = np.asarray(v_pred, np.float32)
+            self.last = FrameRecord(prep, T_pred, self.cur_match, ts, fid)
+            return self._log_and_return(ts)
         return None
 
     # ------------------------------------------------------------------
@@ -492,15 +510,10 @@ class Tracker:
         ids = np.concatenate([pt_ids, np.full(pad, -1, np.int64)])
         safe = np.where(ids >= 0, ids, 0)
         dp = self.map.device_points()
-        safe_d = jnp.asarray(safe, jnp.int32)
-        proj = kernels.project_points(
-            T_pred,
-            dp["xyz"][safe_d],
-            dp["normal"][safe_d],
-            dp["min_dist"][safe_d],
-            dp["max_dist"][safe_d],
-            jnp.asarray(ids >= 0) & dp["valid"][safe_d],
-            self.cam, self.orb_cfg.scale, self.orb_cfg.n_levels)
+        proj = kernels.gather_and_project(
+            T_pred, jnp.asarray(ids, jnp.int32),
+            dp["xyz"], dp["normal"], dp["min_dist"], dp["max_dist"],
+            dp["valid"], self.cam, self.orb_cfg.scale, self.orb_cfg.n_levels)
         return ids, safe, proj
 
     def _run_track(self, prep, T_pred, ids, safe, proj, radius_px, prior=None,
@@ -510,7 +523,7 @@ class Tracker:
         dp = self.map.device_points()
         res = kernels.match_and_optimize(
             T_pred, prep, jnp.asarray(ids, jnp.int32), proj,
-            dp["desc"][jnp.asarray(safe, jnp.int32)],
+            dp["desc"],
             dp["xyz"],
             radius_px * self.radius_scale, self.inv_sigma2,
             prior, self.cam,
@@ -618,6 +631,7 @@ class Tracker:
         self.cur_match = np.where(np.asarray(opt.inlier), match_pt, -1).astype(np.int32)
         self.ref_kf = int(ref)
         self.n_relocalizations += 1
+        self.last_reloc_fid = fid   # widens the local search for 2 frames
         return True
 
     def _track_local_map(self) -> bool:
@@ -644,8 +658,17 @@ class Tracker:
         # visible counter update
         vis_ids = ids[np.asarray(proj.visible) & (ids >= 0)]
         self.map.pt_visible[vis_ids] += 1
+        # widen the projection window right after relocalization or while
+        # re-acquiring from RECENTLY_LOST, as the reference widens th 1->5
+        # (recent reloc) / 15 (recently lost, IMU) in SearchLocalPoints
+        # (reference: Tracking.cc:4039-4062)
+        radius = self.cfg.local_radius
+        if self.frame_id <= getattr(self, "last_reloc_fid", -999) + 2:
+            radius = 3.0 * radius
+        elif self.state == RECENTLY_LOST:
+            radius = max(radius, self.cfg.motion_radius)
         res = self._run_track(self.cur_prep, self.cur_T, ids, safe, proj,
-                              self.cfg.local_radius, prior=self.cur_match)
+                              radius, prior=self.cur_match)
         n = int(res.n_inliers)
         if n < self.cfg.min_inliers_local:
             return False
@@ -763,31 +786,54 @@ class Tracker:
         # minObs = 3 (2 while the map has <= 2 KFs)
         # (reference: Tracking::NeedNewKeyFrame nMinObs, Tracking.cc:3659)
         min_obs = 3 if self.map.n_kf > 2 else 2
-        obs = self.map.observation_counts()
         # anchor c2 on the strongest KF of the local window, not just the
         # (possibly brand-new) reference KF: comparing against a weak ref
         # deadlocks — its own count shrinks in lockstep with the frame's,
-        # so c2 never fires while tracking decays to loss
-        anchors = [self.ref_kf]
-        covis_ids, _ = self.map.covisibility(self.ref_kf, min_weight=15)
-        anchors += [int(x) for x in covis_ids[:5]]
-        ref_tracked = 0
-        for a in anchors:
-            if a < 0 or not self.map.kf_valid[a]:
-                continue
-            pts = self.map.kf_feat_point[a]
-            pts = pts[pts >= 0]
-            ref_tracked = max(ref_tracked, int((obs[pts] >= min_obs).sum()))
+        # so c2 never fires while tracking decays to loss. The anchor count
+        # only changes when the map does: cache per (ref, map version).
+        key = (self.ref_kf, id(self.map), self.map.version, min_obs)
+        if getattr(self, "_ref_tracked_key", None) == key:
+            ref_tracked = self._ref_tracked
+        else:
+            obs = self.map.observation_counts()
+            anchors = [self.ref_kf]
+            covis_ids, _ = self.map.covisibility(self.ref_kf, min_weight=15)
+            anchors += [int(x) for x in covis_ids[:5]]
+            ref_tracked = 0
+            for a in anchors:
+                if a < 0 or not self.map.kf_valid[a]:
+                    continue
+                pts = self.map.kf_feat_point[a]
+                pts = pts[pts >= 0]
+                ref_tracked = max(ref_tracked,
+                                  int((obs[pts] >= min_obs).sum()))
+            self._ref_tracked_key = key
+            self._ref_tracked = ref_tracked
+        # stereo/RGBD close-point pressure: few close points tracked but many
+        # close features available -> insert to densify the near field
+        # (reference: bNeedToInsertClose, Tracking.cc:3674-3695)
+        need_close = False
+        if self.cur_depth is not None and self.bf > 0:
+            close = ((self.cur_depth > 0) & (self.cur_depth < self.th_depth)
+                     & np.asarray(self.cur_prep.feat.valid))
+            tracked_close = int((close & (self.cur_match >= 0)).sum())
+            need_close = (tracked_close < 100
+                          and int((close & (self.cur_match < 0)).sum()) > 70)
         c1a = self.frame_id >= self.last_kf_frame_id + self.cfg.max_frames
         c1b = self.frame_id >= self.last_kf_frame_id + self.cfg.min_frames + 1
-        c2 = (n_tracked < self.cfg.ref_ratio * ref_tracked) and n_tracked > 15
+        # c1c (stereo/RGBD only): tracking collapsed to a quarter of the
+        # anchor or close points are needed (reference: Tracking.cc:3711)
+        c1c = (self.sensor != SENSOR_MONO
+               and (n_tracked < 0.25 * ref_tracked or need_close))
+        c2 = ((n_tracked < self.cfg.ref_ratio * ref_tracked or need_close)
+              and n_tracked > 15)
         # periodic floor: after max_frames without a keyframe, insert even if
         # tracking quality hasn't decayed (deviation from the reference's
         # pure-c2 gate: on very smooth motion c2 can stay silent until the
         # map is too thin to survive a disturbance; KF culling removes the
         # redundancy this creates)
         periodic = self.cfg.periodic_kf and c1a and n_tracked > 15
-        return ((c1a or c1b) and c2) or periodic
+        return ((c1a or c1b or c1c) and c2) or periodic
 
     def _create_new_keyframe(self, ts, fid):
         """(reference: Tracking::CreateNewKeyFrame, Tracking.cc:3826)"""

@@ -215,6 +215,44 @@ class TestAtlasMerge:
         out = a.resolve_kf_pose(1, list(slot_map.keys())[0], 1)
         assert out is not None
 
+    def test_merge_carries_inertial_state(self, rng):
+        """Welded keyframes keep their IMU state: world velocities are
+        transformed by the weld's rotation+scale (v_a = s R v_o), biases and
+        body-frame preintegration copy verbatim, the mPrevKF temporal chain
+        remaps into the new slots (reference: LoopClosing::MergeLocal2,
+        LoopClosing.cc:2310+)."""
+        a = Atlas(CFG)
+        m0 = tiny_map(rng)
+        m1 = tiny_map(rng, origin=0.0)
+        m1.kf_vel[:3] = rng.normal(0, 1, (3, 3)).astype(np.float32)
+        m1.kf_bg[:3] = rng.normal(0, 0.01, (3, 3)).astype(np.float32)
+        m1.kf_ba[:3] = rng.normal(0, 0.05, (3, 3)).astype(np.float32)
+        m1.kf_prev[1] = 0
+        m1.kf_prev[2] = 1
+        m1.kf_pre_dT[1:3] = 0.25
+        m1.kf_pre_dV[1:3] = rng.normal(0, 1, (2, 3)).astype(np.float32)
+        m1.kf_pre_C[1:3] = np.eye(15, dtype=np.float32) * 1e-4
+        a.maps = [m0, m1]
+        a.active_id = 0
+        S = Sim3(jnp.asarray(np.asarray(so3.exp(jnp.asarray([0, 0.3, 0.0])))),
+                 jnp.asarray([1.0, 0.0, 0.5]), jnp.asarray(2.0))
+        vel_before = m1.kf_vel[:3].copy()
+        slot_map = a.merge_map_into_active(1, S)
+        act = a.maps[0]
+        Rw, sw = np.asarray(S.R), float(S.s)
+        for j in range(3):
+            k = slot_map[j]
+            np.testing.assert_allclose(act.kf_vel[k],
+                                       sw * vel_before[j] @ Rw.T, atol=1e-5)
+            np.testing.assert_array_equal(act.kf_bg[k], m1.kf_bg[j])
+            np.testing.assert_array_equal(act.kf_ba[k], m1.kf_ba[j])
+            np.testing.assert_array_equal(act.kf_pre_dV[k], m1.kf_pre_dV[j])
+            np.testing.assert_array_equal(act.kf_pre_C[k], m1.kf_pre_C[j])
+            assert act.kf_pre_dT[k] == m1.kf_pre_dT[j]
+        assert act.kf_prev[slot_map[0]] == -1       # gap: no cross-map chain
+        assert act.kf_prev[slot_map[1]] == slot_map[0]
+        assert act.kf_prev[slot_map[2]] == slot_map[1]
+
 
 class TestNativeLib:
     def test_native_matches_numpy_fallback(self, rng):

@@ -128,3 +128,111 @@ def test_mono_inertial_with_body_camera_extrinsic():
     assert npair > 0.6 * n
     assert abs(scale - 1.0) < 0.12, f"metric scale off with Tbc: {scale:.3f}"
     assert rmse < 0.08, f"ATE {rmse:.4f} m (scale {scale:.3f})"
+
+
+class TestInertialKeyFrameCulling:
+    """The inertial spacing rule in KeyFrameCulling: culling a keyframe
+    merges its preintegration window into its successor's; the merged gap
+    must stay under 0.5 s before full inertial optimization (3 s after)
+    (reference: LocalMapping::KeyFrameCulling, LocalMapping.cc:1230-1260)."""
+
+    def _redundant_map(self, rng, dt):
+        from orb_slam3_detailed_comments_tpu.mapping.mapstore import (
+            MapConfig, MapStore)
+        n_kf, n_pt = 7, 30
+        m = MapStore(MapConfig(max_kf=16, max_pt=256, n_feat=64))
+        m.pt_xyz[:n_pt] = rng.normal(0, 1, (n_pt, 3)) + [0, 0, 5]
+        m.pt_valid[:n_pt] = True
+        m.pt_ref_kf[:n_pt] = 0
+        for k in range(n_kf):
+            fp = np.full(64, -1, np.int32)
+            fp[:n_pt] = np.arange(n_pt)
+            val = np.zeros(64, bool)
+            val[:n_pt] = True
+            m.add_keyframe(
+                np.eye(3, dtype=np.float32),
+                np.array([0.1 * k, 0, 0], np.float32), dt * k, k,
+                rng.normal(300, 50, (64, 2)).astype(np.float32),
+                np.zeros((64, 2), np.float32), np.zeros(64, np.int32),
+                np.zeros(64, np.float32),
+                rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32), val, fp)
+            if k > 0:
+                m.kf_prev[k] = k - 1
+                m.kf_pre_dT[k] = dt
+        m.update_point_stats(np.arange(n_pt))
+        return m
+
+    def _cull(self, m):
+        from orb_slam3_detailed_comments_tpu.pipeline.local_mapping import (
+            LocalMapper)
+        lm = LocalMapper(m, CAM)
+        lm._keyframe_culling(6)
+        return m
+
+    def test_visual_map_culls_redundant(self):
+        rng = np.random.default_rng(0)
+        m = self._cull(self._redundant_map(rng, dt=1.0))
+        assert m.n_kf < 7          # redundant middle KFs removed
+
+    def test_inertial_wide_gap_survives(self):
+        rng = np.random.default_rng(0)
+        m = self._redundant_map(rng, dt=1.0)
+        m.imu_initialized = True   # merged gap would be 2 s > 0.5 s
+        self._cull(m)
+        assert m.n_kf == 7
+
+    def test_inertial_tight_spacing_culls_and_merges_chain(self):
+        rng = np.random.default_rng(0)
+        m = self._redundant_map(rng, dt=0.2)
+        m.imu_initialized = True   # merged gap 0.4 s <= 0.5 s: allowed
+        self._cull(m)
+        assert m.n_kf < 7
+        # the temporal chain stays connected with merged windows: walking
+        # kf_prev from the newest KF reaches KF 0, dTs summing to 1.2 s
+        k, total = 6, 0.0
+        while m.kf_prev[k] >= 0:
+            total += float(m.kf_pre_dT[k])
+            k = int(m.kf_prev[k])
+        assert k == 0
+        np.testing.assert_allclose(total, 1.2, atol=1e-5)
+
+
+def test_imu_dead_reckoning_through_texture_loss(sequence):
+    """While RECENTLY_LOST in an initialized inertial map the tracker keeps
+    emitting IMU-predicted poses (dead-reckoning) instead of dropping frames,
+    and re-acquires visually when texture returns (reference: Tracking's
+    RECENTLY_LOST rescue, Tracking.cc:2203-2240)."""
+    frames, traj = sequence
+    slam = System(CAM, IMU_MONOCULAR, enable_loop_closing=False)
+    n_blank = 4
+    blank_at = 42
+    blank = np.zeros_like(frames[0])
+    dead_poses, after = [], []
+    for i, img in enumerate(frames):
+        feed = blank if blank_at <= i < blank_at + n_blank else img
+        T = slam.track_monocular(feed, float(traj["ts"][i]),
+                                 imu=traj["windows"][i])
+        if blank_at <= i < blank_at + n_blank:
+            dead_poses.append(T)
+        elif i >= blank_at + n_blank:
+            after.append(T)
+    assert slam.map.imu_initialized, "IMU never initialized"
+    # every blank frame still produced a pose, via dead-reckoning
+    assert all(p is not None for p in dead_poses), \
+        f"dead-reckoning dropped {sum(p is None for p in dead_poses)}/{n_blank}"
+    # visual tracking re-acquires after the gap
+    assert sum(p is not None for p in after) > 0.7 * len(after)
+    # the whole trajectory -- including the dead-reckoned rows -- stays
+    # metrically consistent with ground truth (map world differs from the
+    # gt world by a rigid transform, so compare via Horn-aligned ATE)
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    blank_ts = [float(traj["ts"][blank_at + j]) for j in range(n_blank)]
+    assert all(any(abs(est_ts - bt) < 1e-6) for bt in blank_ts), \
+        "dead-reckoned frames missing from the trajectory"
+    rmse, n, scale = evaluate_ate.ate_rmse(
+        traj["ts"], traj["centers"], est_ts, est_xyz)
+    assert n > 0.8 * len(frames)
+    assert abs(scale - 1.0) < 0.12, f"metric scale off: {scale:.3f}"
+    assert rmse < 0.12, f"ATE {rmse:.4f} m with dead-reckoned gap"

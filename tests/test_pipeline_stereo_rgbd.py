@@ -86,3 +86,65 @@ def test_rgbd_end_to_end(world):
                                             with_scale=False)
     assert nn > 0.7 * n
     assert rmse < 0.04, f"rgbd ATE {rmse:.4f} m"
+
+
+class TestNeedNewKeyFrameC1c:
+    """Stereo/RGB-D keyframe-insertion close-point condition
+    (reference: bNeedToInsertClose + c1c, Tracking.cc:3674-3737)."""
+
+    def _tracker(self):
+        from orb_slam3_detailed_comments_tpu.mapping.mapstore import (
+            MapConfig, MapStore)
+        from orb_slam3_detailed_comments_tpu.pipeline.tracking import (
+            Tracker, TrackingConfig, SENSOR_STEREO, OK)
+        from orb_slam3_detailed_comments_tpu.pipeline import kernels
+        from orb_slam3_detailed_comments_tpu.ops.extractor import FrameFeatures
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        m = MapStore(MapConfig(max_kf=8, max_pt=512, n_feat=256))
+        N = 256
+        # one reference keyframe tracking 200 points
+        m.pt_xyz[:200] = rng.normal(0, 1, (200, 3)) + [0, 0, 5]
+        m.pt_valid[:200] = True
+        m.pt_ref_kf[:200] = 0
+        fp = np.full(N, -1, np.int32)
+        fp[:200] = np.arange(200)
+        m.add_keyframe(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                       0.0, 0, np.zeros((N, 2), np.float32),
+                       np.zeros((N, 2), np.float32), np.zeros(N, np.int32),
+                       np.zeros(N, np.float32), np.zeros((N, 8), np.uint32),
+                       np.ones(N, bool), fp)
+        tr = Tracker(CAM, m, TrackingConfig(ref_ratio=0.75),
+                     sensor=SENSOR_STEREO, bf=0.11 * CAM.fx, th_depth=35.0)
+        tr.state = OK
+        tr.ref_kf = 0
+        tr.frame_id = 2                 # well inside min/max frame windows
+        tr.last_kf_frame_id = 1
+        feat = FrameFeatures(
+            xy=jnp.zeros((N, 2)), level=jnp.zeros(N, jnp.int32),
+            angle=jnp.zeros(N), score=jnp.zeros(N),
+            desc=jnp.zeros((N, 8), jnp.uint32), valid=jnp.ones(N, bool))
+        tr.cur_prep = kernels.PreparedFrame(
+            feat=feat, xy_ud=jnp.zeros((N, 2)), xyn=jnp.zeros((N, 2)))
+        # frame still tracks 180/200 of the anchor's points: c2's decay
+        # branch (0.75 * 200 = 150) is NOT met
+        match = np.full(N, -1, np.int32)
+        match[:180] = np.arange(180)
+        tr.cur_match = match
+        return tr
+
+    def test_close_point_pressure_triggers(self):
+        tr = self._tracker()
+        # 100 close untracked features, tracked-close = 180?? no: depths —
+        # tracked features are FAR (beyond th_depth), untracked are CLOSE
+        depth = np.full(256, 100.0, np.float32)
+        depth[180:] = 1.0               # 76 close, none of them matched
+        tr.cur_depth = depth
+        assert tr._need_new_keyframe()
+
+    def test_no_pressure_no_insert(self):
+        tr = self._tracker()
+        depth = np.full(256, 100.0, np.float32)
+        depth[:120] = 1.0               # plenty of close points ARE tracked
+        tr.cur_depth = depth
+        assert not tr._need_new_keyframe()
