@@ -118,11 +118,16 @@ def integrate_step(state: Preintegrated, meas, calib: ImuCalib) -> Preintegrated
                          JRg, JVg, JVa, JPg, JPa, state.bg0, state.ba0)
 
 
+@jax.jit
 def integrate(accs: jnp.ndarray, gyros: jnp.ndarray, dts: jnp.ndarray,
               calib: ImuCalib, bg0=None, ba0=None,
               valid: jnp.ndarray = None) -> Preintegrated:
     """Integrate a padded measurement window [M, 3]x[M, 3]x[M] with a scan.
-    valid [M] masks padding (dt of padded entries should be 0 anyway)."""
+    valid [M] masks padding (dt of padded entries should be 0 anyway).
+
+    jitted at module level: an un-jitted lax.scan re-traces (and re-COMPILES)
+    on every call because the step closure is a fresh function object each
+    time — measured at 0.86 s of XLA compile per tracked frame."""
     state = init(bg0, ba0)
     if valid is None:
         valid = jnp.ones(dts.shape[0], bool)
@@ -152,11 +157,14 @@ def delta_position(pre: Preintegrated, bg, ba) -> jnp.ndarray:
     return pre.dP + pre.JPg @ (bg - pre.bg0) + pre.JPa @ (ba - pre.ba0)
 
 
+@jax.jit
 def merge(a: Preintegrated, b: Preintegrated) -> Preintegrated:
     """Concatenate two preintegrations (a then b) sharing a's bias.
 
     (reference: Preintegrated::MergePrevious, ImuTypes.cc:330). Used when a
-    keyframe between two others is culled. First-order in b's bias deltas.
+    keyframe between two others is culled, and per frame to extend the
+    since-keyframe window; jitted so the per-frame call is one dispatch.
+    First-order in b's bias deltas.
     """
     # re-express b at a's bias
     dRb = delta_rotation(b, a.bg0)
