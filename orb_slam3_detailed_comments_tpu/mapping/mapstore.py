@@ -394,6 +394,21 @@ class MapStore:
         order = np.argsort(-w[ids])
         return ids[order], w[ids][order]
 
+    def covisibility_batch(self, ks: np.ndarray, min_weight: int = 15
+                           ) -> list:
+        """covisibility() for several keyframes with ONE [K,P]@[P,n]
+        product instead of n matvecs. Returns [(ids, weights), ...]."""
+        inc = self.incidence()
+        W = inc.astype(np.int32) @ inc[np.asarray(ks, np.int64)].T
+        out = []
+        for j, k in enumerate(ks):
+            w = W[:, j]
+            w[int(k)] = 0
+            ids = np.where(w >= min_weight)[0]
+            order = np.argsort(-w[ids])
+            out.append((ids[order], w[ids][order]))
+        return out
+
     def covisibility_matrix(self) -> np.ndarray:
         """[K, K] shared-point counts (int32). Cached per map version; the
         [K, P] @ [P, K] product only spans the live keyframes."""

@@ -166,8 +166,8 @@ class LocalMapper:
         # + temporal prev/next for inertial maps, as the reference's extended
         # fuse window (LocalMapping.cc:923-960)
         seen = set(neighbors) | {k}
-        for b in list(neighbors):
-            sec, _ = m.covisibility(b, min_weight=15)
+        for sec, _ in m.covisibility_batch(np.asarray(neighbors),
+                                           min_weight=15):
             for s in (int(x) for x in sec[:5]):
                 if s not in seen:
                     neighbors.append(s)
