@@ -556,12 +556,16 @@ class Tracker:
         res = self._run_track(prep, T_pred, ids, safe, proj,
                               self.cfg.motion_radius,
                               proj_angle=ang_of_pt[safe])
-        n = int(res.n_inliers)
+        # one host transfer per stage: count inliers from the match array
+        # rather than syncing n_inliers separately (each sync is a device
+        # round trip)
+        match = np.asarray(res.match_pt)
+        n = int((match >= 0).sum())
         if n < self.cfg.min_inliers_mm:
             return False
         self.cur_T = SE3(res.T_cw_R, res.T_cw_t)
         self.cur_prep = prep
-        self.cur_match = np.asarray(res.match_pt)
+        self.cur_match = match
         return True
 
     def _track_reference_keyframe(self, prep, ts, fid) -> bool:
@@ -655,9 +659,6 @@ class Tracker:
         local_kfs = list(dict.fromkeys(list(local_kfs) + sorted(extra)))
         pt_ids = self.map.local_point_ids(np.asarray(local_kfs))
         ids, safe, proj = self._candidate_points(pt_ids, self.cur_T)
-        # visible counter update
-        vis_ids = ids[np.asarray(proj.visible) & (ids >= 0)]
-        self.map.pt_visible[vis_ids] += 1
         # widen the projection window right after relocalization or while
         # re-acquiring from RECENTLY_LOST, as the reference widens th 1->5
         # (recent reloc) / 15 (recently lost, IMU) in SearchLocalPoints
@@ -669,11 +670,16 @@ class Tracker:
             radius = max(radius, self.cfg.motion_radius)
         res = self._run_track(self.cur_prep, self.cur_T, ids, safe, proj,
                               radius, prior=self.cur_match)
-        n = int(res.n_inliers)
+        # visible counter update AFTER dispatching the match program, so the
+        # proj.visible transfer doesn't stall the device pipeline
+        vis_ids = ids[np.asarray(proj.visible) & (ids >= 0)]
+        self.map.pt_visible[vis_ids] += 1
+        match = np.asarray(res.match_pt)
+        n = int((match >= 0).sum())
         if n < self.cfg.min_inliers_local:
             return False
         self.cur_T = SE3(res.T_cw_R, res.T_cw_t)
-        self.cur_match = np.asarray(res.match_pt)
+        self.cur_match = match
         self._pose_inertial_refine()
         return True
 
