@@ -239,4 +239,7 @@ def test_async_loop_closure_with_racing_gba(loop_sequence):
     est_xyz = np.array([r[1:4] for r in rows])
     gt_xyz = synth_render.camera_centers(R_gt, t_gt)
     rmse, n, scale = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz)
-    assert rmse < 0.25, f"ATE {rmse:.3f} m over {n} poses (scale {scale:.3f})"
+    # bound is looser than the sync test's: where the racing GBA lands
+    # relative to tracking is scheduler-dependent (a late-landing or
+    # superseded GBA leaves pose-graph-only correction on some frames)
+    assert rmse < 0.30, f"ATE {rmse:.3f} m over {n} poses (scale {scale:.3f})"
