@@ -12,6 +12,7 @@ frames are independent and throughput (not single-frame latency) matters.
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import extractor
@@ -34,3 +35,45 @@ def make_batch_extractor(mesh: Mesh, cfg: extractor.OrbConfig,
         out_specs=P(axis),
         check_vma=False)
     return jax.jit(sharded)
+
+
+def make_batch_preparer(mesh: Mesh, cam, cfg: extractor.OrbConfig,
+                        axis: str = FRAME_AXIS):
+    """Like make_batch_extractor but produces full PreparedFrames (ORB +
+    undistortion + normalized coords) — the per-frame input of the tracker.
+    Backs System.track_monocular_batch: extraction (the dominant per-frame
+    device cost) fans out over the mesh while the inherently sequential
+    state machine consumes the prepared frames in order."""
+    from ..pipeline import kernels
+
+    def body(imgs):
+        return jax.vmap(lambda im: kernels.prepare_frame(im, cam, cfg))(imgs)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+_PREPARER_CACHE: dict = {}
+
+
+def prepare_frames(mesh: Mesh, cam, cfg: extractor.OrbConfig,
+                   imgs: np.ndarray):
+    """Batch-prepare a [B, H, W] frame stack over the mesh; returns a list
+    of B per-frame PreparedFrames. Pads B up to a multiple of the mesh size
+    with repeats and drops the tail."""
+    import jax.numpy as jnp
+    key = (mesh, cam, cfg)
+    fn = _PREPARER_CACHE.get(key)
+    if fn is None:   # a fresh closure per call would re-jit every time
+        fn = _PREPARER_CACHE[key] = make_batch_preparer(mesh, cam, cfg)
+    n = len(imgs)
+    d = mesh.devices.size
+    pad = (-n) % d
+    if pad:
+        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+    batched = fn(jnp.asarray(np.asarray(imgs), jnp.float32))
+    return [jax.tree.map(lambda a: a[i], batched) for i in range(n)]

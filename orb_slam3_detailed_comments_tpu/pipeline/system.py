@@ -159,6 +159,31 @@ class System:
         pose = self.tracker.track_monocular(img, ts, imu_meas=imu)
         return self._post_track(pose, ts)
 
+    def track_monocular_batch(self, imgs, stamps, imu_seq=None,
+                              mesh=None) -> list:
+        """Offline/bulk ingestion: fan ORB extraction out over a device mesh
+        (pure data parallelism — SURVEY §2.9 'frames fanned out per chip'),
+        then run the sequential tracking state machine over the prepared
+        frames. Returns [T_cw or None] per frame; identical output to
+        frame-by-frame track_monocular. mesh defaults to all local devices.
+
+        (No reference equivalent: the reference is strictly online. This is
+        the TPU-native throughput path for mapping recorded sequences.)"""
+        import jax
+        from jax.sharding import Mesh
+        from ..parallel import batch_extract
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), (batch_extract.FRAME_AXIS,))
+        preps = batch_extract.prepare_frames(
+            mesh, self.cam, self.tracker.orb_cfg, np.asarray(imgs))
+        out = []
+        for i, prep in enumerate(preps):
+            imu = None if imu_seq is None else imu_seq[i]
+            pose = self.tracker.track_prepared(prep, float(stamps[i]),
+                                               imu_meas=imu)
+            out.append(self._post_track(pose, float(stamps[i])))
+        return out
+
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      ts: float, imu=None) -> Optional[np.ndarray]:
         """(reference: System::TrackStereo, System.cc:277)"""

@@ -133,6 +133,13 @@ class Tracker:
                 jnp.asarray(img, jnp.float32), self.cam, self.orb_cfg)
         return self._track_frame(prep, None, ts, imu_meas)
 
+    def track_prepared(self, prep: kernels.PreparedFrame, ts: float,
+                       imu_meas=None) -> Optional[np.ndarray]:
+        """Track a pre-extracted monocular frame (see
+        parallel.batch_extract.prepare_frames: extraction fanned out over a
+        device mesh, the sequential state machine consuming the results)."""
+        return self._track_frame(prep, None, ts, imu_meas)
+
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      ts: float, imu_meas=None) -> Optional[np.ndarray]:
         """(reference: Tracking::GrabImageStereo, Tracking.cc:1523)"""

@@ -140,3 +140,35 @@ def test_batch_extract_sharded_matches_single(rng):
                                       np.asarray(ref.valid))
         np.testing.assert_allclose(np.asarray(out.xy[i]),
                                    np.asarray(ref.xy), atol=1e-5)
+
+
+def test_batch_ingest_matches_online_tracking(rng):
+    """System.track_monocular_batch (mesh-parallel extraction + sequential
+    state machine) must produce exactly the per-frame track_monocular
+    trajectory."""
+    from orb_slam3_detailed_comments_tpu.parallel import batch_extract
+    from orb_slam3_detailed_comments_tpu.pipeline.system import (
+        System, MONOCULAR)
+    from orb_slam3_detailed_comments_tpu.utils import synth_render
+    from orb_slam3_detailed_comments_tpu.models import cameras
+
+    mesh = _mesh(8, batch_extract.FRAME_AXIS)
+    cam = cameras.pinhole(fx=300.0, fy=300.0, cx=160.0, cy=120.0,
+                          width=320, height=240)
+    planes = synth_render.default_world(rng)
+    n = 20
+    R, t = synth_render.orbit_trajectory(n)
+    imgs = np.stack([synth_render.render_frame(cam, planes, R[i], t[i])
+                     for i in range(n)])
+    ts = np.arange(n) * 0.05
+
+    a = System(cam, MONOCULAR, enable_loop_closing=False)
+    online = [a.track_monocular(imgs[i], float(ts[i])) for i in range(n)]
+    b = System(cam, MONOCULAR, enable_loop_closing=False)
+    batch = b.track_monocular_batch(imgs, ts, mesh=mesh)
+
+    assert len(batch) == n
+    for i, (x, y) in enumerate(zip(online, batch)):
+        assert (x is None) == (y is None), i
+        if x is not None:
+            np.testing.assert_allclose(x, y, atol=1e-5), i
