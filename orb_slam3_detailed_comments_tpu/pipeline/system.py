@@ -449,6 +449,49 @@ class System:
             return np.asarray(sol.R), np.asarray(sol.t), match_pt, c
         return None
 
+    def warmup(self, n_frames: int = 14):
+        """Precompile the per-frame device programs before real data
+        arrives: track a short rendered synthetic sequence on a THROWAWAY
+        System with identical static configuration (camera statics, ORB
+        config, map capacities). jit caches are process-global and keyed on
+        those statics, so this instance's first real frames then hit warm
+        caches instead of paying ~tens of seconds of XLA compiles.
+
+        (no reference equivalent — XLA-specific serving concern)"""
+        from ..utils import synth_render
+        rng = np.random.default_rng(0)
+        planes = synth_render.default_world(rng, tex_size=600)
+        R, t = synth_render.orbit_trajectory(n_frames)
+        shadow = System(self.cam, self.sensor,
+                        imu_calib=(self.tracker.imu.calib
+                                   if self.tracker.imu else None),
+                        map_cfg=self.atlas.map_cfg,
+                        tracking_cfg=self.tracker.cfg,
+                        mapping_cfg=self.local_mapper.cfg,
+                        baseline=(self.tracker.bf / self.cam.fx
+                                  if self.tracker.bf else 0.0),
+                        enable_loop_closing=False)
+        dt = 1.0 / 10.0
+        for i in range(n_frames):
+            img = synth_render.render_frame(self.cam, planes, R[i], t[i])
+            imu = None
+            if self.inertial:
+                m = 20
+                tt = i * dt + np.arange(1, m + 1) * (dt / m)
+                imu = (np.tile([[0.0, 0.0, 9.81]], (m, 1)).astype(np.float32),
+                       np.zeros((m, 3), np.float32), tt)
+            if self.sensor in (STEREO, IMU_STEREO) and self.tracker.bf > 0:
+                b = self.tracker.bf / self.cam.fx
+                left, right = synth_render.render_stereo_pair(
+                    self.cam, planes, R[i], t[i], b)
+                shadow.track_stereo(left, right, i * dt, imu=imu)
+            elif self.sensor in (RGBD, IMU_RGBD):
+                depth = np.full_like(img, 5.0, dtype=np.float32)
+                shadow.track_rgbd(img, depth, i * dt)
+            else:
+                shadow.track_monocular(img, i * dt, imu=imu)
+        return self
+
     def shutdown(self):
         """(reference: System::Shutdown, System.cc:563 — waits for the
         mapping/loop threads to finish)"""

@@ -70,3 +70,35 @@ def test_mono_end_to_end(sequence):
     # trajectory is ~2.5 m long; require cm-level ATE after scale alignment
     assert n > 0.6 * len(frames)
     assert rmse < 0.05, f"ATE {rmse:.4f} m over {n} poses (scale {scale:.3f})"
+
+
+def test_warmup_precompiles_tracking(sequence):
+    """System.warmup() must leave the jit caches hot: a fresh System with
+    identical static config then tracks its first frames with ZERO new XLA
+    compilations (cold-start latency moved off the real-data path)."""
+    import logging
+    from orb_slam3_detailed_comments_tpu.pipeline.system import (
+        System, MONOCULAR)
+    frames, R, t = sequence
+    System(CAM, MONOCULAR, enable_loop_closing=False).warmup()
+
+    compiles = []
+    class H(logging.Handler):
+        def emit(self, rec):
+            m = rec.getMessage()
+            if "XLA compilation" in m:
+                compiles.append(m)
+    h = H()
+    logger = logging.getLogger("jax._src.dispatch")
+    import jax
+    jax.config.update("jax_log_compiles", True)
+    logger.addHandler(h)
+    try:
+        slam = System(CAM, MONOCULAR, enable_loop_closing=False)
+        for i in range(8):
+            slam.track_monocular(frames[i], i * 0.05)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logger.removeHandler(h)
+    assert not compiles, f"{len(compiles)} post-warmup compiles: " \
+                         f"{[c[:90] for c in compiles[:4]]}"
