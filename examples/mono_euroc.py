@@ -38,8 +38,8 @@ def main():
             slam.change_dataset()
         paths, ts = datasets.load_euroc_images(seq)
         print(f"[seq {si}] {len(paths)} frames in {seq}")
-        for i, (p, t) in enumerate(zip(paths, ts)):
-            img = datasets.read_gray(p)
+        frames = datasets.prefetch_gray(paths)
+        for i, (img, t) in enumerate(zip(frames, ts)):
             t0 = time.perf_counter()
             slam.track_monocular(img, float(t))
             t_track.append(time.perf_counter() - t0)

@@ -55,8 +55,9 @@ def main():
 
     t_track = []
     t_prev = ts[0]
-    for i, (p, t) in enumerate(zip(paths, ts)):
-        img = equalize(datasets.read_gray(p))
+    frames = datasets.prefetch_gray(paths)
+    for i, (img, t) in enumerate(zip(frames, ts)):
+        img = equalize(img)
         lo, hi = datasets.imu_between(imu_ts, t_prev, t)
         window = (acc[lo:hi], gyro[lo:hi], imu_ts[lo:hi]) if hi > lo else None
         t0 = time.perf_counter()

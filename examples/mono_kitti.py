@@ -32,8 +32,7 @@ def main():
     n = min(len(lp), len(ts))
     print(f"{n} frames in {seq}")
     t_track = []
-    for i in range(n):
-        img = datasets.read_gray(lp[i])
+    for i, img in enumerate(datasets.prefetch_gray(lp[:n])):
         t0 = time.perf_counter()
         slam.track_monocular(img, float(ts[i]))
         t_track.append(time.perf_counter() - t0)

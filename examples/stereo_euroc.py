@@ -39,9 +39,9 @@ def main():
     n = min(len(lp), len(rp))
     print(f"{n} stereo pairs in {seq}")
     t_track = []
-    for i in range(n):
-        l = datasets.read_gray(lp[i])
-        r = datasets.read_gray(rp[i])
+    lf = datasets.prefetch_gray(lp[:n])
+    rf = datasets.prefetch_gray(rp[:n])
+    for i, (l, r) in enumerate(zip(lf, rf)):
         if maps_l is not None:
             l = config.rectify(l, maps_l)
             r = config.rectify(r, maps_r)

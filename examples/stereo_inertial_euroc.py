@@ -46,9 +46,9 @@ def main():
 
     t_track = []
     t_prev = ts[0]
-    for i, (pl, pr, t) in enumerate(zip(paths_l, paths_r, ts)):
-        img_l = datasets.read_gray(pl)
-        img_r = datasets.read_gray(pr)
+    lf = datasets.prefetch_gray(paths_l)
+    rf = datasets.prefetch_gray(paths_r)
+    for i, (img_l, img_r, t) in enumerate(zip(lf, rf, ts)):
         lo, hi = datasets.imu_between(imu_ts, t_prev, t)
         window = (acc[lo:hi], gyro[lo:hi], imu_ts[lo:hi]) if hi > lo else None
         t0 = time.perf_counter()

@@ -31,9 +31,9 @@ def main():
     n = min(len(lp), len(rp), len(ts))
     print(f"{n} stereo pairs in {seq}")
     t_track = []
-    for i in range(n):
-        l = datasets.read_gray(lp[i])
-        r = datasets.read_gray(rp[i])
+    lf = datasets.prefetch_gray(lp[:n])
+    rf = datasets.prefetch_gray(rp[:n])
+    for i, (l, r) in enumerate(zip(lf, rf)):
         t0 = time.perf_counter()
         slam.track_stereo(l, r, float(ts[i]))
         t_track.append(time.perf_counter() - t0)

@@ -105,3 +105,34 @@ def read_depth(path: str, factor: float = 5000.0) -> np.ndarray:
     if d is None:
         raise FileNotFoundError(path)
     return d.astype(np.float32) / factor
+
+
+def prefetch_gray(paths, depth: int = 4):
+    """Yield grayscale frames for `paths` with disk reads running on a
+    background thread (bounded queue), so image decode overlaps tracking.
+    The reference's mains read synchronously between frames
+    (mono_euroc.cc:139); on a paced TPU pipeline the decode would otherwise
+    sit on the critical path."""
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    STOP = object()
+
+    def worker():
+        try:
+            for p in paths:
+                q.put(read_gray(p))
+        except BaseException as e:          # surface errors at the consumer
+            q.put(e)
+            return
+        q.put(STOP)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is STOP:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
