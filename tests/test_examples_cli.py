@@ -1,0 +1,113 @@
+"""The dataset CLIs end-to-end against tiny on-disk synthetic datasets in
+the reference's directory layouts (EuRoC mav0, TUM RGB-D). Locks in the
+loader + settings-yaml + System wiring that real-dataset users hit first.
+
+(reference: Examples/Monocular/mono_euroc.cc, Examples/RGB-D/rgbd_tum.cc)"""
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+from orb_slam3_detailed_comments_tpu.models import cameras
+from orb_slam3_detailed_comments_tpu.utils import evaluate_ate, synth_render
+
+# the standard test camera/ORB shapes: other suite modules compile the same
+# jit programs, so these CLI tests hit warm caches under one pytest process
+CAM = cameras.pinhole(fx=458.0, fy=457.0, cx=376.0, cy=240.0,
+                      width=752, height=480)
+YAML = """%YAML:1.0
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: 458.0
+Camera1.fy: 457.0
+Camera1.cx: 376.0
+Camera1.cy: 240.0
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20
+{extra}ORBextractor.nFeatures: 1024
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _render_seq(n=16):
+    rng = np.random.default_rng(4)
+    planes = synth_render.default_world(rng)
+    R, t = synth_render.orbit_trajectory(n)
+    return planes, R, t
+
+
+def _run_cli(script, argv):
+    old = sys.argv
+    sys.argv = [script] + argv
+    try:
+        runpy.run_path(os.path.join(REPO, script), run_name="__main__")
+    except SystemExit as e:     # the mains sys.exit(main())
+        assert not e.code, f"{script} exited with {e.code}"
+    finally:
+        sys.argv = old
+
+
+def test_mono_euroc_cli(tmp_path):
+    import cv2
+    planes, R, t = _render_seq()
+    n = len(R)
+    d = tmp_path / "mav0" / "cam0" / "data"
+    d.mkdir(parents=True)
+    for i in range(n):
+        img = np.asarray(synth_render.render_frame(CAM, planes, R[i], t[i]))
+        cv2.imwrite(str(d / f"{int(1e9 * (1 + i * 0.05))}.png"),
+                    np.clip(img, 0, 255).astype(np.uint8))
+    y = tmp_path / "s.yaml"
+    y.write_text(YAML.format(extra=""))
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/mono_euroc.py", [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.6 * n and rows.shape[1] == 8
+    ts = 1 + np.arange(n) * 0.05
+    gt = synth_render.camera_centers(R, t)
+    rmse, npair, scale = evaluate_ate.ate_rmse(ts, gt, rows[:, 0],
+                                               rows[:, 1:4])
+    assert rmse < 0.05, f"mono CLI ATE {rmse:.3f} m (scale {scale:.2f})"
+
+
+def test_rgbd_tum_cli(tmp_path):
+    import cv2
+    planes, R, t = _render_seq()
+    n = len(R)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    rgb_l, d_l = [], []
+    for i in range(n):
+        img = np.asarray(synth_render.render_frame(CAM, planes, R[i], t[i]))
+        depth = np.asarray(synth_render.render_depth(CAM, planes, R[i], t[i]))
+        ts = 1.0 + i * 0.05
+        cv2.imwrite(str(tmp_path / "rgb" / f"{ts:.6f}.png"),
+                    np.clip(img, 0, 255).astype(np.uint8))
+        cv2.imwrite(str(tmp_path / "depth" / f"{ts:.6f}.png"),
+                    np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
+        rgb_l.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+        d_l.append(f"{ts:.6f} depth/{ts:.6f}.png")
+    (tmp_path / "rgb.txt").write_text("# ts f\n" + "\n".join(rgb_l) + "\n")
+    (tmp_path / "depth.txt").write_text("# ts f\n" + "\n".join(d_l) + "\n")
+    y = tmp_path / "s.yaml"
+    y.write_text(YAML.format(
+        extra="RGBD.DepthMapFactor: 5000.0\nStereo.ThDepth: 40.0\n"
+              "Stereo.b: 0.08\n"))
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/rgbd_tum.py", [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.8 * n
+    ts = 1 + np.arange(n) * 0.05
+    gt = synth_render.camera_centers(R, t)
+    rmse, npair, scale = evaluate_ate.ate_rmse(ts, gt, rows[:, 0],
+                                               rows[:, 1:4])
+    # depth makes it metric: Horn scale must be ~1 without correction
+    assert abs(scale - 1.0) < 0.05, scale
+    assert rmse < 0.05, f"rgbd CLI ATE {rmse:.3f} m"
