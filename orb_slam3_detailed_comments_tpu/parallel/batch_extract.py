@@ -61,19 +61,29 @@ _PREPARER_CACHE: dict = {}
 
 
 def prepare_frames(mesh: Mesh, cam, cfg: extractor.OrbConfig,
-                   imgs: np.ndarray):
-    """Batch-prepare a [B, H, W] frame stack over the mesh; returns a list
-    of B per-frame PreparedFrames. Pads B up to a multiple of the mesh size
-    with repeats and drops the tail."""
+                   imgs, block_multiple: int = 2):
+    """Batch-prepare frames over the mesh; returns a list of per-frame
+    PreparedFrames. Processes in fixed-size blocks of
+    `block_multiple * mesh size` frames (last block padded with repeats):
+    the block shape is constant, so exactly ONE program compiles regardless
+    of sequence length, and host/device memory stays bounded — a whole
+    EuRoC sequence as one [3600, H, W] upload would OOM HBM and recompile
+    per distinct length."""
     import jax.numpy as jnp
     key = (mesh, cam, cfg)
     fn = _PREPARER_CACHE.get(key)
     if fn is None:   # a fresh closure per call would re-jit every time
         fn = _PREPARER_CACHE[key] = make_batch_preparer(mesh, cam, cfg)
     n = len(imgs)
-    d = mesh.devices.size
-    pad = (-n) % d
-    if pad:
-        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
-    batched = fn(jnp.asarray(np.asarray(imgs), jnp.float32))
-    return [jax.tree.map(lambda a: a[i], batched) for i in range(n)]
+    block = block_multiple * mesh.devices.size
+    out = []
+    for s in range(0, n, block):
+        chunk = np.asarray(imgs[s:s + block], np.float32)
+        pad = block - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+        batched = fn(jnp.asarray(chunk))
+        out.extend(jax.tree.map(lambda a: a[i], batched)
+                   for i in range(min(block, n - s)))
+    return out

@@ -174,8 +174,10 @@ class System:
         from ..parallel import batch_extract
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (batch_extract.FRAME_AXIS,))
-        preps = batch_extract.prepare_frames(
-            mesh, self.cam, self.tracker.orb_cfg, np.asarray(imgs))
+        from ..utils import timing
+        with timing.span("ORB extraction"):   # amortized batch prepare
+            preps = batch_extract.prepare_frames(
+                mesh, self.cam, self.tracker.orb_cfg, np.asarray(imgs))
         out = []
         for i, prep in enumerate(preps):
             imu = None if imu_seq is None else imu_seq[i]
@@ -462,6 +464,9 @@ class System:
         rng = np.random.default_rng(0)
         planes = synth_render.default_world(rng, tex_size=600)
         R, t = synth_render.orbit_trajectory(n_frames)
+        T_c1c2 = (None if self.tracker.T_rl is None
+                  else np.linalg.inv(np.asarray(self.tracker.T_rl,
+                                                np.float64)).astype(np.float32))
         shadow = System(self.cam, self.sensor,
                         imu_calib=(self.tracker.imu.calib
                                    if self.tracker.imu else None),
@@ -470,25 +475,48 @@ class System:
                         mapping_cfg=self.local_mapper.cfg,
                         baseline=(self.tracker.bf / self.cam.fx
                                   if self.tracker.bf else 0.0),
+                        th_depth=(self.tracker.th_depth * self.cam.fx
+                                  / self.tracker.bf
+                                  if self.tracker.bf else 35.0),
+                        camera2=self.tracker.cam2, T_c1c2=T_c1c2,
                         enable_loop_closing=False)
         dt = 1.0 / 10.0
+        from ..models import cameras as cam_mod
+
+        def render(cam, R_cw, t_cw):
+            # the homography renderer assumes a pinhole; fisheye needs rays
+            if cam.kind == cam_mod.PINHOLE:
+                return synth_render.render_frame(cam, planes, R_cw, t_cw)
+            return synth_render.render_frame_raycast(cam, planes, R_cw, t_cw)
+
         for i in range(n_frames):
-            img = synth_render.render_frame(self.cam, planes, R[i], t[i])
             imu = None
-            if self.inertial:
+            if self.inertial and i > 0:
+                # the contract is samples in (t_prev, t] (see _preintegrate)
                 m = 20
-                tt = i * dt + np.arange(1, m + 1) * (dt / m)
+                tt = (i - 1) * dt + np.arange(1, m + 1) * (dt / m)
                 imu = (np.tile([[0.0, 0.0, 9.81]], (m, 1)).astype(np.float32),
                        np.zeros((m, 3), np.float32), tt)
             if self.sensor in (STEREO, IMU_STEREO) and self.tracker.bf > 0:
-                b = self.tracker.bf / self.cam.fx
-                left, right = synth_render.render_stereo_pair(
-                    self.cam, planes, R[i], t[i], b)
+                if self.tracker.cam2 is not None:
+                    # two-camera rig: render the right eye at its true pose
+                    left = render(self.cam, R[i], t[i])
+                    T_rl = np.asarray(self.tracker.T_rl, np.float64)
+                    R_r = (T_rl[:3, :3] @ R[i]).astype(np.float32)
+                    t_r = (T_rl[:3, :3] @ t[i] + T_rl[:3, 3]).astype(np.float32)
+                    right = render(self.tracker.cam2, R_r, t_r)
+                else:
+                    b = self.tracker.bf / self.cam.fx
+                    left, right = synth_render.render_stereo_pair(
+                        self.cam, planes, R[i], t[i], b)
                 shadow.track_stereo(left, right, i * dt, imu=imu)
             elif self.sensor in (RGBD, IMU_RGBD):
-                depth = np.full_like(img, 5.0, dtype=np.float32)
-                shadow.track_rgbd(img, depth, i * dt)
+                img = render(self.cam, R[i], t[i])
+                depth = np.asarray(synth_render.render_depth(
+                    self.cam, planes, R[i], t[i]))
+                shadow.track_rgbd(img, depth, i * dt, imu=imu)
             else:
+                img = render(self.cam, R[i], t[i])
                 shadow.track_monocular(img, i * dt, imu=imu)
         return self
 

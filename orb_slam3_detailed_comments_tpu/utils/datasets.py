@@ -117,22 +117,36 @@ def prefetch_gray(paths, depth: int = 4):
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     STOP = object()
+    stop = threading.Event()   # consumer closed early: let the worker exit
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for p in paths:
-                q.put(read_gray(p))
+                if not _put(read_gray(p)):
+                    return
         except BaseException as e:          # surface errors at the consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(STOP)
+        _put(STOP)
 
     th = threading.Thread(target=worker, daemon=True)
     th.start()
-    while True:
-        item = q.get()
-        if item is STOP:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is STOP:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()   # unblock + terminate the worker on early close
