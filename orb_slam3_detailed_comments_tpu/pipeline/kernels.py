@@ -133,6 +133,14 @@ class ProjectedPoints(NamedTuple):
     visible: jnp.ndarray   # [P] frustum + scale + view-angle gate
 
 
+@jax.jit
+def gather_matched_rows(pt_xyz: jnp.ndarray, safe_ids: jnp.ndarray,
+                        inv_sigma2: jnp.ndarray, level: jnp.ndarray):
+    """(pt_xyz[safe_ids], inv_sigma2[level]) in one dispatch — feeds the
+    inertial pose refinement without per-frame eager gathers."""
+    return pt_xyz[safe_ids], inv_sigma2[level]
+
+
 @partial(jax.jit, static_argnames=("cam", "scale", "n_levels"))
 def gather_and_project(T_cw: SE3, ids: jnp.ndarray,
                        pt_xyz: jnp.ndarray, pt_normal: jnp.ndarray,

@@ -711,14 +711,16 @@ class Tracker:
         prep = self.cur_prep
         g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
         dp = m.device_points()
+        X, w = kernels.gather_matched_rows(
+            dp["xyz"], jnp.asarray(safe, jnp.int32),
+            self.inv_sigma2, prep.feat.level)
         res = pose_opt.pose_inertial_optimization(
             self.cur_T, jnp.asarray(self.imu.v_w),
             jnp.asarray(R_wb_a.astype(np.float32)),
             jnp.asarray(p_a.astype(np.float32)),
             jnp.asarray(m.kf_vel[k]), jnp.asarray(m.kf_bg[k]),
             jnp.asarray(m.kf_ba[k]), self.imu.pre_since_kf,
-            dp["xyz"][jnp.asarray(safe, jnp.int32)], prep.xy_ud,
-            self.inv_sigma2[prep.feat.level],
+            X, prep.xy_ud, w,
             jnp.asarray(has) & prep.feat.valid, self.cam,
             gravity=jnp.asarray(g),
             R_cb=jnp.asarray(R_bc.T), t_cb=jnp.asarray(-R_bc.T @ t_bc))
