@@ -41,16 +41,19 @@ def _solve_damped(H, g, lam):
     return y * E
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_sim3_graph(R0: jnp.ndarray, t0: jnp.ndarray, s0: jnp.ndarray,
                         edge_i: jnp.ndarray, edge_j: jnp.ndarray,
                         edge_R: jnp.ndarray, edge_t: jnp.ndarray,
                         edge_s: jnp.ndarray, edge_w: jnp.ndarray,
-                        fixed: jnp.ndarray, iters: int = 12) -> PoseGraphResult:
+                        fixed: jnp.ndarray, iters: int = 12,
+                        fix_scale: bool = False) -> PoseGraphResult:
     """States S_k = (R0[k], t0[k], s0[k]) world->keyframe similarities.
     Edges carry the measured relative similarity m_ij = S_i S_j^-1 (at
     measurement time) with weight edge_w. fixed [K] holds keyframes constant
-    (the loop anchor)."""
+    (the loop anchor). fix_scale holds every s_k at its input value — the
+    SE3 essential graph for metric (stereo/RGB-D) maps (reference:
+    VertexSim3Expmap::_fix_scale via OptimizeEssentialGraph's bFixScale)."""
     K = R0.shape[0]
     E = edge_i.shape[0]
     D = 7
@@ -101,6 +104,11 @@ def optimize_sim3_graph(R0: jnp.ndarray, t0: jnp.ndarray, s0: jnp.ndarray,
         H = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
             jnp.eye(D) * (~free)[:, None, None].astype(H.dtype))
         g = g * fm[:, None]
+        if fix_scale:   # zero the sigma DOF rows/cols, keep H invertible
+            dofm = jnp.ones(D).at[6].set(0.0)
+            H = H * dofm[None, :, None, None] * dofm[None, None, None, :]
+            H = H.at[jnp.arange(K), 6, jnp.arange(K), 6].add(1.0)
+            g = g * dofm[None, :]
 
         dx = _solve_damped(H.reshape(K * D, K * D), g.reshape(-1), lam)
         dx = dx.reshape(K, D) * fm[:, None]

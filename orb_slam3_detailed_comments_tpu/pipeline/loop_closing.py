@@ -42,6 +42,10 @@ class LoopClosingConfig:
                                   # exclusion only) — a hard gap suppresses
                                   # the small drift-correcting closures that
                                   # keep long panning sequences on track
+    fix_scale: bool = False       # stereo/RGB-D (metric depth): solve SE3,
+                                  # s=1 (reference: Sim3Solver bFixScale,
+                                  # LoopClosing.cc mbFixScale for
+                                  # STEREO/RGBD/IMU_STEREO/IMU_RGBD)
     covis_edge_min_weight: int = 100  # essential-graph covis edges
     run_global_ba: bool = True
     gba_iters: int = 10
@@ -222,7 +226,8 @@ class LoopCloser:
                 jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
                 jnp.asarray(eRp), jnp.asarray(etp),
                 jnp.asarray(esp, jnp.float32), jnp.asarray(ewp, jnp.float32),
-                jnp.asarray(fixedp), iters=15)
+                jnp.asarray(fixedp), iters=15,
+                fix_scale=self.cfg.fix_scale)
 
         # apply: correct map points through their reference KF's correction
         # (reference: CorrectLoop's eigSwc-based point update)
@@ -454,7 +459,8 @@ def verify_sim3_pair(mk: MapStore, k: int, mc: MapStore, c: int,
         jnp.asarray(padarr(mc.kf_feat_xyn[c][fc])),
         jax.random.PRNGKey(k * 977 + c),
         focal=float(cam.fx),
-        min_inliers=cfg.min_sim3_inliers)
+        min_inliers=cfg.min_sim3_inliers,
+        fix_scale=cfg.fix_scale)
     if not bool(s3.ok):
         return None
     # inertial maps are metric: a Sim3 whose scale strays from 1 is spurious

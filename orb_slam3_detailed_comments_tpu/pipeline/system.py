@@ -146,7 +146,12 @@ class System:
         from .loop_closing import LoopClosingConfig
         self.loop_closer = LoopCloser(
             self.map, self.cam, self.kfdb,
-            LoopClosingConfig(async_gba=self._async))
+            LoopClosingConfig(
+                async_gba=self._async,
+                # metric-depth sensors: loop/merge Sim3 solved at s=1
+                # (reference: mbFixScale for STEREO/RGBD/IMU_STEREO/IMU_RGBD)
+                fix_scale=self.sensor in (STEREO, RGBD, IMU_STEREO,
+                                          IMU_RGBD)))
         # in async mode the post-closure global BA races tracking on its
         # own thread (reference: mpThreadGBA) and applies under the map lock
         self.loop_closer.map_lock = self.map_lock

@@ -94,6 +94,25 @@ class TestSim3Graph:
             jnp.ones(len(p["ei"]), jnp.float32), jnp.asarray(p["fixed"]), iters=5)
         np.testing.assert_allclose(np.asarray(res.t), p["te"], atol=2e-2)
 
+    def test_fix_scale_holds_metric_scale(self, rng):
+        """Metric (stereo/RGB-D) maps must close loops without touching
+        scale (reference: OptimizeEssentialGraph bFixScale)."""
+        p = make_loop_problem(rng, drift_s=1.0)   # pure rigid drift
+        res = pose_graph.optimize_sim3_graph(
+            jnp.asarray(p["Re"]), jnp.asarray(p["te"]), jnp.asarray(p["se"]),
+            jnp.asarray(p["ei"]), jnp.asarray(p["ej"]),
+            jnp.asarray(p["eR"]), jnp.asarray(p["et"]), jnp.asarray(p["es"]),
+            jnp.ones(len(p["ei"]), jnp.float32),
+            jnp.asarray(p["fixed"]), iters=20, fix_scale=True)
+        # every scale EXACTLY at its input value
+        np.testing.assert_array_equal(np.asarray(res.s), p["se"])
+        pre_err = np.linalg.norm(centers(p["Re"], p["te"], p["se"])
+                                 - centers(p["Rg"], p["tg"]), axis=1)
+        post = centers(np.asarray(res.R), np.asarray(res.t), np.asarray(res.s))
+        post_err = np.linalg.norm(post - centers(p["Rg"], p["tg"]), axis=1)
+        assert post_err.max() < 0.3 * pre_err.max(), (pre_err.max(),
+                                                      post_err.max())
+
 
 class Test4DoFGraph:
     def test_corrects_yaw_drift(self, rng):
