@@ -168,15 +168,38 @@ class MapStore:
         upload then serves every tracking step until the next keyframe.
         """
         import jax.numpy as jnp
-        if getattr(self, "_dev_pts_v", -1) != self.version:
-            self._dev_pts = dict(
-                xyz=jnp.asarray(self.pt_xyz),
-                desc=jnp.asarray(self.pt_desc),
-                normal=jnp.asarray(self.pt_normal),
-                min_dist=jnp.asarray(self.pt_min_dist),
-                max_dist=jnp.asarray(self.pt_max_dist),
-                valid=jnp.asarray(self.pt_valid))
-            self._dev_pts_v = self.version
+        if getattr(self, "_dev_pts_v", -1) == self.version:
+            return self._dev_pts
+        names = [("xyz", "pt_xyz"), ("desc", "pt_desc"),
+                 ("normal", "pt_normal"), ("min_dist", "pt_min_dist"),
+                 ("max_dist", "pt_max_dist"), ("valid", "pt_valid")]
+        snap = getattr(self, "_dev_pts_snap", None)
+        P = len(self.pt_valid)
+        if snap is None or len(snap["valid"]) != P:
+            # first upload, or capacity grew: ship everything
+            self._dev_pts = {k: jnp.asarray(getattr(self, a))
+                             for k, a in names}
+        else:
+            # a keyframe event typically touches a few hundred of the 16k+
+            # rows; transfer only those (the tunnel's upload bandwidth is
+            # the scarce resource, ~1 MB for a full point-array refresh)
+            changed = np.zeros(P, bool)
+            for k, a in names:
+                diff = getattr(self, a) != snap[k]
+                changed |= diff.reshape(P, -1).any(axis=1)
+            rows = np.where(changed)[0]
+            if len(rows) > 0.3 * P:
+                self._dev_pts = {k: jnp.asarray(getattr(self, a))
+                                 for k, a in names}
+            elif len(rows):
+                idx = jnp.asarray(rows, jnp.int32)
+                self._dev_pts = {
+                    k: self._dev_pts[k].at[idx].set(
+                        jnp.asarray(getattr(self, a)[rows]))
+                    for k, a in names}
+            # else: nothing changed, keep the device arrays as they are
+        self._dev_pts_snap = {k: getattr(self, a).copy() for k, a in names}
+        self._dev_pts_v = self.version
         return self._dev_pts
 
     # ---- keyframe insertion ---------------------------------------------

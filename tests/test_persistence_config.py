@@ -397,3 +397,38 @@ class TestResumeLocalization:
                 ok += 1
         assert ok >= 5, f"only {ok}/10 frames localized against the loaded map"
         assert slam2.map.n_kf == n_kf_before   # map frozen
+
+
+class TestDevicePointCache:
+    def test_delta_uploads_match_host(self, rng):
+        """device_points() must always mirror the host arrays exactly,
+        through row edits (delta .at[rows].set path), bulk edits (full
+        re-upload path), and capacity growth."""
+        m = tiny_map(rng)
+        d0 = m.device_points()
+        for k, a in [("xyz", "pt_xyz"), ("desc", "pt_desc"),
+                     ("valid", "pt_valid")]:
+            np.testing.assert_array_equal(np.asarray(d0[k]), getattr(m, a))
+        # small edit -> delta path
+        m.pt_xyz[3] = [9.0, 9.0, 9.0]
+        m.pt_valid[17] = True
+        m.pt_desc[17] = 7
+        m.version += 1
+        d1 = m.device_points()
+        np.testing.assert_array_equal(np.asarray(d1["xyz"]), m.pt_xyz)
+        np.testing.assert_array_equal(np.asarray(d1["valid"]), m.pt_valid)
+        np.testing.assert_array_equal(np.asarray(d1["desc"]), m.pt_desc)
+        # no change + version bump -> cache kept, still equal
+        m.version += 1
+        d2 = m.device_points()
+        np.testing.assert_array_equal(np.asarray(d2["xyz"]), m.pt_xyz)
+        # bulk edit (>30% rows) -> full re-upload path
+        m.pt_xyz[:] = rng.normal(0, 1, m.pt_xyz.shape).astype(np.float32)
+        m.version += 1
+        d3 = m.device_points()
+        np.testing.assert_array_equal(np.asarray(d3["xyz"]), m.pt_xyz)
+        # capacity growth -> fresh upload at the new shape
+        m.grow(grow_pt=True)
+        d4 = m.device_points()
+        assert len(np.asarray(d4["valid"])) == m.cfg.max_pt
+        np.testing.assert_array_equal(np.asarray(d4["xyz"]), m.pt_xyz)
