@@ -192,10 +192,16 @@ class MapStore:
                 self._dev_pts = {k: jnp.asarray(getattr(self, a))
                                  for k, a in names}
             elif len(rows):
-                idx = jnp.asarray(rows, jnp.int32)
+                # pad the row list to a bucket so the scatter compiles once
+                # per bucket, not once per distinct row count; duplicated
+                # indices carry identical values, so the set is well-defined
+                B = 256 * int(np.ceil(len(rows) / 256))
+                rows_p = np.concatenate(
+                    [rows, np.full(B - len(rows), rows[0], rows.dtype)])
+                idx = jnp.asarray(rows_p, jnp.int32)
                 self._dev_pts = {
                     k: self._dev_pts[k].at[idx].set(
-                        jnp.asarray(getattr(self, a)[rows]))
+                        jnp.asarray(getattr(self, a)[rows_p]))
                     for k, a in names}
             # else: nothing changed, keep the device arrays as they are
         self._dev_pts_snap = {k: getattr(self, a).copy() for k, a in names}

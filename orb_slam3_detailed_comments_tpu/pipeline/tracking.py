@@ -497,8 +497,10 @@ class Tracker:
         z = self.cur_depth[idx]
         xyn = np.asarray(prep.xyn)[idx]
         Xc = np.stack([xyn[:, 0] * z, xyn[:, 1] * z, z], 1).astype(np.float32)
-        T_wc = SE3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k])).inverse()
-        Xw = np.asarray(T_wc.apply(jnp.asarray(Xc)))
+        # host math: Xc has a data-dependent length, and a device op per
+        # distinct length compiles a fresh tiny XLA program (compile leak)
+        R_cw, t_cw = m.kf_R[k], m.kf_t[k]
+        Xw = ((Xc - t_cw) @ R_cw).astype(np.float32)   # R_cw^T (Xc - t)
         try:
             pids = m.add_points(Xw, np.asarray(prep.feat.desc)[idx], ref_kf=k)
         except RuntimeError:
