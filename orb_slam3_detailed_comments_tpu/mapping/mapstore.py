@@ -23,6 +23,23 @@ import numpy as np
 
 NO_POINT = -1
 
+_DELTA_FN = None
+
+
+def _delta_update(dev: dict, idx, new_rows: dict) -> dict:
+    """All per-array row scatters of a device-cache delta in ONE jitted
+    dispatch (module-level cache: a fresh closure per call would re-trace)."""
+    global _DELTA_FN
+    if _DELTA_FN is None:
+        import jax
+
+        @jax.jit
+        def f(dev, idx, new_rows):
+            return {k: v.at[idx].set(new_rows[k]) for k, v in dev.items()}
+
+        _DELTA_FN = f
+    return _DELTA_FN(dev, idx, new_rows)
+
 
 @dataclass
 class MapConfig:
@@ -198,11 +215,10 @@ class MapStore:
                 B = 256 * int(np.ceil(len(rows) / 256))
                 rows_p = np.concatenate(
                     [rows, np.full(B - len(rows), rows[0], rows.dtype)])
-                idx = jnp.asarray(rows_p, jnp.int32)
-                self._dev_pts = {
-                    k: self._dev_pts[k].at[idx].set(
-                        jnp.asarray(getattr(self, a)[rows_p]))
-                    for k, a in names}
+                new_rows = {k: jnp.asarray(getattr(self, a)[rows_p])
+                            for k, a in names}
+                self._dev_pts = _delta_update(
+                    self._dev_pts, jnp.asarray(rows_p, jnp.int32), new_rows)
             # else: nothing changed, keep the device arrays as they are
         self._dev_pts_snap = {k: getattr(self, a).copy() for k, a in names}
         self._dev_pts_v = self.version
