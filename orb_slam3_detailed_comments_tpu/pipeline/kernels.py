@@ -257,6 +257,26 @@ class TriangulationResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("focal",))
+def search_and_triangulate_batch(T_a: SE3, T_bs: SE3,
+                                 desc_a, xyn_a, level_a, free_a,
+                                 desc_bs, xyn_bs, level_bs, free_bs,
+                                 inv_sigma2_a, inv_sigma2_bs,
+                                 focal: float = 460.0) -> TriangulationResult:
+    """search_and_triangulate against B neighbor keyframes in ONE program:
+    T_bs/desc_bs/... carry a leading [B] axis (pad unused slots with
+    free_bs = all-False). Replaces one device dispatch per covisible
+    neighbor (10-20 per keyframe event) with a single vmapped dispatch;
+    the host still claims features in neighbor order afterwards."""
+    def one(T_b, desc_b, xyn_b, level_b, free_b, inv_s2_b):
+        return search_and_triangulate(
+            T_a, T_b, desc_a, xyn_a, level_a, free_a,
+            desc_b, xyn_b, level_b, free_b,
+            inv_sigma2_a, inv_s2_b, focal=focal)
+    return jax.vmap(one)(T_bs, desc_bs, xyn_bs, level_bs, free_bs,
+                         inv_sigma2_bs)
+
+
+@partial(jax.jit, static_argnames=("focal",))
 def search_and_triangulate(T_a: SE3, T_b: SE3,
                            desc_a, xyn_a, level_a, free_a,
                            desc_b, xyn_b, level_b, free_b,

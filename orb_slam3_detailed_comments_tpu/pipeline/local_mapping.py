@@ -111,9 +111,10 @@ class LocalMapper:
         free_a = m.kf_feat_valid[k] & (m.kf_feat_point[k] == NO_POINT)
         ca = -m.kf_R[k].T @ m.kf_t[k]
 
+        # host-side baseline/parallax precheck per neighbor
+        keep = []
         for b in neighbors:
             b = int(b)
-            # baseline check: skip neighbors too close for parallax
             cb = -m.kf_R[b].T @ m.kf_t[b]
             baseline = np.linalg.norm(ca - cb)
             pts_b = m.kf_feat_point[b][m.kf_feat_point[b] >= 0]
@@ -122,32 +123,51 @@ class LocalMapper:
             depths = np.einsum("ij,pj->pi", m.kf_R[b],
                                m.pt_xyz[pts_b])[:, 2] + m.kf_t[b][2]
             med_depth = float(np.median(depths[depths > 0])) if (depths > 0).any() else 1.0
-            if baseline / max(med_depth, 1e-6) < 0.01:
-                continue
-            T_b = SE3(jnp.asarray(m.kf_R[b]), jnp.asarray(m.kf_t[b]))
-            free_b = m.kf_feat_valid[b] & (m.kf_feat_point[b] == NO_POINT)
-            res = kernels.search_and_triangulate(
-                T_a, T_b,
-                jnp.asarray(m.kf_feat_desc[k]), jnp.asarray(m.kf_feat_xyn[k]),
-                jnp.asarray(m.kf_feat_level[k]), jnp.asarray(free_a),
-                jnp.asarray(m.kf_feat_desc[b]), jnp.asarray(m.kf_feat_xyn[b]),
-                jnp.asarray(m.kf_feat_level[b]), jnp.asarray(free_b),
-                inv_s2[m.kf_feat_level[k]], inv_s2[m.kf_feat_level[b]],
-                focal=float(self.cam.fx))
-            ok = np.array(res.ok)
-            X = np.asarray(res.xyz)
-            ok &= np.isfinite(X).all(axis=1)
-            fa = np.where(ok)[0]
+            if baseline / max(med_depth, 1e-6) >= 0.01:
+                keep.append(b)
+        if not keep:
+            return
+        # one vmapped device program for ALL neighbors (bucket B so it
+        # compiles once per bucket); the feature-claiming pass below stays
+        # sequential in neighbor order, as the reference's loop is
+        B = 8 * int(np.ceil(len(keep) / 8))
+        padded = keep + [keep[0]] * (B - len(keep))
+        bi = np.asarray(padded)
+        free_b_all = (m.kf_feat_valid[bi]
+                      & (m.kf_feat_point[bi] == NO_POINT))
+        free_b_all[len(keep):] = False   # padding slots match nothing
+        res = kernels.search_and_triangulate_batch(
+            T_a, SE3(jnp.asarray(m.kf_R[bi]), jnp.asarray(m.kf_t[bi])),
+            jnp.asarray(m.kf_feat_desc[k]), jnp.asarray(m.kf_feat_xyn[k]),
+            jnp.asarray(m.kf_feat_level[k]), jnp.asarray(free_a),
+            jnp.asarray(m.kf_feat_desc[bi]), jnp.asarray(m.kf_feat_xyn[bi]),
+            jnp.asarray(m.kf_feat_level[bi]), jnp.asarray(free_b_all),
+            inv_s2[m.kf_feat_level[k]], inv_s2[m.kf_feat_level[bi]],
+            focal=float(self.cam.fx))
+        ok_all = np.array(res.ok)
+        X_all = np.asarray(res.xyz)
+        idx_b_all = np.asarray(res.idx_b)
+        ok_all &= np.isfinite(X_all).all(axis=2)
+
+        claimed_a = ~free_a
+        for j, b in enumerate(keep):
+            fa = np.where(ok_all[j] & ~claimed_a)[0]
             if len(fa) == 0:
                 continue
-            fb = np.asarray(res.idx_b)[fa]
+            # drop pairs whose b-feature got claimed by an earlier neighbor
+            fb = idx_b_all[j][fa]
+            still_free = m.kf_feat_point[b][fb] == NO_POINT
+            fa, fb = fa[still_free], fb[still_free]
+            if len(fa) == 0:
+                continue
             try:
-                pids = m.add_points(X[fa], m.kf_feat_desc[k][fa], ref_kf=k)
+                pids = m.add_points(X_all[j][fa], m.kf_feat_desc[k][fa],
+                                    ref_kf=k)
             except RuntimeError:
                 break  # point capacity full; BA/culling will free slots later
             m.kf_feat_point[k, fa] = pids
             m.kf_feat_point[b, fb] = pids
-            free_a[fa] = False
+            claimed_a[fa] = True
             for pid in pids:
                 self.recent_points[int(pid)] = k
             m.update_point_stats(pids)
