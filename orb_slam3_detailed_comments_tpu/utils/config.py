@@ -105,7 +105,9 @@ def _read_camera2(d: dict) -> Optional[cameras.CameraParams]:
                                    k1=g("k1", 0.0) or 0.0, k2=g("k2", 0.0) or 0.0,
                                    k3=g("k3", 0.0) or 0.0, k4=g("k4", 0.0) or 0.0)
     return cameras.pinhole(fx, g("fy"), g("cx"), g("cy"), w, h,
-                           k1=g("k1", 0.0) or 0.0, k2=g("k2", 0.0) or 0.0)
+                           k1=g("k1", 0.0) or 0.0, k2=g("k2", 0.0) or 0.0,
+                           p1=g("p1", 0.0) or 0.0, p2=g("p2", 0.0) or 0.0,
+                           k3=g("k3", 0.0) or 0.0)
 
 
 def _read_se3(v) -> Optional[np.ndarray]:

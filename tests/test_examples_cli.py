@@ -77,6 +77,26 @@ def test_mono_euroc_cli(tmp_path):
     assert rmse < 0.05, f"mono CLI ATE {rmse:.3f} m (scale {scale:.2f})"
 
 
+def test_mono_tum_vi_cli(tmp_path):
+    """mono_tum_vi wiring (EuRoC/ASL layout + CLAHE pre-equalization); the
+    KB8 fisheye camera path itself is covered by test_pipeline_fisheye."""
+    import cv2
+    planes, R, t = _render_seq()
+    n = len(R)
+    d = tmp_path / "mav0" / "cam0" / "data"
+    d.mkdir(parents=True)
+    for i in range(n):
+        img = np.asarray(synth_render.render_frame(CAM, planes, R[i], t[i]))
+        cv2.imwrite(str(d / f"{int(1e9 * (1 + i * 0.05))}.png"),
+                    np.clip(img, 0, 255).astype(np.uint8))
+    y = tmp_path / "s.yaml"
+    y.write_text(YAML.format(extra=""))
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/mono_tum_vi.py", [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.6 * n and rows.shape[1] == 8
+
+
 def test_rgbd_tum_cli(tmp_path):
     import cv2
     planes, R, t = _render_seq()

@@ -190,6 +190,45 @@ Stereo.T_c1_c2: !!opencv-matrix
         assert abs(s.baseline - np.linalg.norm([0.101, 0.002, 0.001])) < 1e-6
 
 
+class TestShippedConfigs:
+    """The per-dataset configs in examples/config/ (generated by
+    scripts/make_dataset_configs.py) must parse into complete rigs."""
+
+    CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "config")
+
+    def test_all_shipped_configs_parse(self):
+        names = sorted(os.listdir(self.CFG_DIR))
+        assert len(names) >= 8
+        for n in names:
+            s = config.load_settings(os.path.join(self.CFG_DIR, n))
+            assert s.camera is not None and s.camera.fx > 0, n
+            assert s.n_features >= 1000 and s.n_levels == 8, n
+
+    def test_euroc_rig(self):
+        from orb_slam3_detailed_comments_tpu.models import cameras
+        s = config.load_settings(os.path.join(self.CFG_DIR, "EuRoC.yaml"))
+        assert s.camera.kind == cameras.PINHOLE
+        assert abs(s.camera.fx - 458.654) < 1e-3
+        assert s.camera2 is not None
+        assert s.T_bc is not None and s.T_c1c2 is not None
+        assert abs(s.baseline - 0.1101) < 1e-3   # ||t_c1c2||
+        assert abs(s.imu_frequency - 200.0) < 1e-6
+
+    def test_tumvi_rig(self):
+        from orb_slam3_detailed_comments_tpu.models import cameras
+        s = config.load_settings(os.path.join(self.CFG_DIR,
+                                              "TUM-VI_512.yaml"))
+        assert s.camera.kind == cameras.FISHEYE_KB8
+        assert s.camera2 is not None and s.camera2.kind == cameras.FISHEYE_KB8
+        assert s.camera.width == 512 and s.T_bc is not None
+
+    def test_tum_rgbd_rig(self):
+        s = config.load_settings(os.path.join(self.CFG_DIR, "TUM1.yaml"))
+        assert abs(s.depth_map_factor - 5000.0) < 1e-6
+        assert s.camera.width == 640
+
+
 class TestAtlasMerge:
     def test_merge_transforms_and_copies(self, rng):
         a = Atlas(CFG)
