@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Stereo EuRoC example (reference: Examples/Stereo/stereo_euroc.cc).
 
-Usage: python examples/stereo_euroc.py <settings.yaml> <sequence_dir> [<out>]
+Usage: python examples/stereo_euroc.py <settings.yaml> <sequence_dir>... [<out>]
+
+Multiple sequence dirs exercise the multi-map Atlas like the reference's
+multi-sequence mode (stereo_euroc.cc num_seq loop + ChangeDataset).
 """
 import os
 import sys
@@ -16,8 +19,10 @@ def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 1
-    settings_path, seq = sys.argv[1], sys.argv[2]
-    out = sys.argv[3] if len(sys.argv) > 3 else "trajectory_stereo.txt"
+    settings_path = sys.argv[1]
+    seqs = [a for a in sys.argv[2:] if not a.endswith(".txt")]
+    outs = [a for a in sys.argv[2:] if a.endswith(".txt")]
+    out = outs[0] if outs else "trajectory_stereo.txt"
 
     from orb_slam3_detailed_comments_tpu.pipeline.system import System, STEREO
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
@@ -34,23 +39,26 @@ def main():
         cam, baseline = s.camera, s.baseline
     slam = System(cam, STEREO, baseline=baseline, th_depth=s.th_depth,
                   enable_loop_closing=s.loop_closing)
-    lp, lts = datasets.load_euroc_images(seq, cam="cam0")
-    rp, _ = datasets.load_euroc_images(seq, cam="cam1")
-    n = min(len(lp), len(rp))
-    print(f"{n} stereo pairs in {seq}")
     t_track = []
-    lf = datasets.prefetch_gray(lp[:n])
-    rf = datasets.prefetch_gray(rp[:n])
-    for i, (l, r) in enumerate(zip(lf, rf)):
-        if maps_l is not None:
-            l = config.rectify(l, maps_l)
-            r = config.rectify(r, maps_r)
-        t0 = time.perf_counter()
-        slam.track_stereo(l, r, float(lts[i]))
-        t_track.append(time.perf_counter() - t0)
-        if i % 50 == 0:
-            print(f"frame {i}/{n} state={slam.tracker.state} "
-                  f"kf={slam.n_keyframes} pts={slam.n_map_points}")
+    for si, seq in enumerate(seqs):
+        if si > 0:
+            slam.change_dataset()
+        lp, lts = datasets.load_euroc_images(seq, cam="cam0")
+        rp, _ = datasets.load_euroc_images(seq, cam="cam1")
+        n = min(len(lp), len(rp))
+        print(f"[seq {si}] {n} stereo pairs in {seq}")
+        lf = datasets.prefetch_gray(lp[:n])
+        rf = datasets.prefetch_gray(rp[:n])
+        for i, (l, r) in enumerate(zip(lf, rf)):
+            if maps_l is not None:
+                l = config.rectify(l, maps_l)
+                r = config.rectify(r, maps_r)
+            t0 = time.perf_counter()
+            slam.track_stereo(l, r, float(lts[i]))
+            t_track.append(time.perf_counter() - t0)
+            if i % 50 == 0:
+                print(f"frame {i}/{n} state={slam.tracker.state} "
+                      f"kf={slam.n_keyframes} pts={slam.n_map_points}")
     slam.save_trajectory_tum(out)
     print(f"median track {np.median(t_track) * 1e3:.1f} ms; saved {out}")
     return 0

@@ -3,7 +3,10 @@
 (reference: Examples/Stereo-Inertial/stereo_inertial_euroc.cc).
 
 Usage:
-    python examples/stereo_inertial_euroc.py <settings.yaml> <sequence_dir> [<out.txt>]
+    python examples/stereo_inertial_euroc.py <settings.yaml> <sequence_dir>... [<out.txt>]
+
+Multiple sequence dirs exercise the multi-map Atlas like the reference's
+multi-sequence mode (stereo_inertial_euroc.cc num_seq loop + ChangeDataset).
 """
 import os
 import sys
@@ -18,8 +21,10 @@ def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 1
-    settings_path, seq = sys.argv[1], sys.argv[2]
-    out = sys.argv[3] if len(sys.argv) > 3 else "trajectory_tum.txt"
+    settings_path = sys.argv[1]
+    seqs = [a for a in sys.argv[2:] if not a.endswith(".txt")]
+    outs = [a for a in sys.argv[2:] if a.endswith(".txt")]
+    out = outs[0] if outs else "trajectory_tum.txt"
 
     from orb_slam3_detailed_comments_tpu.imu.preintegration import ImuCalib
     from orb_slam3_detailed_comments_tpu.pipeline.system import (
@@ -37,29 +42,33 @@ def main():
                      R_bc=R_bc, t_bc=t_bc)
     slam = System(s.camera, IMU_STEREO, enable_loop_closing=s.loop_closing,
                   baseline=s.baseline, th_depth=s.th_depth, imu_calib=calib)
-    paths_l, ts = datasets.load_euroc_images(seq, cam="cam0")
-    paths_r, _ = datasets.load_euroc_images(seq, cam="cam1")
-    imu_ts, gyro, acc = datasets.load_euroc_imu(seq)
-    first = np.searchsorted(ts, imu_ts[0])
-    paths_l, paths_r, ts = paths_l[first:], paths_r[first:], ts[first:]
-    print(f"{len(paths_l)} frames, {len(imu_ts)} IMU samples in {seq}")
-
     t_track = []
-    t_prev = ts[0]
-    lf = datasets.prefetch_gray(paths_l)
-    rf = datasets.prefetch_gray(paths_r)
-    for i, (img_l, img_r, t) in enumerate(zip(lf, rf, ts)):
-        lo, hi = datasets.imu_between(imu_ts, t_prev, t)
-        window = (acc[lo:hi], gyro[lo:hi], imu_ts[lo:hi]) if hi > lo else None
-        t0 = time.perf_counter()
-        slam.track_stereo(img_l, img_r, float(t), imu=window)
-        t_track.append(time.perf_counter() - t0)
-        t_prev = t
-        if i % 50 == 0:
-            print(f"frame {i}/{len(paths_l)} state={slam.tracker.state} "
-                  f"kf={slam.n_keyframes} pts={slam.n_map_points} "
-                  f"imu_init={slam.map.imu_initialized} "
-                  f"{1.0 / max(np.mean(t_track[-50:]), 1e-9):.1f} fps")
+    for si, seq in enumerate(seqs):
+        if si > 0:
+            slam.change_dataset()
+        paths_l, ts = datasets.load_euroc_images(seq, cam="cam0")
+        paths_r, _ = datasets.load_euroc_images(seq, cam="cam1")
+        imu_ts, gyro, acc = datasets.load_euroc_imu(seq)
+        first = np.searchsorted(ts, imu_ts[0])
+        paths_l, paths_r, ts = paths_l[first:], paths_r[first:], ts[first:]
+        print(f"[seq {si}] {len(paths_l)} frames, {len(imu_ts)} IMU samples "
+              f"in {seq}")
+        t_prev = ts[0]
+        lf = datasets.prefetch_gray(paths_l)
+        rf = datasets.prefetch_gray(paths_r)
+        for i, (img_l, img_r, t) in enumerate(zip(lf, rf, ts)):
+            lo, hi = datasets.imu_between(imu_ts, t_prev, t)
+            window = ((acc[lo:hi], gyro[lo:hi], imu_ts[lo:hi])
+                      if hi > lo else None)
+            t0 = time.perf_counter()
+            slam.track_stereo(img_l, img_r, float(t), imu=window)
+            t_track.append(time.perf_counter() - t0)
+            t_prev = t
+            if i % 50 == 0:
+                print(f"frame {i}/{len(paths_l)} state={slam.tracker.state} "
+                      f"kf={slam.n_keyframes} pts={slam.n_map_points} "
+                      f"imu_init={slam.map.imu_initialized} "
+                      f"{1.0 / max(np.mean(t_track[-50:]), 1e-9):.1f} fps")
 
     slam.save_trajectory_tum(out)
     slam.save_keyframe_trajectory_tum(out.replace(".txt", "_kf.txt"))

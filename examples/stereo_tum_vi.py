@@ -7,7 +7,10 @@ Stereo.T_c1_c2). TUM-VI sequences ship in EuRoC/ASL layout
 reference main (clipLimit 3.0, 8x8 tiles).
 
 Usage:
-    python examples/stereo_tum_vi.py <settings.yaml> <sequence_dir> [<out.txt>]
+    python examples/stereo_tum_vi.py <settings.yaml> <sequence_dir>... [<out.txt>]
+
+Multiple sequence dirs exercise the multi-map Atlas like the reference's
+multi-sequence mode (stereo_tum_vi.cc num_seq loop + ChangeDataset).
 """
 import os
 import sys
@@ -22,8 +25,10 @@ def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 1
-    settings_path, seq = sys.argv[1], sys.argv[2]
-    out = sys.argv[3] if len(sys.argv) > 3 else "trajectory_tum_vi_stereo.txt"
+    settings_path = sys.argv[1]
+    seqs = [a for a in sys.argv[2:] if not a.endswith(".txt")]
+    outs = [a for a in sys.argv[2:] if a.endswith(".txt")]
+    out = outs[0] if outs else "trajectory_tum_vi_stereo.txt"
 
     from orb_slam3_detailed_comments_tpu.pipeline.system import (
         System, STEREO)
@@ -34,10 +39,6 @@ def main():
                   baseline=s.baseline, th_depth=s.th_depth,
                   camera2=s.camera2, T_c1c2=s.T_c1c2)
 
-    paths_l, ts = datasets.load_euroc_images(seq, cam="cam0")
-    paths_r, _ = datasets.load_euroc_images(seq, cam="cam1")
-    print(f"{len(paths_l)} frames in {seq}")
-
     try:
         import cv2
         clahe = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8))
@@ -46,18 +47,24 @@ def main():
         equalize = lambda im: im
 
     t_track = []
-    lf = datasets.prefetch_gray(paths_l)
-    rf = datasets.prefetch_gray(paths_r)
-    for i, (img_l, img_r, t) in enumerate(zip(lf, rf, ts)):
-        img_l = equalize(img_l)
-        img_r = equalize(img_r)
-        t0 = time.perf_counter()
-        slam.track_stereo(img_l, img_r, float(t))
-        t_track.append(time.perf_counter() - t0)
-        if i % 50 == 0:
-            print(f"frame {i}/{len(paths_l)} state={slam.tracker.state} "
-                  f"kf={slam.n_keyframes} pts={slam.n_map_points} "
-                  f"{1.0 / max(np.mean(t_track[-50:]), 1e-9):.1f} fps")
+    for si, seq in enumerate(seqs):
+        if si > 0:
+            slam.change_dataset()
+        paths_l, ts = datasets.load_euroc_images(seq, cam="cam0")
+        paths_r, _ = datasets.load_euroc_images(seq, cam="cam1")
+        print(f"[seq {si}] {len(paths_l)} frames in {seq}")
+        lf = datasets.prefetch_gray(paths_l)
+        rf = datasets.prefetch_gray(paths_r)
+        for i, (img_l, img_r, t) in enumerate(zip(lf, rf, ts)):
+            img_l = equalize(img_l)
+            img_r = equalize(img_r)
+            t0 = time.perf_counter()
+            slam.track_stereo(img_l, img_r, float(t))
+            t_track.append(time.perf_counter() - t0)
+            if i % 50 == 0:
+                print(f"frame {i}/{len(paths_l)} state={slam.tracker.state} "
+                      f"kf={slam.n_keyframes} pts={slam.n_map_points} "
+                      f"{1.0 / max(np.mean(t_track[-50:]), 1e-9):.1f} fps")
 
     slam.save_trajectory_tum(out)
     slam.save_keyframe_trajectory_tum(out.replace(".txt", "_kf.txt"))

@@ -67,9 +67,17 @@ def test_mono_euroc_cli(tmp_path):
     y = tmp_path / "s.yaml"
     y.write_text(YAML.format(extra=""))
     out = tmp_path / "traj.txt"
-    _run_cli("examples/mono_euroc.py", [str(y), str(tmp_path), str(out)])
+    # pass the sequence twice: exercises the reference's multi-sequence mode
+    # (ChangeDataset -> fresh map -> place-recognition re-merge)
+    _run_cli("examples/mono_euroc.py",
+             [str(y), str(tmp_path), str(tmp_path), str(out)])
     rows = np.loadtxt(out)
-    assert rows.shape[0] > 0.6 * n and rows.shape[1] == 8
+    assert rows.shape[0] > 1.2 * n and rows.shape[1] == 8
+    # ATE on the first pass only (rows are in tracking order; the second
+    # pass duplicates timestamps and may live in an unmerged second map)
+    wraps = np.flatnonzero(np.diff(rows[:, 0]) < 0)
+    rows = rows[:wraps[0] + 1] if wraps.size else rows
+    assert rows.shape[0] > 0.6 * n
     ts = 1 + np.arange(n) * 0.05
     gt = synth_render.camera_centers(R, t)
     rmse, npair, scale = evaluate_ate.ate_rmse(ts, gt, rows[:, 0],
