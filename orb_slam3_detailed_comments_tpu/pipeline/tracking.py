@@ -57,6 +57,21 @@ class FrameRecord:
     match_pt: np.ndarray    # [N] map point per feature
     ts: float
     frame_id: int
+    angles: Optional[np.ndarray] = None   # host copy of feat.angle, if pulled
+
+
+def _compose_np(A: SE3, B: SE3) -> SE3:
+    """A ∘ B on the host: per-frame 3x3 pose math must not issue eager
+    device dispatches (each one is a tunnel round trip on TPU)."""
+    Ra, ta = np.asarray(A.R), np.asarray(A.t)
+    Rb, tb = np.asarray(B.R), np.asarray(B.t)
+    return SE3((Ra @ Rb).astype(np.float32), (Ra @ tb + ta).astype(np.float32))
+
+
+def _inverse_np(A: SE3) -> SE3:
+    Rt = np.asarray(A.R).T
+    return SE3(Rt.astype(np.float32),
+               (-Rt @ np.asarray(A.t)).astype(np.float32))
 
 
 SENSOR_MONO = 0
@@ -98,8 +113,11 @@ class Tracker:
         self.init_ref: Optional[FrameRecord] = None
         self.frame_id = 0
         self.lost_count = 0
-        self.radius_scale, self.inv_sigma2 = kernels.level_weights(
-            self.orb_cfg.n_levels, self.orb_cfg.scale)
+        # host copies: radius_px * radius_scale must be numpy math, not an
+        # eager device multiply (one dispatch per tracking stage otherwise)
+        self.radius_scale, self.inv_sigma2 = (
+            np.asarray(a) for a in kernels.level_weights(
+                self.orb_cfg.n_levels, self.orb_cfg.scale))
         # inertial state (None for pure-visual sensors); see pipeline/inertial
         self.imu = None
         if imu_calib is not None:
@@ -261,7 +279,8 @@ class Tracker:
             self.lost_count = 0
             # velocity update (reference: Tracking.cc:2512-2520)
             if self.last is not None:
-                self.velocity = self.cur_T.compose(self.last.T_cw.inverse())
+                self.velocity = _compose_np(self.cur_T,
+                                            _inverse_np(self.last.T_cw))
                 if self.imu is not None and self.map.imu_initialized:
                     dt = ts - self.last.ts
                     if dt > 1e-6:
@@ -275,8 +294,11 @@ class Tracker:
             self._update_found_counters()
             if self._need_new_keyframe():
                 self._create_new_keyframe(ts, fid)
-            self.last = FrameRecord(self.cur_prep, self.cur_T,
-                                    self.cur_match, ts, fid)
+            self.last = FrameRecord(
+                self.cur_prep, self.cur_T, self.cur_match, ts, fid,
+                angles=(self._cur_angles
+                        if getattr(self, "_cur_cache_prep", None)
+                        is self.cur_prep else None))
             return self._log_and_return(ts)
 
         # --- lost handling (reference: Tracking.cc:2203-2262) ---
@@ -299,8 +321,7 @@ class Tracker:
                 self.map, self.imu, self.last.T_cw, self.imu.pre_last_frame)
             self.cur_T = T_pred
             self.cur_prep = prep
-            self.cur_match = np.full(
-                len(np.asarray(prep.feat.valid)), -1, np.int32)
+            self.cur_match = np.full(prep.feat.valid.shape[0], -1, np.int32)
             self.imu.v_w = np.asarray(v_pred, np.float32)
             self.last = FrameRecord(prep, T_pred, self.cur_match, ts, fid)
             return self._log_and_return(ts)
@@ -308,20 +329,26 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _log_and_return(self, ts):
+        # all-host math: cur_T is a host pose on the steady-state paths and
+        # the ref-KF pose lives in host arrays, so trajectory logging issues
+        # ZERO device work (np.asarray on the already-host arrays is free)
+        n_valid = (int(self._cur_valid.sum())
+                   if getattr(self, "_cur_cache_prep", None) is self.cur_prep
+                   else int(np.asarray(self.cur_prep.feat.valid).sum()))
         self.track_stats.append(
-            (ts, self.state, int(np.asarray(self.cur_prep.feat.valid).sum()),
-             int((self.cur_match >= 0).sum())))
-        T = self.cur_T
-        Tr = SE3(jnp.asarray(self.map.kf_R[self.ref_kf]),
-                 jnp.asarray(self.map.kf_t[self.ref_kf]))
-        T_cr = T.compose(Tr.inverse())
+            (ts, self.state, n_valid, int((self.cur_match >= 0).sum())))
+        R_cw = np.asarray(self.cur_T.R)
+        t_cw = np.asarray(self.cur_T.t)
+        Rr = self.map.kf_R[self.ref_kf]
+        tr = self.map.kf_t[self.ref_kf]
+        R_cr = (R_cw @ Rr.T).astype(np.float32)    # T_cr = T_cw ∘ T_rw⁻¹
+        t_cr = (t_cw - R_cr @ tr).astype(np.float32)
         self.trajectory.append(
             (ts, self.map.map_id, self.ref_kf,
-             int(self.map.kf_epoch[self.ref_kf]),
-             np.asarray(T_cr.R), np.asarray(T_cr.t), self.state))
+             int(self.map.kf_epoch[self.ref_kf]), R_cr, t_cr, self.state))
         M = np.eye(4, dtype=np.float32)
-        M[:3, :3] = np.asarray(T.R)
-        M[:3, 3] = np.asarray(T.t)
+        M[:3, :3] = R_cw
+        M[:3, 3] = t_cw
         return M
 
     # ------------------------------------------------------------------
@@ -550,7 +577,7 @@ class Tracker:
                 self.map, self.imu, self.last.T_cw, self.imu.pre_last_frame)
             self._v_pred = v_pred
         else:
-            T_pred = self.velocity.compose(self.last.T_cw)
+            T_pred = _compose_np(self.velocity, self.last.T_cw)
         last_pts = np.unique(self.last.match_pt[self.last.match_pt >= 0])
         last_pts = last_pts[self.map.pt_valid[last_pts]]
         if len(last_pts) < 10:
@@ -560,19 +587,23 @@ class Tracker:
         # observed each candidate point (ORBmatcher.cc:1950 orientation pass)
         lm = self.last.match_pt
         sel = lm >= 0
+        last_ang = (self.last.angles if self.last.angles is not None
+                    else np.asarray(self.last.prepared.feat.angle))
         ang_of_pt = np.zeros(self.map.pt_valid.shape[0], np.float32)
-        ang_of_pt[lm[sel]] = np.asarray(self.last.prepared.feat.angle)[sel]
+        ang_of_pt[lm[sel]] = last_ang[sel]
         res = self._run_track(prep, T_pred, ids, safe, proj,
                               self.cfg.motion_radius,
                               proj_angle=ang_of_pt[safe])
-        # one host transfer per stage: count inliers from the match array
-        # rather than syncing n_inliers separately (each sync is a device
-        # round trip)
-        match = np.asarray(res.match_pt)
+        # one PACKED host transfer per stage (device_get overlaps the leaf
+        # copies): match array + optimized pose together; inliers are
+        # counted from the match array rather than syncing n_inliers
+        # separately (each separate sync is a device round trip)
+        match, R_cw, t_cw = jax.device_get(
+            (res.match_pt, res.T_cw_R, res.T_cw_t))
         n = int((match >= 0).sum())
         if n < self.cfg.min_inliers_mm:
             return False
-        self.cur_T = SE3(res.T_cw_R, res.T_cw_t)
+        self.cur_T = SE3(R_cw, t_cw)
         self.cur_prep = prep
         self.cur_match = match
         return True
@@ -599,10 +630,9 @@ class Tracker:
         # pass of SearchByBoW, ORBmatcher.cc:259,404-424)
         dang = (jnp.asarray(self.map.kf_feat_angle[k])[res.idx]
                 - prep.feat.angle)
-        res = res._replace(
-            valid=matching.rotation_consistency_mask(dang, res.valid))
-        valid = np.asarray(res.valid)
-        kf_pt = self.map.kf_feat_point[k][np.asarray(res.idx)]
+        valid, idx = jax.device_get(
+            (matching.rotation_consistency_mask(dang, res.valid), res.idx))
+        kf_pt = self.map.kf_feat_point[k][idx]
         match = np.where(valid & (kf_pt >= 0), kf_pt, -1).astype(np.int32)
         if (match >= 0).sum() < 15:
             return False
@@ -612,12 +642,13 @@ class Tracker:
         safe = np.where(has, match, 0)
         opt = pose_opt.pose_optimization(
             T0, jnp.asarray(self.map.pt_xyz[safe]), prep.xy_ud,
-            self.inv_sigma2[prep.feat.level],
+            jnp.asarray(self.inv_sigma2)[prep.feat.level],
             jnp.asarray(has) & prep.feat.valid, self.cam)
-        if int(opt.n_inliers) < self.cfg.min_inliers_mm:
+        n_in, inl, R_cw, t_cw = jax.device_get(
+            (opt.n_inliers, opt.inlier, opt.T_cw.R, opt.T_cw.t))
+        if int(n_in) < self.cfg.min_inliers_mm:
             return False
-        inl = np.asarray(opt.inlier)
-        self.cur_T = opt.T_cw
+        self.cur_T = SE3(R_cw, t_cw)
         self.cur_prep = prep
         self.cur_match = np.where(inl, match, -1).astype(np.int32)
         return True
@@ -635,13 +666,15 @@ class Tracker:
         opt = pose_opt.pose_optimization(
             SE3(jnp.asarray(R), jnp.asarray(t)),
             jnp.asarray(self.map.pt_xyz[safe]), prep.xy_ud,
-            self.inv_sigma2[prep.feat.level],
+            jnp.asarray(self.inv_sigma2)[prep.feat.level],
             jnp.asarray(has) & prep.feat.valid, self.cam)
-        if int(opt.n_inliers) < 15:
+        n_in, inl, R_cw, t_cw = jax.device_get(
+            (opt.n_inliers, opt.inlier, opt.T_cw.R, opt.T_cw.t))
+        if int(n_in) < 15:
             return False
-        self.cur_T = opt.T_cw
+        self.cur_T = SE3(R_cw, t_cw)
         self.cur_prep = prep
-        self.cur_match = np.where(np.asarray(opt.inlier), match_pt, -1).astype(np.int32)
+        self.cur_match = np.where(inl, match_pt, -1).astype(np.int32)
         self.ref_kf = int(ref)
         self.n_relocalizations += 1
         self.last_reloc_fid = fid   # widens the local search for 2 frames
@@ -679,15 +712,23 @@ class Tracker:
             radius = max(radius, self.cfg.motion_radius)
         res = self._run_track(self.cur_prep, self.cur_T, ids, safe, proj,
                               radius, prior=self.cur_match)
-        # visible counter update AFTER dispatching the match program, so the
-        # proj.visible transfer doesn't stall the device pipeline
-        vis_ids = ids[np.asarray(proj.visible) & (ids >= 0)]
+        # one PACKED transfer for the whole stage, issued AFTER dispatching
+        # the match program so nothing stalls the device pipeline: match +
+        # pose + visibility mask + the current frame's angle/valid arrays
+        # (cached on the host for next frame's rotation gate / stats, so
+        # they are never re-downloaded as standalone round trips)
+        match, R_cw, t_cw, visible, cur_ang, cur_valid = jax.device_get(
+            (res.match_pt, res.T_cw_R, res.T_cw_t, proj.visible,
+             self.cur_prep.feat.angle, self.cur_prep.feat.valid))
+        vis_ids = ids[visible & (ids >= 0)]
         self.map.pt_visible[vis_ids] += 1
-        match = np.asarray(res.match_pt)
+        self._cur_cache_prep = self.cur_prep
+        self._cur_angles = cur_ang
+        self._cur_valid = cur_valid
         n = int((match >= 0).sum())
         if n < self.cfg.min_inliers_local:
             return False
-        self.cur_T = SE3(res.T_cw_R, res.T_cw_t)
+        self.cur_T = SE3(R_cw, t_cw)
         self.cur_match = match
         self._pose_inertial_refine()
         return True
@@ -726,13 +767,13 @@ class Tracker:
             jnp.asarray(has) & prep.feat.valid, self.cam,
             gravity=jnp.asarray(g),
             R_cb=jnp.asarray(R_bc.T), t_cb=jnp.asarray(-R_bc.T @ t_bc))
-        n2 = int(res.n_inliers)
-        if n2 < self.cfg.min_inliers_local:
+        n2, inl, v_w, R_cw, t_cw = jax.device_get(
+            (res.n_inliers, res.inlier, res.v_w, res.T_cw.R, res.T_cw.t))
+        if int(n2) < self.cfg.min_inliers_local:
             return   # keep the visual-only solution
-        self.cur_T = res.T_cw
-        self.imu.v_w = np.asarray(res.v_w)
-        self.cur_match = np.where(np.asarray(res.inlier), match, -1).astype(
-            np.int32)
+        self.cur_T = SE3(R_cw, t_cw)
+        self.imu.v_w = v_w
+        self.cur_match = np.where(inl, match, -1).astype(np.int32)
 
     def _update_found_counters(self):
         pts = self.cur_match[self.cur_match >= 0]
@@ -746,14 +787,15 @@ class Tracker:
         def fix(T):
             R = (np.asarray(T.R) @ R_wg).astype(np.float32)
             t = (s * np.asarray(T.t)).astype(np.float32)
-            return SE3(jnp.asarray(R), jnp.asarray(t))
+            return SE3(R, t)
         if self.last is not None:
             self.last = dataclasses.replace(self.last, T_cw=fix(self.last.T_cw))
         if hasattr(self, "cur_T"):
             self.cur_T = fix(self.cur_T)
         if self.velocity is not None:
-            self.velocity = SE3(self.velocity.R,
-                                jnp.asarray(s * np.asarray(self.velocity.t)))
+            self.velocity = SE3(np.asarray(self.velocity.R),
+                                (s * np.asarray(self.velocity.t)).astype(
+                                    np.float32))
         # relative trajectory rows of THIS map: R_cr invariant, t_cr scales
         self.trajectory = [
             (ts_, mid, rk, ep, R_cr,
@@ -831,8 +873,12 @@ class Tracker:
         # (reference: bNeedToInsertClose, Tracking.cc:3674-3695)
         need_close = False
         if self.cur_depth is not None and self.bf > 0:
+            cur_valid = (self._cur_valid
+                         if getattr(self, "_cur_cache_prep", None)
+                         is self.cur_prep
+                         else np.asarray(self.cur_prep.feat.valid))
             close = ((self.cur_depth > 0) & (self.cur_depth < self.th_depth)
-                     & np.asarray(self.cur_prep.feat.valid))
+                     & cur_valid)
             tracked_close = int((close & (self.cur_match >= 0)).sum())
             need_close = (tracked_close < 100
                           and int((close & (self.cur_match < 0)).sum()) > 70)
@@ -855,11 +901,13 @@ class Tracker:
     def _create_new_keyframe(self, ts, fid):
         """(reference: Tracking::CreateNewKeyFrame, Tracking.cc:3826)"""
         prep = self.cur_prep
+        # one packed transfer for the whole keyframe snapshot
+        xy_ud, xyn, level, angle, desc, valid = jax.device_get(
+            (prep.xy_ud, prep.xyn, prep.feat.level, prep.feat.angle,
+             prep.feat.desc, prep.feat.valid))
         k = self.map.add_keyframe(
             np.asarray(self.cur_T.R), np.asarray(self.cur_T.t), ts, fid,
-            np.asarray(prep.xy_ud), np.asarray(prep.xyn),
-            np.asarray(prep.feat.level), np.asarray(prep.feat.angle),
-            np.asarray(prep.feat.desc), np.asarray(prep.feat.valid),
+            xy_ud, xyn, level, angle, desc, valid,
             self.cur_match.astype(np.int32))
         if self.imu is not None and self.imu.pre_since_kf is not None \
                 and self.last_kf_id >= 0:
