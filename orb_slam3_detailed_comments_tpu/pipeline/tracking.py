@@ -757,20 +757,57 @@ class Tracker:
         X, w = kernels.gather_matched_rows(
             dp["xyz"], jnp.asarray(safe, jnp.int32),
             self.inv_sigma2, prep.feat.level)
-        res = pose_opt.pose_inertial_optimization(
-            self.cur_T, jnp.asarray(self.imu.v_w),
-            jnp.asarray(R_wb_a.astype(np.float32)),
-            jnp.asarray(p_a.astype(np.float32)),
-            jnp.asarray(m.kf_vel[k]), jnp.asarray(m.kf_bg[k]),
-            jnp.asarray(m.kf_ba[k]), self.imu.pre_since_kf,
-            X, prep.xy_ud, w,
-            jnp.asarray(has) & prep.feat.valid, self.cam,
-            gravity=jnp.asarray(g),
-            R_cb=jnp.asarray(R_bc.T), t_cb=jnp.asarray(-R_bc.T @ t_bc))
-        n2, inl, v_w, R_cw, t_cw = jax.device_get(
-            (res.n_inliers, res.inlier, res.v_w, res.T_cw.R, res.T_cw.t))
+        R_cb, t_cb = R_bc.T, -R_bc.T @ t_bc
+        vmask = jnp.asarray(has) & prep.feat.valid
+        # reference gating (Tracking.cc:3502-3528): if the map changed since
+        # the last frame (KF inserted / BA applied / world re-aligned), the
+        # running marginalization prior is stale — anchor to the last
+        # keyframe instead and re-seed the prior; otherwise optimize jointly
+        # with the last frame's 15-dof state under the prior and marginalize
+        # it out (PoseInertialOptimizationLastFrame + Marginalize)
+        prior_key = (id(m), m.version, self.last.frame_id
+                     if self.last is not None else -1)
+        use_lf = (getattr(self, "_imu_prior", None) is not None
+                  and getattr(self, "_imu_prior_key", None) == prior_key
+                  and self.imu.pre_last_frame is not None)
+        if use_lf:
+            res = pose_opt.pose_inertial_optimization_last_frame(
+                self.cur_T, jnp.asarray(self.imu.v_w), self._imu_prior,
+                self.imu.pre_last_frame, X, prep.xy_ud, w, vmask, self.cam,
+                gravity=jnp.asarray(g),
+                R_cb=jnp.asarray(R_cb), t_cb=jnp.asarray(t_cb))
+            n2, inl, v_w, R_cw, t_cw, prior = jax.device_get(
+                (res.n_inliers, res.inlier, res.v_w,
+                 res.T_cw.R, res.T_cw.t, res.prior))
+        else:
+            res = pose_opt.pose_inertial_optimization(
+                self.cur_T, jnp.asarray(self.imu.v_w),
+                jnp.asarray(R_wb_a.astype(np.float32)),
+                jnp.asarray(p_a.astype(np.float32)),
+                jnp.asarray(m.kf_vel[k]), jnp.asarray(m.kf_bg[k]),
+                jnp.asarray(m.kf_ba[k]), self.imu.pre_since_kf,
+                X, prep.xy_ud, w, vmask, self.cam,
+                gravity=jnp.asarray(g),
+                R_cb=jnp.asarray(R_cb), t_cb=jnp.asarray(t_cb))
+            prior_dev = pose_opt.build_frame_prior(
+                res.T_cw, res.v_w, jnp.asarray(m.kf_bg[k]),
+                jnp.asarray(m.kf_ba[k]),
+                jnp.asarray(R_wb_a.astype(np.float32)),
+                jnp.asarray(p_a.astype(np.float32)),
+                jnp.asarray(m.kf_vel[k]), self.imu.pre_since_kf,
+                X, prep.xy_ud, w, res.inlier, self.cam,
+                jnp.asarray(g), R_cb=jnp.asarray(R_cb),
+                t_cb=jnp.asarray(t_cb))
+            n2, inl, v_w, R_cw, t_cw, prior = jax.device_get(
+                (res.n_inliers, res.inlier, res.v_w,
+                 res.T_cw.R, res.T_cw.t, prior_dev))
         if int(n2) < self.cfg.min_inliers_local:
+            self._imu_prior = None
             return   # keep the visual-only solution
+        # the prior is valid for the NEXT frame only while the map stays
+        # unchanged and that frame follows this one directly
+        self._imu_prior = prior
+        self._imu_prior_key = (id(m), m.version, self.frame_id - 1)
         self.cur_T = SE3(R_cw, t_cw)
         self.imu.v_w = v_w
         self.cur_match = np.where(inl, match, -1).astype(np.int32)
@@ -784,6 +821,7 @@ class Tracker:
         """Re-express tracker state after Map::ApplyScaledRotation rotated
         and rescaled the world (reference: Tracking::UpdateFrameIMU,
         Tracking.cc:4769): T_cw' = (R_cw R_wg, s t_cw)."""
+        self._imu_prior = None   # prior lives in the pre-transform world
         def fix(T):
             R = (np.asarray(T.R) @ R_wg).astype(np.float32)
             t = (s * np.asarray(T.t)).astype(np.float32)
@@ -818,6 +856,7 @@ class Tracker:
         self.map = new_map
         self.state = NOT_INITIALIZED
         self.velocity = None
+        self._imu_prior = None
         self.last = None
         self.init_ref = None
         self.ref_kf = -1

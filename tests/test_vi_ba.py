@@ -149,3 +149,98 @@ class TestVIBA:
         assert np.isfinite(np.asarray(res.p_w)).all()
         p_err = np.linalg.norm(np.asarray(res.p_w) - truth["p"], axis=1)
         assert p_err.max() < 0.08
+
+
+class TestPoseInertialLastFrame:
+    def test_joint_with_prior_and_marginalization(self, rng):
+        """LastFrame variant: the previous frame's 15-dof state rides a
+        marginalization prior while the current frame is optimized against
+        visual matches + the inter-frame inertial edge; the returned prior
+        is the Schur complement onto the current frame (reference:
+        Optimizer::PoseInertialOptimizationLastFrame + Marginalize,
+        src/Optimizer.cc:983/1644)."""
+        from orb_slam3_detailed_comments_tpu.lie import SE3
+        from orb_slam3_detailed_comments_tpu.lie import so3 as so3_mod
+        from orb_slam3_detailed_comments_tpu.optim import pose_opt
+        sim = simulate_imu(rng, n=20, dt=0.005)
+        P = pre.integrate(jnp.asarray(sim["acc"]), jnp.asarray(sim["gyro"]),
+                          jnp.asarray(sim["dt"]), CAL)
+        R_a, p_a, v_a = sim["R"][0], sim["p"][0], sim["v"][0]
+        R_j, p_j, v_j = sim["R"][-1], sim["p"][-1], sim["v"][-1]
+
+        n_pts = 200
+        pts = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+                        rng.uniform(4, 9, n_pts)], 1).astype(np.float32)
+        xc = (pts - p_j) @ R_j
+        uv = np.asarray(cameras.project(CAM, jnp.asarray(xc))).copy()
+        uv += rng.normal(0, 0.4, uv.shape)
+        valid = (xc[:, 2] > 0.5) & np.asarray(
+            cameras.in_image(CAM, jnp.asarray(uv)))
+
+        # strong prior pinning the last frame near its true state
+        Hp = jnp.asarray(np.diag(np.concatenate([
+            np.full(9, 1e6), np.full(6, 1e4)])).astype(np.float32))
+        prior = pose_opt.PriorPoseImu(
+            jnp.asarray(R_a, jnp.float32), jnp.asarray(p_a, jnp.float32),
+            jnp.asarray(v_a, jnp.float32), jnp.zeros(3), jnp.zeros(3), Hp)
+
+        R0 = R_j @ np.asarray(so3_mod.exp(jnp.asarray(
+            rng.normal(0, 0.02, 3), jnp.float32)))
+        p0 = p_j + rng.normal(0, 0.05, 3)
+        v0 = v_j + rng.normal(0, 0.2, 3)
+        T0 = SE3(jnp.asarray(R0.T.astype(np.float32)),
+                 jnp.asarray((-R0.T @ p0).astype(np.float32)))
+        res = pose_opt.pose_inertial_optimization_last_frame(
+            T0, jnp.asarray(v0, jnp.float32), prior, P,
+            jnp.asarray(pts), jnp.asarray(uv, jnp.float32),
+            jnp.ones(n_pts, jnp.float32), jnp.asarray(valid), CAM,
+            gravity=jnp.asarray(sim["g"], jnp.float32))
+        R_est = np.asarray(res.T_cw.R).T
+        p_est = -R_est @ np.asarray(res.T_cw.t)
+        assert np.linalg.norm(p_est - p_j) < 5e-3
+        assert np.linalg.norm(np.asarray(res.v_w) - v_j) < 0.05
+        assert int(res.n_inliers) > 0.8 * valid.sum()
+        # marginal prior: mean is the solution, H symmetric PSD and
+        # informative (visual + inertial information reached the new frame)
+        Hm = np.asarray(res.prior.H)
+        assert np.allclose(Hm, Hm.T, atol=1e-2 * max(1.0, np.abs(Hm).max()))
+        ev = np.linalg.eigvalsh(0.5 * (Hm + Hm.T))
+        assert ev.min() > -1e-2 * ev.max()
+        assert ev.max() > 1.0
+        p_prior = np.asarray(res.prior.p)
+        assert np.allclose(p_prior, p_est, atol=1e-5)
+
+    def test_weak_prior_still_converges(self, rng):
+        """With a weak prior the joint system must still land on the truth
+        (the last frame drifts a little, the current frame stays anchored
+        by its visual edges)."""
+        from orb_slam3_detailed_comments_tpu.lie import SE3
+        from orb_slam3_detailed_comments_tpu.lie import so3 as so3_mod
+        from orb_slam3_detailed_comments_tpu.optim import pose_opt
+        sim = simulate_imu(rng, n=20, dt=0.005)
+        P = pre.integrate(jnp.asarray(sim["acc"]), jnp.asarray(sim["gyro"]),
+                          jnp.asarray(sim["dt"]), CAL)
+        R_a, p_a, v_a = sim["R"][0], sim["p"][0], sim["v"][0]
+        R_j, p_j, v_j = sim["R"][-1], sim["p"][-1], sim["v"][-1]
+        n_pts = 300
+        pts = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+                        rng.uniform(4, 9, n_pts)], 1).astype(np.float32)
+        xc = (pts - p_j) @ R_j
+        uv = np.asarray(cameras.project(CAM, jnp.asarray(xc))).copy()
+        uv += rng.normal(0, 0.3, uv.shape)
+        valid = (xc[:, 2] > 0.5) & np.asarray(
+            cameras.in_image(CAM, jnp.asarray(uv)))
+        Hp = jnp.asarray((1e2 * np.eye(15)).astype(np.float32))
+        prior = pose_opt.PriorPoseImu(
+            jnp.asarray(R_a, jnp.float32), jnp.asarray(p_a, jnp.float32),
+            jnp.asarray(v_a, jnp.float32), jnp.zeros(3), jnp.zeros(3), Hp)
+        T0 = SE3(jnp.asarray(R_j.T, jnp.float32),
+                 jnp.asarray(-R_j.T @ p_j, jnp.float32))
+        res = pose_opt.pose_inertial_optimization_last_frame(
+            T0, jnp.asarray(v_j, jnp.float32), prior, P,
+            jnp.asarray(pts), jnp.asarray(uv, jnp.float32),
+            jnp.ones(n_pts, jnp.float32), jnp.asarray(valid), CAM,
+            gravity=jnp.asarray(sim["g"], jnp.float32))
+        R_est = np.asarray(res.T_cw.R).T
+        p_est = -R_est @ np.asarray(res.T_cw.t)
+        assert np.linalg.norm(p_est - p_j) < 1e-2
