@@ -176,7 +176,9 @@ class Tracker:
                 jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
                 self.cam, self.bf, self.orb_cfg,
                 self.orb_cfg.n_levels, self.orb_cfg.scale)
-        return self._track_frame(prep, np.asarray(depth), ts, imu_meas)
+        # depth stays ON DEVICE: it rides the local-map stage's packed
+        # transfer instead of a standalone blocking download here
+        return self._track_frame(prep, depth, ts, imu_meas)
 
     def track_rgbd(self, img: np.ndarray, depth_img: np.ndarray,
                    ts: float, imu_meas=None) -> Optional[np.ndarray]:
@@ -184,7 +186,7 @@ class Tracker:
         prep, depth, _ = kernels.prepare_frame_rgbd(
             jnp.asarray(img, jnp.float32), jnp.asarray(depth_img, jnp.float32),
             self.cam, self.bf, self.orb_cfg)
-        return self._track_frame(prep, np.asarray(depth), ts, imu_meas)
+        return self._track_frame(prep, depth, ts, imu_meas)
 
     def _preintegrate(self, ts: float, imu_meas):
         """Integrate the frame-gap IMU window and accumulate the since-last-KF
@@ -461,6 +463,7 @@ class Tracker:
     def _stereo_initialization(self, prep, depth, ts, fid):
         """Instant map init from stereo/RGB-D depth
         (reference: Tracking::StereoInitialization, Tracking.cc:2678)."""
+        depth = np.asarray(depth)
         good = (depth > 0) & np.asarray(prep.feat.valid)
         if good.sum() < 300:   # reference requires >500 kps; depth-valid subset
             return
@@ -504,6 +507,8 @@ class Tracker:
         creation, Tracking.cc:3865-3950: sorted by depth, close-first)."""
         if self.cur_depth is None or self.bf <= 0:
             return
+        # stereo-init path reaches here before the local-map stage pulled it
+        self.cur_depth = np.asarray(self.cur_depth)
         m = self.map
         prep = self.cur_prep
         free = ((m.kf_feat_point[k] == NO_POINT)
@@ -717,9 +722,16 @@ class Tracker:
         # pose + visibility mask + the current frame's angle/valid arrays
         # (cached on the host for next frame's rotation gate / stats, so
         # they are never re-downloaded as standalone round trips)
-        match, R_cw, t_cw, visible, cur_ang, cur_valid = jax.device_get(
-            (res.match_pt, res.T_cw_R, res.T_cw_t, proj.visible,
-             self.cur_prep.feat.angle, self.cur_prep.feat.valid))
+        leaves = [res.match_pt, res.T_cw_R, res.T_cw_t, proj.visible,
+                  self.cur_prep.feat.angle, self.cur_prep.feat.valid]
+        dev_depth = (self.cur_depth is not None
+                     and not isinstance(self.cur_depth, np.ndarray))
+        if dev_depth:
+            leaves.append(self.cur_depth)
+        got = jax.device_get(tuple(leaves))
+        match, R_cw, t_cw, visible, cur_ang, cur_valid = got[:6]
+        if dev_depth:
+            self.cur_depth = got[6]
         vis_ids = ids[visible & (ids >= 0)]
         self.map.pt_visible[vis_ids] += 1
         self._cur_cache_prep = self.cur_prep
