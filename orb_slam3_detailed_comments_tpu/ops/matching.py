@@ -84,6 +84,7 @@ def rotation_consistency_mask(dangle: jnp.ndarray, valid: jnp.ndarray,
     return valid & keep[bins]
 
 
+@partial(jax.jit, static_argnames=("max_dist", "ratio", "mutual"))
 def match_nn(da: jnp.ndarray, va: jnp.ndarray, db: jnp.ndarray, vb: jnp.ndarray,
              max_dist: int = TH_LOW, ratio: float = 0.9,
              mutual: bool = True,
@@ -156,6 +157,7 @@ def level_mask(lv_q: jnp.ndarray, lv_k: jnp.ndarray, lo: int = 0, hi: int = 0) -
     return (d >= lo) & (d <= hi)
 
 
+@partial(jax.jit, static_argnames=("window", "ratio", "max_dist"))
 def search_for_initialization(f1, f2, window: float = 100.0,
                               ratio: float = 0.9,
                               max_dist: int = TH_LOW) -> MatchResult:
@@ -174,6 +176,7 @@ def search_for_initialization(f1, f2, window: float = 100.0,
     return MatchResult(res.idx, res.dist, keep)
 
 
+@partial(jax.jit, static_argnames=("max_dist", "ratio"))
 def search_by_projection(proj_xy: jnp.ndarray, proj_valid: jnp.ndarray,
                          proj_desc: jnp.ndarray, proj_level: jnp.ndarray,
                          feat, radius, level_lo=-1, level_hi=1,

@@ -222,7 +222,7 @@ class LocalMapper:
             proj.uv, proj.visible & (jnp.asarray(ids) >= 0),
             jnp.asarray(m.pt_desc[safe]), proj.level,
             feat.feat._replace(xy=feat.xy_ud),
-            3.0 * np.asarray(radius_scale)[np.asarray(proj.level)],
+            3.0 * jnp.asarray(radius_scale)[proj.level],
             max_dist=matching.TH_LOW, ratio=1.0)
         valid = np.asarray(res.valid)
         fidx = np.asarray(res.idx)

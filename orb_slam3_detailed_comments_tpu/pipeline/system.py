@@ -164,6 +164,44 @@ class System:
         pose = self.tracker.track_monocular(img, ts, imu_meas=imu)
         return self._post_track(pose, ts)
 
+    def track_monocular_iter(self, items):
+        """Online pipelined ingestion: dispatch the NEXT frame's ORB
+        extraction before walking the current frame's tracking stages, so
+        the device computes frame i+1's pyramid/FAST/BRIEF while the host
+        blocks on frame i's packed transfers (XLA dispatch is asynchronous —
+        the device queue stays full instead of idling during host logic).
+        items yields (img, ts) or (img, ts, imu); yields the same poses as
+        track_monocular, bit-for-bit (extraction is pure, so dispatch order
+        does not change any result).
+
+        (No reference equivalent: the reference's per-frame chain is
+        strictly sequential; this is the TPU-native latency-hiding form.)"""
+        import jax.numpy as jnp
+        from . import kernels
+        from ..utils import timing
+        it = iter(items)
+        prev = None   # (prep, ts, imu)
+        while True:
+            item = next(it, None)
+            if item is not None:
+                img, ts = item[0], item[1]
+                imu = item[2] if len(item) > 2 else None
+                with timing.span("ORB extraction"):
+                    prep = kernels.prepare_frame(
+                        jnp.asarray(img, jnp.float32), self.cam,
+                        self.tracker.orb_cfg)
+                cur = (prep, float(ts), imu)
+            else:
+                cur = None
+            if prev is not None:
+                prep_p, ts_p, imu_p = prev
+                pose = self.tracker.track_prepared(prep_p, ts_p,
+                                                   imu_meas=imu_p)
+                yield self._post_track(pose, ts_p)
+            if cur is None:
+                return
+            prev = cur
+
     def track_monocular_batch(self, imgs, stamps, imu_seq=None,
                               mesh=None) -> list:
         """Offline/bulk ingestion: fan ORB extraction out over a device mesh
