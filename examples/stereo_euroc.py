@@ -49,13 +49,21 @@ def main():
         print(f"[seq {si}] {n} stereo pairs in {seq}")
         lf = datasets.prefetch_gray(lp[:n])
         rf = datasets.prefetch_gray(rp[:n])
-        for i, (l, r) in enumerate(zip(lf, rf)):
-            if maps_l is not None:
-                l = config.rectify(l, maps_l)
-                r = config.rectify(r, maps_r)
-            t0 = time.perf_counter()
-            slam.track_stereo(l, r, float(lts[i]))
-            t_track.append(time.perf_counter() - t0)
+
+        def feed():
+            for i, (l, r) in enumerate(zip(lf, rf)):
+                if maps_l is not None:
+                    l = config.rectify(l, maps_l)
+                    r = config.rectify(r, maps_r)
+                yield l, r, float(lts[i])
+
+        # pipelined ingest: the pair's extraction + row matching runs
+        # on-device one frame ahead of the host state machine
+        t0 = time.perf_counter()
+        for i, _ in enumerate(slam.track_stereo_iter(feed())):
+            t1 = time.perf_counter()
+            t_track.append(t1 - t0)
+            t0 = t1
             if i % 50 == 0:
                 print(f"frame {i}/{n} state={slam.tracker.state} "
                       f"kf={slam.n_keyframes} pts={slam.n_map_points}")

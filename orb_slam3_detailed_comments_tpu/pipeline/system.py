@@ -202,6 +202,49 @@ class System:
                 return
             prev = cur
 
+    def track_stereo_iter(self, items):
+        """Pipelined stereo/RGB-D-free ingestion, the stereo analog of
+        track_monocular_iter: items yields (img_l, img_r, ts) or
+        (img_l, img_r, ts, imu); the pair's extraction + row matching is
+        dispatched one frame ahead. Bit-identical to track_stereo."""
+        import jax.numpy as jnp
+        from . import kernels
+        from ..utils import timing
+        it = iter(items)
+        prev = None
+        while True:
+            item = next(it, None)
+            if item is not None:
+                img_l, img_r, ts = item[0], item[1], item[2]
+                imu = item[3] if len(item) > 3 else None
+                tk = self.tracker
+                with timing.span("ORB extraction"):
+                    if tk.cam2 is not None:
+                        T = np.asarray(tk.T_rl)
+                        prep, depth, _ = kernels.prepare_frame_stereo_fisheye(
+                            jnp.asarray(img_l, jnp.float32),
+                            jnp.asarray(img_r, jnp.float32),
+                            tk.cam, tk.cam2,
+                            jnp.asarray(T[:3, :3], jnp.float32),
+                            jnp.asarray(T[:3, 3], jnp.float32), tk.orb_cfg)
+                    else:
+                        prep, depth, _ = kernels.prepare_frame_stereo(
+                            jnp.asarray(img_l, jnp.float32),
+                            jnp.asarray(img_r, jnp.float32),
+                            tk.cam, tk.bf, tk.orb_cfg,
+                            tk.orb_cfg.n_levels, tk.orb_cfg.scale)
+                cur = (prep, depth, float(ts), imu)
+            else:
+                cur = None
+            if prev is not None:
+                prep_p, depth_p, ts_p, imu_p = prev
+                pose = self.tracker.track_prepared_stereo(
+                    prep_p, depth_p, ts_p, imu_meas=imu_p)
+                yield self._post_track(pose, ts_p)
+            if cur is None:
+                return
+            prev = cur
+
     def track_monocular_batch(self, imgs, stamps, imu_seq=None,
                               mesh=None) -> list:
         """Offline/bulk ingestion: fan ORB extraction out over a device mesh

@@ -158,6 +158,12 @@ class Tracker:
         device mesh, the sequential state machine consuming the results)."""
         return self._track_frame(prep, None, ts, imu_meas)
 
+    def track_prepared_stereo(self, prep: kernels.PreparedFrame, depth,
+                              ts: float, imu_meas=None) -> Optional[np.ndarray]:
+        """Track a pre-extracted stereo/RGB-D frame (pipelined ingestion:
+        System.track_stereo_iter dispatches prepare_frame_stereo ahead)."""
+        return self._track_frame(prep, depth, ts, imu_meas)
+
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      ts: float, imu_meas=None) -> Optional[np.ndarray]:
         """(reference: Tracking::GrabImageStereo, Tracking.cc:1523)"""

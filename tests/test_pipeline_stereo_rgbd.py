@@ -148,3 +148,26 @@ class TestNeedNewKeyFrameC1c:
         depth[:120] = 1.0               # plenty of close points ARE tracked
         tr.cur_depth = depth
         assert not tr._need_new_keyframe()
+
+
+def test_stereo_pipelined_iter_matches_online(world):
+    """track_stereo_iter must yield bit-identical poses to online
+    track_stereo (extraction is pure; only dispatch order differs)."""
+    from orb_slam3_detailed_comments_tpu.pipeline.system import System, STEREO
+    planes, R, t, n_all = world
+    n = min(16, n_all)
+    ts = np.arange(n) * 0.05
+    pairs = [synth_render.render_stereo_pair(CAM, planes, R[i], t[i],
+                                             BASELINE) for i in range(n)]
+    a = System(CAM, STEREO, baseline=BASELINE, enable_loop_closing=False)
+    poses_a = [a.track_stereo(pairs[i][0], pairs[i][1], float(ts[i]))
+               for i in range(n)]
+    b = System(CAM, STEREO, baseline=BASELINE, enable_loop_closing=False)
+    poses_b = list(b.track_stereo_iter(
+        (pairs[i][0], pairs[i][1], float(ts[i])) for i in range(n)))
+    assert len(poses_b) == n
+    for pa, pb in zip(poses_a, poses_b):
+        if pa is None:
+            assert pb is None
+        else:
+            np.testing.assert_array_equal(pa, pb)
