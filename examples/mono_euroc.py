@@ -38,7 +38,7 @@ def main():
             slam.change_dataset()
         paths, ts = datasets.load_euroc_images(seq)
         print(f"[seq {si}] {len(paths)} frames in {seq}")
-        frames = datasets.prefetch_gray(paths)
+        frames = datasets.prefetch_gray(paths, resize_to=s.resize_to)
         # pipelined ingest: frame i+1's extraction runs on-device while the
         # host walks frame i's state machine (same poses as track_monocular)
         t0 = time.perf_counter()

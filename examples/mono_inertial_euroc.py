@@ -54,7 +54,7 @@ def main():
         print(f"[seq {si}] {len(paths)} frames, {len(imu_ts)} IMU samples "
               f"in {seq}")
         t_prev = ts[0]
-        frames = datasets.prefetch_gray(paths)
+        frames = datasets.prefetch_gray(paths, resize_to=s.resize_to)
         for i, (img, t) in enumerate(zip(frames, ts)):
             lo, hi = datasets.imu_between(imu_ts, t_prev, t)
             window = ((acc[lo:hi], gyro[lo:hi], imu_ts[lo:hi])

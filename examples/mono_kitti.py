@@ -32,7 +32,7 @@ def main():
     n = min(len(lp), len(ts))
     print(f"{n} frames in {seq}")
     t_track = []
-    for i, img in enumerate(datasets.prefetch_gray(lp[:n])):
+    for i, img in enumerate(datasets.prefetch_gray(lp[:n], resize_to=s.resize_to)):
         t0 = time.perf_counter()
         slam.track_monocular(img, float(ts[i]))
         t_track.append(time.perf_counter() - t0)

@@ -29,7 +29,7 @@ def main():
     rgb_p, rgb_t, _d_p, _d_t = datasets.load_tum_rgbd(seq)
     n = len(rgb_p)
     print(f"{n} frames in {seq}")
-    for i, img in enumerate(datasets.prefetch_gray(rgb_p[:n])):
+    for i, img in enumerate(datasets.prefetch_gray(rgb_p[:n], resize_to=s.resize_to)):
         slam.track_monocular(img, float(rgb_t[i]))
         if i % 50 == 0:
             print(f"frame {i}/{n} state={slam.tracker.state} "

@@ -49,7 +49,7 @@ def main():
             slam.change_dataset()
         paths, ts = datasets.load_euroc_images(seq, cam="cam0")
         print(f"[seq {si}] {len(paths)} frames in {seq}")
-        frames = datasets.prefetch_gray(paths)
+        frames = datasets.prefetch_gray(paths, resize_to=s.resize_to)
         for i, (img, t) in enumerate(zip(frames, ts)):
             img = equalize(img)
             t0 = time.perf_counter()

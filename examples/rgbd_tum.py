@@ -28,9 +28,10 @@ def main():
     pairs = datasets.associate_rgbd(rgb_t, d_t)
     print(f"{len(pairs)} associated rgb-depth pairs in {seq}")
     for i, (ri, di) in enumerate(pairs):
-        img = datasets.read_gray(rgb_p[ri])
+        img = config.resize_image(datasets.read_gray(rgb_p[ri]), s.resize_to)
         depth = datasets.read_depth(d_p[di], factor=1.0 / s.depth_map_factor
                                     if s.depth_map_factor < 1 else 5000.0)
+        depth = config.resize_image(depth, s.resize_to)
         slam.track_rgbd(img, depth, float(rgb_t[ri]))
         if i % 50 == 0:
             print(f"frame {i}/{len(pairs)} state={slam.tracker.state} "

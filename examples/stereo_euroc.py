@@ -47,8 +47,8 @@ def main():
         rp, _ = datasets.load_euroc_images(seq, cam="cam1")
         n = min(len(lp), len(rp))
         print(f"[seq {si}] {n} stereo pairs in {seq}")
-        lf = datasets.prefetch_gray(lp[:n])
-        rf = datasets.prefetch_gray(rp[:n])
+        lf = datasets.prefetch_gray(lp[:n], resize_to=s.resize_to)
+        rf = datasets.prefetch_gray(rp[:n], resize_to=s.resize_to)
 
         def feed():
             for i, (l, r) in enumerate(zip(lf, rf)):

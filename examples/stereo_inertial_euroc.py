@@ -54,8 +54,8 @@ def main():
         print(f"[seq {si}] {len(paths_l)} frames, {len(imu_ts)} IMU samples "
               f"in {seq}")
         t_prev = ts[0]
-        lf = datasets.prefetch_gray(paths_l)
-        rf = datasets.prefetch_gray(paths_r)
+        lf = datasets.prefetch_gray(paths_l, resize_to=s.resize_to)
+        rf = datasets.prefetch_gray(paths_r, resize_to=s.resize_to)
         for i, (img_l, img_r, t) in enumerate(zip(lf, rf, ts)):
             lo, hi = datasets.imu_between(imu_ts, t_prev, t)
             window = ((acc[lo:hi], gyro[lo:hi], imu_ts[lo:hi])

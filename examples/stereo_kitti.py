@@ -31,8 +31,8 @@ def main():
     n = min(len(lp), len(rp), len(ts))
     print(f"{n} stereo pairs in {seq}")
     t_track = []
-    lf = datasets.prefetch_gray(lp[:n])
-    rf = datasets.prefetch_gray(rp[:n])
+    lf = datasets.prefetch_gray(lp[:n], resize_to=s.resize_to)
+    rf = datasets.prefetch_gray(rp[:n], resize_to=s.resize_to)
     for i, (l, r) in enumerate(zip(lf, rf)):
         t0 = time.perf_counter()
         slam.track_stereo(l, r, float(ts[i]))

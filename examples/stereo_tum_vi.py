@@ -53,8 +53,8 @@ def main():
         paths_l, ts = datasets.load_euroc_images(seq, cam="cam0")
         paths_r, _ = datasets.load_euroc_images(seq, cam="cam1")
         print(f"[seq {si}] {len(paths_l)} frames in {seq}")
-        lf = datasets.prefetch_gray(paths_l)
-        rf = datasets.prefetch_gray(paths_r)
+        lf = datasets.prefetch_gray(paths_l, resize_to=s.resize_to)
+        rf = datasets.prefetch_gray(paths_r, resize_to=s.resize_to)
         for i, (img_l, img_r, t) in enumerate(zip(lf, rf, ts)):
             img_l = equalize(img_l)
             img_r = equalize(img_r)

@@ -44,6 +44,10 @@ class Settings:
     T_bc: Optional[np.ndarray] = None   # 4x4 camera-in-body
     T_c1c2: Optional[np.ndarray] = None  # 4x4 cam2-in-cam1 (fisheye stereo)
     insert_kfs_when_lost: bool = True
+    # input resize target (W, H) when Camera.newWidth/newHeight request a
+    # different working resolution than the sensor's (reference:
+    # Settings.cc:436 + the cv::resize in System::Track*, System.cc:285-300)
+    resize_to: Optional[tuple] = None
     # system
     load_atlas: Optional[str] = None
     save_atlas: Optional[str] = None
@@ -162,7 +166,42 @@ def load_settings(path: str) -> Settings:
     s.save_atlas = _get(d, "System.SaveAtlasToFile")
     lc = _get(d, "loopClosing", default=1)
     s.loop_closing = bool(lc)
+    # Camera.newWidth/newHeight: run at a different resolution than the
+    # sensor's — scale the intrinsics and remember to resize inputs
+    # (reference: Settings.cc:436-470; skipped when legacy rectification
+    # blocks drive the geometry, as the reference does for bNeedToRectify)
+    nw, nh = _get(d, "Camera.newWidth"), _get(d, "Camera.newHeight")
+    if ((nw is not None or nh is not None) and s.camera is not None
+            and "Camera.width" in d and "LEFT.K" not in d):
+        nw = int(nw if nw is not None else s.camera.width)
+        nh = int(nh if nh is not None else s.camera.height)
+        if (nw, nh) != (s.camera.width, s.camera.height):
+            s.resize_to = (nw, nh)
+            s.camera = scale_camera(s.camera, nw, nh)
+            if s.camera2 is not None:
+                s.camera2 = scale_camera(s.camera2, nw, nh)
     return s
+
+
+def scale_camera(cam: cameras.CameraParams, new_w: int,
+                 new_h: int) -> cameras.CameraParams:
+    """Rescale intrinsics to a resized image (distortion coefficients act on
+    normalized coordinates and are resolution-invariant)."""
+    sx = new_w / cam.width
+    sy = new_h / cam.height
+    return cam._replace(fx=cam.fx * sx, fy=cam.fy * sy,
+                        cx=cam.cx * sx, cy=cam.cy * sy,
+                        width=int(new_w), height=int(new_h))
+
+
+def resize_image(img: np.ndarray, resize_to) -> np.ndarray:
+    """Resize one input frame to Settings.resize_to (no-op when None);
+    bilinear, like the reference's cv::resize calls in System::Track*."""
+    if resize_to is None:
+        return img
+    import cv2
+    return cv2.resize(np.asarray(img), tuple(resize_to),
+                      interpolation=cv2.INTER_LINEAR)
 
 
 def _mat(d: dict, name: str):

@@ -107,12 +107,13 @@ def read_depth(path: str, factor: float = 5000.0) -> np.ndarray:
     return d.astype(np.float32) / factor
 
 
-def prefetch_gray(paths, depth: int = 4):
+def prefetch_gray(paths, depth: int = 4, resize_to=None):
     """Yield grayscale frames for `paths` with disk reads running on a
     background thread (bounded queue), so image decode overlaps tracking.
     The reference's mains read synchronously between frames
     (mono_euroc.cc:139); on a paced TPU pipeline the decode would otherwise
-    sit on the critical path."""
+    sit on the critical path. resize_to: optional (W, H) working resolution
+    (Settings.resize_to — the reference's Camera.newWidth resize)."""
     import queue
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -130,8 +131,9 @@ def prefetch_gray(paths, depth: int = 4):
 
     def worker():
         try:
+            from . import config
             for p in paths:
-                if not _put(read_gray(p)):
+                if not _put(config.resize_image(read_gray(p), resize_to)):
                     return
         except BaseException as e:          # surface errors at the consumer
             _put(e)

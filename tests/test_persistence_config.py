@@ -471,3 +471,42 @@ class TestDevicePointCache:
         d4 = m.device_points()
         assert len(np.asarray(d4["valid"])) == m.cfg.max_pt
         np.testing.assert_array_equal(np.asarray(d4["xyz"]), m.pt_xyz)
+
+
+class TestImageResize:
+    """Camera.newWidth/newHeight: run at a working resolution different from
+    the sensor's (reference: Settings.cc:436 + System.cc:285-300 resizes)."""
+
+    YAML = """%YAML:1.0
+Camera.type: "PinHole"
+Camera1.fx: 400.0
+Camera1.fy: 400.0
+Camera1.cx: 376.0
+Camera1.cy: 240.0
+Camera.width: 752
+Camera.height: 480
+Camera.newWidth: 376
+Camera.newHeight: 240
+"""
+
+    def test_intrinsics_scaled(self, tmp_path):
+        p = tmp_path / "s.yaml"
+        p.write_text(self.YAML)
+        s = config.load_settings(str(p))
+        assert s.resize_to == (376, 240)
+        assert s.camera.width == 376 and s.camera.height == 240
+        assert abs(s.camera.fx - 200.0) < 1e-6
+        assert abs(s.camera.cx - 188.0) < 1e-6
+
+    def test_resize_image(self):
+        img = np.arange(480 * 752, dtype=np.float32).reshape(480, 752)
+        out = config.resize_image(img, (376, 240))
+        assert out.shape == (240, 376)
+        assert config.resize_image(img, None) is img
+
+    def test_no_resize_when_sizes_match(self, tmp_path):
+        p = tmp_path / "s.yaml"
+        p.write_text(self.YAML.replace("newWidth: 376", "newWidth: 752")
+                     .replace("newHeight: 240", "newHeight: 480"))
+        s = config.load_settings(str(p))
+        assert s.resize_to is None and abs(s.camera.fx - 400.0) < 1e-6
