@@ -29,7 +29,7 @@ def main():
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
 
     s = config.load_settings(settings_path)
-    slam = System(s.camera, MONOCULAR, enable_loop_closing=s.loop_closing)
+    slam = System.from_settings(s, MONOCULAR)
     t_track = []
     for si, seq in enumerate(seqs):
         if si > 0:

@@ -27,7 +27,7 @@ def main():
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
 
     s = config.load_settings(settings_path)
-    slam = System(s.camera, MONOCULAR, enable_loop_closing=s.loop_closing)
+    slam = System.from_settings(s, MONOCULAR)
     lp, _rp, ts = datasets.load_kitti_stereo(seq)
     n = min(len(lp), len(ts))
     print(f"{n} frames in {seq}")

@@ -25,7 +25,7 @@ def main():
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
 
     s = config.load_settings(settings_path)
-    slam = System(s.camera, MONOCULAR, enable_loop_closing=s.loop_closing)
+    slam = System.from_settings(s, MONOCULAR)
     rgb_p, rgb_t, _d_p, _d_t = datasets.load_tum_rgbd(seq)
     n = len(rgb_p)
     print(f"{n} frames in {seq}")

@@ -22,8 +22,7 @@ def main():
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
 
     s = config.load_settings(settings_path)
-    slam = System(s.camera, RGBD, baseline=s.baseline or 0.08,
-                  th_depth=s.th_depth, enable_loop_closing=s.loop_closing)
+    slam = System.from_settings(s, RGBD, baseline=s.baseline or 0.08)
     rgb_p, rgb_t, d_p, d_t = datasets.load_tum_rgbd(seq)
     pairs = datasets.associate_rgbd(rgb_t, d_t)
     print(f"{len(pairs)} associated rgb-depth pairs in {seq}")

@@ -37,8 +37,9 @@ def main():
     else:
         maps_l = maps_r = None
         cam, baseline = s.camera, s.baseline
-    slam = System(cam, STEREO, baseline=baseline, th_depth=s.th_depth,
-                  enable_loop_closing=s.loop_closing)
+    # rectified path: plain pinhole pair, no Camera2 two-camera mode
+    slam = System.from_settings(s, STEREO, camera=cam, baseline=baseline,
+                                camera2=None, T_c1c2=None)
     t_track = []
     for si, seq in enumerate(seqs):
         if si > 0:

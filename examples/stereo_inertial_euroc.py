@@ -26,22 +26,12 @@ def main():
     outs = [a for a in sys.argv[2:] if a.endswith(".txt")]
     out = outs[0] if outs else "trajectory_tum.txt"
 
-    from orb_slam3_detailed_comments_tpu.imu.preintegration import ImuCalib
     from orb_slam3_detailed_comments_tpu.pipeline.system import (
         System, IMU_STEREO)
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
-    import jax.numpy as jnp
 
     s = config.load_settings(settings_path)
-    if s.T_bc is not None:
-        R_bc, t_bc = jnp.asarray(s.T_bc[:3, :3]), jnp.asarray(s.T_bc[:3, 3])
-    else:
-        R_bc, t_bc = jnp.eye(3), jnp.zeros(3)
-    calib = ImuCalib(noise_gyro=s.imu_noise_gyro, noise_acc=s.imu_noise_acc,
-                     walk_gyro=s.imu_walk_gyro, walk_acc=s.imu_walk_acc,
-                     R_bc=R_bc, t_bc=t_bc)
-    slam = System(s.camera, IMU_STEREO, enable_loop_closing=s.loop_closing,
-                  baseline=s.baseline, th_depth=s.th_depth, imu_calib=calib)
+    slam = System.from_settings(s, IMU_STEREO)
     t_track = []
     for si, seq in enumerate(seqs):
         if si > 0:

@@ -25,8 +25,7 @@ def main():
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
 
     s = config.load_settings(settings_path)
-    slam = System(s.camera, STEREO, baseline=s.baseline, th_depth=s.th_depth,
-                  enable_loop_closing=s.loop_closing)
+    slam = System.from_settings(s, STEREO)
     lp, rp, ts = datasets.load_kitti_stereo(seq)
     n = min(len(lp), len(rp), len(ts))
     print(f"{n} stereo pairs in {seq}")

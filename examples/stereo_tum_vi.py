@@ -35,9 +35,7 @@ def main():
     from orb_slam3_detailed_comments_tpu.utils import config, datasets
 
     s = config.load_settings(settings_path)
-    slam = System(s.camera, STEREO, enable_loop_closing=s.loop_closing,
-                  baseline=s.baseline, th_depth=s.th_depth,
-                  camera2=s.camera2, T_c1c2=s.T_c1c2)
+    slam = System.from_settings(s, STEREO)
 
     try:
         import cv2

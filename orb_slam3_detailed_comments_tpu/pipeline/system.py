@@ -37,7 +37,7 @@ class System:
                  vocab_path: Optional[str] = None,
                  baseline: float = 0.0, th_depth: float = 35.0,
                  imu_calib=None, camera2=None, T_c1c2=None,
-                 async_mapping: bool = False):
+                 async_mapping: bool = False, orb_cfg=None):
         if sensor not in (MONOCULAR, STEREO, RGBD,
                           IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
             raise ValueError(f"unknown sensor {sensor}")
@@ -65,6 +65,7 @@ class System:
                 # thRefRatio: 0.9 mono / 0.75 stereo-RGBD (Tracking.cc:3737)
                 tracking_cfg.ref_ratio = 0.75
         self.tracker = Tracker(cam, self.map, tracking_cfg,
+                               orb_cfg=orb_cfg,
                                sensor=tsensor, bf=baseline * cam.fx,
                                th_depth=th_depth,
                                imu_calib=imu_calib if self.inertial else None,
@@ -155,6 +156,49 @@ class System:
         # in async mode the post-closure global BA races tracking on its
         # own thread (reference: mpThreadGBA) and applies under the map lock
         self.loop_closer.map_lock = self.map_lock
+
+    @classmethod
+    def from_settings(cls, s, sensor: int = MONOCULAR, **overrides):
+        """Build a System from parsed Settings — the reference System ctor's
+        yaml wiring (System.cc:80-265): ORB budget/pyramid/thresholds, fps →
+        keyframe cadence, stereo rig (baseline / Camera2 + T_c1_c2), IMU
+        noise + Tbc, loop-closing switch. Keyword overrides win (e.g.
+        camera=rectified_cam for the legacy rectification path)."""
+        from ..mapping.mapstore import MapConfig
+        from ..ops.extractor import OrbConfig
+        from .tracking import TrackingConfig
+        # pad the feature budget to a multiple of 128: the fused Pallas
+        # Hamming kernel and MXU tiling want lane-aligned capacities
+        n_feat = int(int(np.ceil(s.n_features / 128.0)) * 128)
+        tcfg = TrackingConfig(n_features=n_feat,
+                              max_frames=max(1, int(round(s.fps))))
+        if sensor not in (MONOCULAR, IMU_MONOCULAR):
+            tcfg.ref_ratio = 0.75   # thRefRatio (Tracking.cc:3737)
+        orb = OrbConfig(n_features=n_feat, n_levels=s.n_levels,
+                        scale=s.scale_factor, ini_th=s.ini_th_fast,
+                        min_th=s.min_th_fast)
+        mcfg = MapConfig(n_feat=n_feat, n_levels=s.n_levels,
+                         scale=s.scale_factor)
+        imu_calib = None
+        if sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
+            import jax.numpy as jnp
+            from ..imu.preintegration import ImuCalib
+            if s.T_bc is not None:
+                R_bc = jnp.asarray(s.T_bc[:3, :3])
+                t_bc = jnp.asarray(s.T_bc[:3, 3])
+            else:
+                R_bc, t_bc = jnp.eye(3), jnp.zeros(3)
+            imu_calib = ImuCalib(
+                noise_gyro=s.imu_noise_gyro, noise_acc=s.imu_noise_acc,
+                walk_gyro=s.imu_walk_gyro, walk_acc=s.imu_walk_acc,
+                R_bc=R_bc, t_bc=t_bc)
+        kw = dict(map_cfg=mcfg, tracking_cfg=tcfg, orb_cfg=orb,
+                  enable_loop_closing=s.loop_closing,
+                  baseline=s.baseline, th_depth=s.th_depth,
+                  imu_calib=imu_calib, camera2=s.camera2, T_c1c2=s.T_c1c2)
+        cam = overrides.pop("camera", s.camera)
+        kw.update(overrides)
+        return cls(cam, sensor, **kw)
 
     def track_monocular(self, img: np.ndarray, ts: float,
                         imu=None) -> Optional[np.ndarray]:

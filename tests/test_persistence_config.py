@@ -510,3 +510,34 @@ Camera.newHeight: 240
                      .replace("newHeight: 240", "newHeight: 480"))
         s = config.load_settings(str(p))
         assert s.resize_to is None and abs(s.camera.fx - 400.0) < 1e-6
+
+
+class TestFromSettings:
+    def test_from_settings_wires_configs(self):
+        """System.from_settings must honor the yaml's ORB budget (padded to
+        a lane-aligned capacity), pyramid, fps->KF cadence, rig and IMU
+        calibration (reference: the System ctor yaml wiring, System.cc:80-265)."""
+        from orb_slam3_detailed_comments_tpu.pipeline.system import (
+            System, IMU_STEREO)
+        p = os.path.join(TestShippedConfigs.CFG_DIR, "EuRoC.yaml")
+        s = config.load_settings(p)
+        slam = System.from_settings(s, IMU_STEREO)
+        n_pad = int(np.ceil(s.n_features / 128.0)) * 128
+        assert slam.tracker.orb_cfg.n_features == n_pad
+        assert slam.tracker.orb_cfg.n_levels == s.n_levels
+        assert abs(slam.tracker.orb_cfg.scale - s.scale_factor) < 1e-9
+        assert slam.tracker.cfg.max_frames == int(round(s.fps))
+        assert slam.map.cfg.n_feat == n_pad
+        assert slam.tracker.imu is not None
+        assert abs(float(np.asarray(
+            slam.tracker.imu.calib.noise_gyro)) - s.imu_noise_gyro) < 1e-12
+        assert slam.tracker.cfg.ref_ratio == 0.75        # stereo thRefRatio
+
+    def test_from_settings_all_shipped(self):
+        from orb_slam3_detailed_comments_tpu.pipeline.system import (
+            System, MONOCULAR)
+        for n in sorted(os.listdir(TestShippedConfigs.CFG_DIR)):
+            s = config.load_settings(os.path.join(TestShippedConfigs.CFG_DIR, n))
+            slam = System.from_settings(s, MONOCULAR)
+            assert slam.tracker.orb_cfg.n_features % 128 == 0, n
+            assert slam.tracker.orb_cfg.n_features >= s.n_features, n
