@@ -35,11 +35,16 @@ class InertialInitResult(NamedTuple):
     cost: jnp.ndarray
 
 
-def initial_gravity_estimate(R_wb: jnp.ndarray, pres: Preintegrated) -> jnp.ndarray:
+def initial_gravity_estimate(R_wb: jnp.ndarray, pres: Preintegrated,
+                             edge_valid=None) -> jnp.ndarray:
     """Gravity direction from the mean of -R * dV (reference:
     LocalMapping::InitializeIMU dirG accumulation, LocalMapping.cc:1583-1620).
-    pres: stacked Preintegrated with leading axis K-1."""
-    dirG = -jnp.sum(jnp.einsum("kij,kj->ki", R_wb[:-1], pres.dV), axis=0)
+    pres: stacked Preintegrated with leading axis K-1. edge_valid [K-1]:
+    mask for bucket-padded chains (padding keeps compiled shapes stable)."""
+    terms = jnp.einsum("kij,kj->ki", R_wb[:-1], pres.dV)
+    if edge_valid is not None:
+        terms = terms * edge_valid[:, None]
+    dirG = -jnp.sum(terms, axis=0)
     dirG = dirG / jnp.maximum(jnp.linalg.norm(dirG), 1e-9)
     gI = jnp.array([0.0, 0.0, -1.0])
     v = jnp.cross(gI, dirG)
@@ -52,7 +57,7 @@ def initial_gravity_estimate(R_wb: jnp.ndarray, pres: Preintegrated) -> jnp.ndar
 
 @partial(jax.jit, static_argnames=("iters",))
 def estimate_gyro_bias(R_wb: jnp.ndarray, pres: Preintegrated,
-                       iters: int = 4) -> jnp.ndarray:
+                       iters: int = 4, edge_valid=None) -> jnp.ndarray:
     """Gyro bias from rotation-only alignment of preintegrations to the
     visual rotations: min_bg sum ||Log(dR(bg)^T R_i^T R_j)||^2.
     (stage 1 of the reference's IMU init; also used standalone before
@@ -63,7 +68,8 @@ def estimate_gyro_bias(R_wb: jnp.ndarray, pres: Preintegrated,
         def pair(i):
             pre_i = jax.tree.map(lambda x: x[i], pres)
             dR = pre_mod.delta_rotation(pre_i, bg)
-            return so3.log(dR.T @ R_wb[i].T @ R_wb[i + 1])
+            r = so3.log(dR.T @ R_wb[i].T @ R_wb[i + 1])
+            return r if edge_valid is None else r * edge_valid[i]
         return jax.vmap(pair)(jnp.arange(K - 1)).reshape(-1)
 
     def step(i, bg):
@@ -79,13 +85,24 @@ def inertial_optimization(R_wb: jnp.ndarray, p_w: jnp.ndarray,
                           pres: Preintegrated,
                           R_wg0: jnp.ndarray,
                           prior_gyro: float = 1e2, prior_acc: float = 1e10,
-                          iters: int = 20, fix_scale: bool = False
-                          ) -> InertialInitResult:
+                          iters: int = 20, fix_scale: bool = False,
+                          edge_valid=None) -> InertialInitResult:
     """R_wb [K,3,3], p_w [K,3] (visual, up-to-scale); pres: stacked [K-1]
     preintegrations between consecutive KFs. priors follow the reference's
-    schedule (priorG/priorA, LocalMapping.cc:236-244)."""
+    schedule (priorG/priorA, LocalMapping.cc:236-244). edge_valid [K-1]:
+    mask for bucket-padded chains — padded edges contribute zero residual
+    and padded velocities are pinned, so growing maps reuse ONE compiled
+    program per bucket size instead of recompiling at every chain length."""
     K = R_wb.shape[0]
     g_mag = 9.81
+    if edge_valid is None:
+        edge_valid = jnp.ones(K - 1, jnp.float32)
+    else:
+        edge_valid = edge_valid.astype(jnp.float32)
+    # state k participates if some adjacent edge does (k=0 always does)
+    state_valid = jnp.concatenate(
+        [jnp.ones(1), jnp.maximum(edge_valid[1:], edge_valid[:-1]),
+         edge_valid[-1:]]) if K > 1 else jnp.ones(K)
 
     # initial velocities: finite differences of scaled positions
     def unpack(theta):
@@ -111,15 +128,17 @@ def inertial_optimization(R_wb: jnp.ndarray, p_w: jnp.ndarray,
             info = factors.information_9(pre_i)
             # whiten with cholesky of info
             L = jnp.linalg.cholesky(info + 1e-8 * jnp.eye(9))
-            return L.T @ r
+            return (L.T @ r) * edge_valid[i]
 
         rs = jax.vmap(pair)(jnp.arange(K - 1)).reshape(-1)
         prior = jnp.concatenate([
             jnp.sqrt(prior_gyro) * bg, jnp.sqrt(prior_acc) * ba])
-        return jnp.concatenate([rs, prior])
+        # pin the velocities of bucket-padding states at zero
+        pin = (10.0 * (1.0 - state_valid)[:, None] * v).reshape(-1)
+        return jnp.concatenate([rs, prior, pin])
 
     # ---- stage 1: gyro bias from rotation-only alignment --------------
-    bg_est = estimate_gyro_bias(R_wb, pres)
+    bg_est = estimate_gyro_bias(R_wb, pres, edge_valid=edge_valid)
 
     # ---- stage 2: closed-form linear solve for (s, g_w, v_k) ----------
     # ev: R_i^T (v_j - v_i - g dt)                    = dV(bg)
@@ -142,7 +161,9 @@ def inertial_optimization(R_wb: jnp.ndarray, p_w: jnp.ndarray,
         Ap = Ap.at[:, 1:4].set(-0.5 * Ri_T * dt * dt)
         Ap = jax.lax.dynamic_update_slice(Ap, -Ri_T * dt, (0, 4 + 3 * i))
         bp = pre_mod.delta_position(pre_i, bg_est, jnp.zeros(3))
-        return jnp.concatenate([Av, Ap]), jnp.concatenate([bv, bp])
+        m = edge_valid[i]
+        return (m * jnp.concatenate([Av, Ap]),
+                m * jnp.concatenate([bv, bp]))
 
     A, b = jax.vmap(lin_rows)(jnp.arange(K - 1))
     A = A.reshape(-1, nx)

@@ -145,24 +145,40 @@ def try_initialize_imu(m: MapStore, min_kf: int = 8, min_time: float = 1.0,
     R_bc, t_bc = _extr(calib) if calib is not None else (np.eye(3, dtype=np.float32),
                                                          np.zeros(3, np.float32))
     t_cb = -R_bc.T @ t_bc
-    R_wb = jnp.asarray(np.transpose(
-        np.einsum("ij,kjl->kil", R_bc, m.kf_R[chain]), (0, 2, 1)))
+    R_wb_np = np.transpose(
+        np.einsum("ij,kjl->kil", R_bc, m.kf_R[chain]), (0, 2, 1))
     centers = -np.einsum("kij,ki->kj", m.kf_R[chain], m.kf_t[chain])
     p_body = centers + np.einsum("kji,j->ki", m.kf_R[chain], t_cb)
+
+    # bucket the chain length so the growing map reuses one compiled solver
+    # per bucket instead of recompiling at every keyframe count
+    K = len(chain)
+    Kb = max(8, 8 * int(np.ceil(K / 8.0)))
+    pad = Kb - K
+    edge_valid = jnp.asarray(
+        np.concatenate([np.ones(K - 1, np.float32), np.zeros(pad, np.float32)]))
+    if pad:
+        R_wb_np = np.concatenate([R_wb_np, np.repeat(R_wb_np[-1:], pad, 0)])
+        p_body = np.concatenate([p_body, np.repeat(p_body[-1:], pad, 0)])
+        pres = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)]), pres)
+    R_wb = jnp.asarray(R_wb_np)
     p_w = jnp.asarray(p_body)
 
-    R_wg0 = inertial_init.initial_gravity_estimate(R_wb, pres)
+    R_wg0 = inertial_init.initial_gravity_estimate(R_wb, pres,
+                                                   edge_valid=edge_valid)
     res = inertial_init.inertial_optimization(
         R_wb, p_w, pres, R_wg0, prior_gyro=prior_gyro, prior_acc=prior_acc,
-        iters=25, fix_scale=fix_scale)
+        iters=25, fix_scale=fix_scale, edge_valid=edge_valid)
     s = float(res.scale)
     if not np.isfinite(s) or s < 0.02 or s > 50.0:
         return None
     R_wg = np.asarray(res.R_wg)
 
     apply_scaled_rotation(m, R_wg, s)
-    # velocities: rotate into the gravity-aligned world
-    v_new = np.einsum("ji,kj->ki", R_wg, np.asarray(res.velocities))
+    # velocities: rotate into the gravity-aligned world (drop bucket padding)
+    v_new = np.einsum("ji,kj->ki", R_wg, np.asarray(res.velocities)[:K])
     m.kf_vel[chain] = v_new
     m.kf_bg[chain] = np.asarray(res.bg)
     m.kf_ba[chain] = np.asarray(res.ba)

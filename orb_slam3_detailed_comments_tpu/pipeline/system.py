@@ -593,13 +593,35 @@ class System:
         from ..utils import synth_render
         rng = np.random.default_rng(0)
         planes = synth_render.default_world(rng, tex_size=600)
-        R, t = synth_render.orbit_trajectory(n_frames)
+        windows = None
+        if self.inertial:
+            # exactly consistent IMU so the staged IMU init SUCCEEDS in the
+            # shadow run — only then do the inertial tracking programs
+            # (pose_inertial_optimization + the marginal-prior LastFrame
+            # variant) get compiled. The shadow uses an identity body-camera
+            # extrinsic: compiled programs are keyed on SHAPES, so the cache
+            # carries over to any real Tbc.
+            n_frames = max(n_frames, 40)
+            traj = synth_render.inertial_trajectory(n_frames)
+            R, t = traj["R_cw"], traj["t_cw"]
+            ts_all = np.asarray(traj["ts"], np.float64)
+            windows = traj["windows"]
+        else:
+            R, t = synth_render.orbit_trajectory(n_frames)
+            ts_all = np.arange(n_frames) / 10.0
+        warm_calib = None
+        if self.tracker.imu is not None:
+            import dataclasses as _dc
+            import jax.numpy as jnp
+            c = self.tracker.imu.calib
+            warm_calib = (c._replace(R_bc=jnp.eye(3), t_bc=jnp.zeros(3))
+                          if hasattr(c, "_replace") else
+                          _dc.replace(c, R_bc=jnp.eye(3), t_bc=jnp.zeros(3)))
         T_c1c2 = (None if self.tracker.T_rl is None
                   else np.linalg.inv(np.asarray(self.tracker.T_rl,
                                                 np.float64)).astype(np.float32))
         shadow = System(self.cam, self.sensor,
-                        imu_calib=(self.tracker.imu.calib
-                                   if self.tracker.imu else None),
+                        imu_calib=warm_calib,
                         map_cfg=self.atlas.map_cfg,
                         tracking_cfg=self.tracker.cfg,
                         mapping_cfg=self.local_mapper.cfg,
@@ -610,7 +632,6 @@ class System:
                                   if self.tracker.bf else 35.0),
                         camera2=self.tracker.cam2, T_c1c2=T_c1c2,
                         enable_loop_closing=False)
-        dt = 1.0 / 10.0
         from ..models import cameras as cam_mod
 
         def render(cam, R_cw, t_cw):
@@ -620,13 +641,8 @@ class System:
             return synth_render.render_frame_raycast(cam, planes, R_cw, t_cw)
 
         for i in range(n_frames):
-            imu = None
-            if self.inertial and i > 0:
-                # the contract is samples in (t_prev, t] (see _preintegrate)
-                m = 20
-                tt = (i - 1) * dt + np.arange(1, m + 1) * (dt / m)
-                imu = (np.tile([[0.0, 0.0, 9.81]], (m, 1)).astype(np.float32),
-                       np.zeros((m, 3), np.float32), tt)
+            imu = windows[i] if windows is not None else None
+            ts_i = float(ts_all[i])
             if self.sensor in (STEREO, IMU_STEREO) and self.tracker.bf > 0:
                 if self.tracker.cam2 is not None:
                     # two-camera rig: render the right eye at its true pose
@@ -639,15 +655,15 @@ class System:
                     b = self.tracker.bf / self.cam.fx
                     left, right = synth_render.render_stereo_pair(
                         self.cam, planes, R[i], t[i], b)
-                shadow.track_stereo(left, right, i * dt, imu=imu)
+                shadow.track_stereo(left, right, ts_i, imu=imu)
             elif self.sensor in (RGBD, IMU_RGBD):
                 img = render(self.cam, R[i], t[i])
                 depth = np.asarray(synth_render.render_depth(
                     self.cam, planes, R[i], t[i]))
-                shadow.track_rgbd(img, depth, i * dt, imu=imu)
+                shadow.track_rgbd(img, depth, ts_i, imu=imu)
             else:
                 img = render(self.cam, R[i], t[i])
-                shadow.track_monocular(img, i * dt, imu=imu)
+                shadow.track_monocular(img, ts_i, imu=imu)
         return self
 
     def shutdown(self):
