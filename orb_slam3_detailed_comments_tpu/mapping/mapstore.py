@@ -224,6 +224,47 @@ class MapStore:
         self._dev_pts_v = self.version
         return self._dev_pts
 
+    def device_kf_obs(self):
+        """Device copies of the observation structure needed for on-chip
+        local-keyframe selection (the fused tracking step): kf_feat_point
+        [K, N], kf_valid [K], and the covisibility matrix [K, K]. Cached per
+        map version like device_points; kf rows are delta-uploaded (a
+        keyframe event touches the new KF's row plus the handful of fuse-
+        modified neighbors, not the whole 1 MB array)."""
+        import jax.numpy as jnp
+        if getattr(self, "_dev_kf_v", -1) == self.version:
+            return self._dev_kf
+        K = self.cfg.max_kf
+        snap = getattr(self, "_dev_kf_snap", None)
+        covis = self.covisibility_matrix()
+        if snap is None or snap.shape != self.kf_feat_point.shape:
+            self._dev_kf = {
+                "feat_point": jnp.asarray(self.kf_feat_point),
+                "valid": jnp.asarray(self.kf_valid),
+                "covis": jnp.asarray(covis),
+            }
+        else:
+            rows = np.where((self.kf_feat_point != snap).any(axis=1))[0]
+            base = {"valid": jnp.asarray(self.kf_valid),
+                    "covis": jnp.asarray(covis)}
+            if len(rows) > 0.5 * K:
+                base["feat_point"] = jnp.asarray(self.kf_feat_point)
+            elif len(rows):
+                B = 8 * int(np.ceil(len(rows) / 8))
+                rows_p = np.concatenate(
+                    [rows, np.full(B - len(rows), rows[0], rows.dtype)])
+                base["feat_point"] = _delta_update(
+                    {"feat_point": self._dev_kf["feat_point"]},
+                    jnp.asarray(rows_p, jnp.int32),
+                    {"feat_point": jnp.asarray(self.kf_feat_point[rows_p])},
+                )["feat_point"]
+            else:
+                base["feat_point"] = self._dev_kf["feat_point"]
+            self._dev_kf = base
+        self._dev_kf_snap = self.kf_feat_point.copy()
+        self._dev_kf_v = self.version
+        return self._dev_kf
+
     # ---- keyframe insertion ---------------------------------------------
 
     def add_keyframe(self, R, t, ts, frame_id, feat_xy, feat_xyn, feat_level,

@@ -119,7 +119,10 @@ def predict_pose_imu(m: MapStore, imu: ImuFrameState,
         jnp.asarray(imu.v_w), pre, jnp.asarray(imu.bg),
         jnp.asarray(imu.ba), jnp.asarray(R_bc), jnp.asarray(t_bc),
         jnp.asarray(g))
-    return SE3(R_cw, t_cw), np.asarray(v2)
+    # v2 stays on device: the steady path never reads it on the host (the
+    # velocity is re-derived from the optimized poses); only the
+    # RECENTLY_LOST dead-reckoning path fetches it, at its call site
+    return SE3(R_cw, t_cw), v2
 
 
 def try_initialize_imu(m: MapStore, min_kf: int = 8, min_time: float = 1.0,
@@ -171,17 +174,19 @@ def try_initialize_imu(m: MapStore, min_kf: int = 8, min_time: float = 1.0,
     res = inertial_init.inertial_optimization(
         R_wb, p_w, pres, R_wg0, prior_gyro=prior_gyro, prior_acc=prior_acc,
         iters=25, fix_scale=fix_scale, edge_valid=edge_valid)
-    s = float(res.scale)
+    # one packed transfer of the init solve's outputs
+    s, R_wg, vels, bg, ba = jax.device_get(
+        (res.scale, res.R_wg, res.velocities, res.bg, res.ba))
+    s = float(s)
     if not np.isfinite(s) or s < 0.02 or s > 50.0:
         return None
-    R_wg = np.asarray(res.R_wg)
 
     apply_scaled_rotation(m, R_wg, s)
     # velocities: rotate into the gravity-aligned world (drop bucket padding)
-    v_new = np.einsum("ji,kj->ki", R_wg, np.asarray(res.velocities)[:K])
+    v_new = np.einsum("ji,kj->ki", R_wg, vels[:K])
     m.kf_vel[chain] = v_new
-    m.kf_bg[chain] = np.asarray(res.bg)
-    m.kf_ba[chain] = np.asarray(res.ba)
+    m.kf_bg[chain] = bg
+    m.kf_ba[chain] = ba
     m.imu_initialized = True
     m.version += 1
     return R_wg, s
@@ -336,19 +341,22 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
                             gravity=jnp.asarray(g),
                             prior_gyro=prior_gyro, prior_acc=prior_acc,
                             iters=iters)
-    if not np.isfinite(np.asarray(res.p_w)[:n_real]).all():
+    # one packed transfer of the whole VI-BA result
+    p_all, R_wb_all, v_all, bg_all, ba_all, pts_all = jax.device_get(
+        (res.p_w, res.R_wb, res.v_w, res.bg, res.ba, res.points))
+    if not np.isfinite(p_all[:n_real]).all():
         return
     # write back (body -> camera poses)
-    R_wb_new = np.asarray(res.R_wb)[:n_real]
-    p_new = np.asarray(res.p_w)[:n_real]
+    R_wb_new = R_wb_all[:n_real]
+    p_new = p_all[:n_real]
     for i, k in enumerate(kfs):
         if fixed[i]:
             continue
         R_cw, t_cw = camera_from_body(R_wb_new[i], p_new[i], R_bc, t_bc)
         m.kf_R[k] = R_cw
         m.kf_t[k] = t_cw
-    m.kf_vel[kfs] = np.asarray(res.v_w)[:n_real]
-    m.kf_bg[kfs] = np.asarray(res.bg)[:n_real]
-    m.kf_ba[kfs] = np.asarray(res.ba)[:n_real]
-    m.pt_xyz[pt_ids] = np.asarray(res.points)[:len(pt_ids)]
+    m.kf_vel[kfs] = v_all[:n_real]
+    m.kf_bg[kfs] = bg_all[:n_real]
+    m.kf_ba[kfs] = ba_all[:n_real]
+    m.pt_xyz[pt_ids] = pts_all[:len(pt_ids)]
     m.version += 1

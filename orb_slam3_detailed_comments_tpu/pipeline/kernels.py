@@ -191,31 +191,17 @@ class TrackResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("cam",))
-def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
-                       pt_ids: jnp.ndarray, proj: ProjectedPoints,
-                       pt_desc: jnp.ndarray, pt_xyz: jnp.ndarray,
-                       radius_per_level: jnp.ndarray,
-                       inv_sigma2_per_level: jnp.ndarray,
-                       prior_match_pt: jnp.ndarray,
-                       cam: cameras.CameraParams,
-                       proj_angle: jnp.ndarray | None = None) -> TrackResult:
-    """Projection search + motion-only pose optimization, fused.
-
-    Covers both TrackWithMotionModel and TrackLocalMap's hot loops
-    (reference: ORBmatcher.cc:1950/45 + Optimizer::PoseOptimization).
-
-    pt_ids [P]: global point ids of the candidate set (-1 padding).
-    pt_desc/pt_xyz are the FULL map arrays; candidate rows are gathered
-    on-chip from pt_ids (keeps the per-frame host->device dispatch count
-    at one for this whole stage).
-    prior_match_pt [N]: existing feature->point assignments to keep
-    (features with a prior match are excluded from the new search).
-    proj_angle [P] (optional): source-observation keypoint angle per
-    candidate point; when given, matches must fall in the dominant
-    rotation-histogram bins (reference: the mbCheckOrientation pass of
-    the last-frame SearchByProjection, ORBmatcher.cc:1950,2038-2058).
-    """
+def _match_optimize_core(T_cw0: SE3, frame: PreparedFrame,
+                         pt_ids: jnp.ndarray, proj: ProjectedPoints,
+                         pt_desc: jnp.ndarray, pt_xyz: jnp.ndarray,
+                         radius_per_level: jnp.ndarray,
+                         inv_sigma2_per_level: jnp.ndarray,
+                         prior_match_pt: jnp.ndarray,
+                         cam: cameras.CameraParams,
+                         proj_angle: jnp.ndarray | None = None) -> TrackResult:
+    """Traceable body of match_and_optimize (see its docstring); shared by
+    the standalone jit below and the fused full-frame program
+    track_step_visual."""
     feat = frame.feat
     radius = radius_per_level[proj.level]
     taken = prior_match_pt >= 0
@@ -248,6 +234,272 @@ def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
     match_pt = jnp.where(opt.inlier | ~has, match_pt, -1)
     return TrackResult(opt.T_cw.R, opt.T_cw.t, match_pt,
                        jnp.sum((match_pt >= 0).astype(jnp.int32)))
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def match_and_optimize(T_cw0: SE3, frame: PreparedFrame,
+                       pt_ids: jnp.ndarray, proj: ProjectedPoints,
+                       pt_desc: jnp.ndarray, pt_xyz: jnp.ndarray,
+                       radius_per_level: jnp.ndarray,
+                       inv_sigma2_per_level: jnp.ndarray,
+                       prior_match_pt: jnp.ndarray,
+                       cam: cameras.CameraParams,
+                       proj_angle: jnp.ndarray | None = None) -> TrackResult:
+    """Projection search + motion-only pose optimization, fused.
+
+    Covers both TrackWithMotionModel and TrackLocalMap's hot loops
+    (reference: ORBmatcher.cc:1950/45 + Optimizer::PoseOptimization).
+
+    pt_ids [P]: global point ids of the candidate set (-1 padding).
+    pt_desc/pt_xyz are the FULL map arrays; candidate rows are gathered
+    on-chip from pt_ids (keeps the per-frame host->device dispatch count
+    at one for this whole stage).
+    prior_match_pt [N]: existing feature->point assignments to keep
+    (features with a prior match are excluded from the new search).
+    proj_angle [P] (optional): source-observation keypoint angle per
+    candidate point; when given, matches must fall in the dominant
+    rotation-histogram bins (reference: the mbCheckOrientation pass of
+    the last-frame SearchByProjection, ORBmatcher.cc:1950,2038-2058).
+    """
+    return _match_optimize_core(T_cw0, frame, pt_ids, proj, pt_desc, pt_xyz,
+                                radius_per_level, inv_sigma2_per_level,
+                                prior_match_pt, cam, proj_angle)
+
+
+class TrackStepResult(NamedTuple):
+    """Everything the host needs from one steady-state visual tracking step,
+    fetched in a single packed device_get."""
+    n1: jnp.ndarray         # stage-1 (motion-model) inlier count
+    ref_kf: jnp.ndarray     # argmax-observation local keyframe
+    match_pt: jnp.ndarray   # [N] final feature->point matches
+    T_cw_R: jnp.ndarray
+    T_cw_t: jnp.ndarray
+    ids2: jnp.ndarray       # [C2] local-map candidate point ids (-1 pad)
+    visible2: jnp.ndarray   # [C2] frustum-visible mask (pt_visible counters)
+    angle: jnp.ndarray      # [N] current frame keypoint angles (host cache)
+    valid: jnp.ndarray      # [N] current frame validity (host cache)
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels", "min_covis_w",
+                                   "local_cap"))
+def track_step_visual(T_pred: SE3, frame: PreparedFrame,
+                      ids1: jnp.ndarray, ang1: jnp.ndarray,
+                      pt_xyz, pt_desc, pt_normal, pt_min_dist, pt_max_dist,
+                      pt_valid,
+                      kf_feat_point: jnp.ndarray, kf_valid: jnp.ndarray,
+                      covis: jnp.ndarray,
+                      radius1_per_level: jnp.ndarray,
+                      radius2_per_level: jnp.ndarray,
+                      inv_sigma2_per_level: jnp.ndarray,
+                      cam: cameras.CameraParams,
+                      scale: float = 1.2, n_levels: int = 8,
+                      min_covis_w: int = 15,
+                      local_cap: int = 4096) -> TrackStepResult:
+    """The WHOLE steady-state visual tracking step as ONE device program:
+
+      motion-model projection search + pose GN      (Tracking.cc:3352)
+      -> on-chip local-keyframe selection            (Tracking.cc:4132)
+      -> local-point union + projection at the       (Tracking.cc:3979)
+         stage-1 optimized pose
+      -> local-map projection search + pose GN       (Tracking.cc:3474)
+
+    The reference runs these as host stages sharing the map behind mutexes;
+    here the intermediate pose/matches never leave the chip, so a frame
+    costs one dispatch + one packed fetch instead of two round trips (the
+    round trip, not compute, bounds per-frame latency on a network-attached
+    TPU — and removing a host sync helps pipelining on local chips too).
+
+    ids1 [C1]: stage-1 candidate point ids (last frame's matches, -1 pad).
+    ang1 [C1]: rotation-consistency reference angle per stage-1 candidate.
+    kf_feat_point [K, N] / kf_valid [K] / covis [K, K]: observation
+    structure + covisibility weights (device cache, per map version).
+    """
+    res1, ref_kf, ids2, proj2, res2 = _track_step_visual_core(
+        T_pred, frame, ids1, ang1, pt_xyz, pt_desc, pt_normal, pt_min_dist,
+        pt_max_dist, pt_valid, kf_feat_point, kf_valid, covis,
+        radius1_per_level, radius2_per_level, inv_sigma2_per_level, cam,
+        scale, n_levels, min_covis_w, local_cap)
+    return TrackStepResult(res1.n_inliers, ref_kf, res2.match_pt,
+                           res2.T_cw_R, res2.T_cw_t, ids2, proj2.visible,
+                           frame.feat.angle, frame.feat.valid)
+
+
+def _track_step_visual_core(T_pred: SE3, frame: PreparedFrame,
+                            ids1, ang1,
+                            pt_xyz, pt_desc, pt_normal, pt_min_dist,
+                            pt_max_dist, pt_valid,
+                            kf_feat_point, kf_valid, covis,
+                            radius1_per_level, radius2_per_level,
+                            inv_sigma2_per_level,
+                            cam: cameras.CameraParams,
+                            scale: float, n_levels: int,
+                            min_covis_w: int, local_cap: int):
+    """Traceable body of track_step_visual (also the front half of the
+    fused inertial step kernels below)."""
+    P = pt_xyz.shape[0]
+    K = kf_feat_point.shape[0]
+
+    # ---- stage 1: track with motion model --------------------------------
+    proj1 = gather_and_project(T_pred, ids1, pt_xyz, pt_normal, pt_min_dist,
+                               pt_max_dist, pt_valid, cam, scale, n_levels)
+    no_prior = jnp.full((frame.feat.xy.shape[0],), -1, jnp.int32)
+    res1 = _match_optimize_core(T_pred, frame, ids1, proj1, pt_desc, pt_xyz,
+                                radius1_per_level, inv_sigma2_per_level,
+                                no_prior, cam, proj_angle=ang1)
+    match1 = res1.match_pt
+    T1 = SE3(res1.T_cw_R, res1.T_cw_t)
+
+    # ---- local-keyframe selection on-chip ---------------------------------
+    # observers of the stage-1 matched points, ranked (UpdateLocalKeyFrames)
+    m = jnp.zeros((P,), bool).at[
+        jnp.where(match1 >= 0, match1, P)].set(True, mode="drop")
+    kfp_safe = jnp.clip(kf_feat_point, 0, P - 1)
+    obs = jnp.sum(((kf_feat_point >= 0) & m[kfp_safe]).astype(jnp.int32),
+                  axis=1)
+    obs = jnp.where(kf_valid, obs, 0)
+    cnt10, top10 = jax.lax.top_k(obs, 10)
+    sel10 = cnt10 > 0
+    ref_kf = top10[0]
+    # extend by each selected KF's top covisible neighbors (weight >= 15)
+    w10 = covis[top10]                                   # [10, K]
+    w10 = jnp.where(w10 >= min_covis_w, w10, 0)
+    nb_w, nb = jax.lax.top_k(w10, 10)                    # [10, 10]
+    local_k = jnp.zeros((K,), bool).at[
+        jnp.where(sel10, top10, K)].set(True, mode="drop")
+    nb_flat = jnp.where(sel10[:, None] & (nb_w > 0), nb, K).ravel()
+    local_k = local_k.at[nb_flat].set(True, mode="drop")
+
+    # ---- local point union -> padded candidate list -----------------------
+    owned = jnp.where(
+        (kf_feat_point >= 0) & (local_k & kf_valid)[:, None], kf_feat_point,
+        P).ravel()
+    pmask = jnp.zeros((P,), bool).at[owned].set(True, mode="drop")
+    pmask = pmask & pt_valid
+    C2 = min(P, local_cap)
+    pr = pmask.astype(jnp.int32)
+    _, ids2 = jax.lax.top_k(pr, C2)
+    ids2 = jnp.where(jnp.take(pr, ids2) > 0, ids2.astype(jnp.int32), -1)
+
+    # ---- stage 2: track local map at the stage-1 pose ----------------------
+    proj2 = gather_and_project(T1, ids2, pt_xyz, pt_normal, pt_min_dist,
+                               pt_max_dist, pt_valid, cam, scale, n_levels)
+    res2 = _match_optimize_core(T1, frame, ids2, proj2, pt_desc, pt_xyz,
+                                radius2_per_level, inv_sigma2_per_level,
+                                match1, cam, proj_angle=None)
+    return res1, ref_kf, ids2, proj2, res2
+
+
+class TrackStepInertialResult(NamedTuple):
+    """track_step_visual outputs + the visual-inertial refine appended
+    (reference: the PoseInertialOptimization call at the end of
+    TrackLocalMap, Tracking.cc:3502-3528). `prior` (the next frame's
+    marginalization prior) is NOT part of the host fetch — it stays on
+    device and feeds the next frame's last-frame variant directly."""
+    n1: jnp.ndarray
+    ref_kf: jnp.ndarray
+    match_pt: jnp.ndarray
+    T_cw_R: jnp.ndarray
+    T_cw_t: jnp.ndarray
+    ids2: jnp.ndarray
+    visible2: jnp.ndarray
+    angle: jnp.ndarray
+    valid: jnp.ndarray
+    ni: jnp.ndarray        # refine inlier count
+    inl_i: jnp.ndarray     # [N] refine inlier mask (over features)
+    v_w: jnp.ndarray       # [3] refined world velocity
+    Ri_cw: jnp.ndarray
+    ti_cw: jnp.ndarray
+    prior: object          # PriorPoseImu (device-resident)
+
+
+def _refine_inputs(frame, res2, pt_xyz, inv_sigma2_per_level):
+    match = res2.match_pt
+    has = match >= 0
+    safe = jnp.where(has, match, 0)
+    X = pt_xyz[safe]
+    w = inv_sigma2_per_level[frame.feat.level]
+    vmask = has & frame.feat.valid
+    return SE3(res2.T_cw_R, res2.T_cw_t), X, w, vmask
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels", "min_covis_w",
+                                   "local_cap"))
+def track_step_inertial_anchor(T_pred: SE3, frame: PreparedFrame,
+                               ids1, ang1,
+                               pt_xyz, pt_desc, pt_normal, pt_min_dist,
+                               pt_max_dist, pt_valid,
+                               kf_feat_point, kf_valid, covis,
+                               radius1_per_level, radius2_per_level,
+                               inv_sigma2_per_level,
+                               v0, R_wb_a, p_a, v_a, bg, ba, pre,
+                               gravity, R_cb, t_cb,
+                               cam: cameras.CameraParams,
+                               scale: float = 1.2, n_levels: int = 8,
+                               min_covis_w: int = 15,
+                               local_cap: int = 4096
+                               ) -> TrackStepInertialResult:
+    """The fused steady-state step for inertial sensors, last-KEYFRAME
+    anchored (map changed since the last frame, so the running prior is
+    stale — reference: the mbMapUpdated branch of Tracking.cc:3502-3528).
+    Appends pose_inertial_optimization + the prior seed to the visual core:
+    the whole frame is still one dispatch + one packed fetch."""
+    from ..optim import pose_opt
+    res1, ref_kf, ids2, proj2, res2 = _track_step_visual_core(
+        T_pred, frame, ids1, ang1, pt_xyz, pt_desc, pt_normal, pt_min_dist,
+        pt_max_dist, pt_valid, kf_feat_point, kf_valid, covis,
+        radius1_per_level, radius2_per_level, inv_sigma2_per_level, cam,
+        scale, n_levels, min_covis_w, local_cap)
+    T2, X, w, vmask = _refine_inputs(frame, res2, pt_xyz,
+                                     inv_sigma2_per_level)
+    ri = pose_opt.pose_inertial_optimization(
+        T2, v0, R_wb_a, p_a, v_a, bg, ba, pre, X, frame.xy_ud, w, vmask,
+        cam, gravity=gravity, R_cb=R_cb, t_cb=t_cb)
+    prior = pose_opt.build_frame_prior(
+        ri.T_cw, ri.v_w, bg, ba, R_wb_a, p_a, v_a, pre, X, frame.xy_ud, w,
+        ri.inlier, cam, gravity, R_cb=R_cb, t_cb=t_cb)
+    return TrackStepInertialResult(
+        res1.n_inliers, ref_kf, res2.match_pt, res2.T_cw_R, res2.T_cw_t,
+        ids2, proj2.visible, frame.feat.angle, frame.feat.valid,
+        ri.n_inliers, ri.inlier, ri.v_w, ri.T_cw.R, ri.T_cw.t, prior)
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels", "min_covis_w",
+                                   "local_cap"))
+def track_step_inertial_lf(T_pred: SE3, frame: PreparedFrame,
+                           ids1, ang1,
+                           pt_xyz, pt_desc, pt_normal, pt_min_dist,
+                           pt_max_dist, pt_valid,
+                           kf_feat_point, kf_valid, covis,
+                           radius1_per_level, radius2_per_level,
+                           inv_sigma2_per_level,
+                           v0, prior_in, pre,
+                           gravity, R_cb, t_cb,
+                           cam: cameras.CameraParams,
+                           scale: float = 1.2, n_levels: int = 8,
+                           min_covis_w: int = 15,
+                           local_cap: int = 4096
+                           ) -> TrackStepInertialResult:
+    """The fused steady-state step for inertial sensors, last-FRAME variant:
+    joint 30-dof optimization with the last frame's nav state under the
+    running marginalization prior, Schur-marginalizing it out for the next
+    prior (reference: PoseInertialOptimizationLastFrame + Marginalize,
+    Optimizer.cc:983/1644). One dispatch + one packed fetch per frame; the
+    emitted prior never leaves the device."""
+    from ..optim import pose_opt
+    res1, ref_kf, ids2, proj2, res2 = _track_step_visual_core(
+        T_pred, frame, ids1, ang1, pt_xyz, pt_desc, pt_normal, pt_min_dist,
+        pt_max_dist, pt_valid, kf_feat_point, kf_valid, covis,
+        radius1_per_level, radius2_per_level, inv_sigma2_per_level, cam,
+        scale, n_levels, min_covis_w, local_cap)
+    T2, X, w, vmask = _refine_inputs(frame, res2, pt_xyz,
+                                     inv_sigma2_per_level)
+    ri = pose_opt.pose_inertial_optimization_last_frame(
+        T2, v0, prior_in, pre, X, frame.xy_ud, w, vmask, cam,
+        gravity=gravity, R_cb=R_cb, t_cb=t_cb)
+    return TrackStepInertialResult(
+        res1.n_inliers, ref_kf, res2.match_pt, res2.T_cw_R, res2.T_cw_t,
+        ids2, proj2.visible, frame.feat.angle, frame.feat.valid,
+        ri.n_inliers, ri.inlier, ri.v_w, ri.T_cw.R, ri.T_cw.t, ri.prior)
 
 
 class TriangulationResult(NamedTuple):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,9 +145,9 @@ class LocalMapper:
             jnp.asarray(m.kf_feat_level[bi]), jnp.asarray(free_b_all),
             inv_s2[m.kf_feat_level[k]], inv_s2[m.kf_feat_level[bi]],
             focal=float(self.cam.fx))
-        ok_all = np.array(res.ok)
-        X_all = np.asarray(res.xyz)
-        idx_b_all = np.asarray(res.idx_b)
+        # one packed transfer for the whole triangulation result (each
+        # separate np.asarray is its own device round trip)
+        ok_all, X_all, idx_b_all = jax.device_get((res.ok, res.xyz, res.idx_b))
         ok_all &= np.isfinite(X_all).all(axis=2)
 
         claimed_a = ~free_a
@@ -224,8 +225,7 @@ class LocalMapper:
             feat.feat._replace(xy=feat.xy_ud),
             3.0 * jnp.asarray(radius_scale)[proj.level],
             max_dist=matching.TH_LOW, ratio=1.0)
-        valid = np.asarray(res.valid)
-        fidx = np.asarray(res.idx)
+        valid, fidx = jax.device_get((res.valid, res.idx))
         obs = m.observation_counts()
         for i in np.where(valid)[0]:
             # an earlier fuse in this loop may have replaced this candidate
@@ -413,12 +413,15 @@ def apply_ba_result(m: MapStore, meta: dict, res):
     """Write a BAResult back into the map (poses, points, outlier edges).
     Runs under the map lock; `meta` is build_ba_problem's host snapshot."""
     cams, n_real, pt_ids = meta["cams"], meta["n_real"], meta["pt_ids"]
-    m.kf_R[cams] = np.asarray(res.kf_R)[:n_real]
-    m.kf_t[cams] = np.asarray(res.kf_t)[:n_real]
-    m.pt_xyz[pt_ids] = np.asarray(res.points)[: len(pt_ids)]
+    # one packed transfer for the whole BA result
+    bR, bt, bp, binl = jax.device_get(
+        (res.kf_R, res.kf_t, res.points, res.obs_inlier))
+    m.kf_R[cams] = bR[:n_real]
+    m.kf_t[cams] = bt[:n_real]
+    m.pt_xyz[pt_ids] = bp[: len(pt_ids)]
 
     # detach outlier observations (reference: Optimizer.cc:2040-2100)
-    inl = np.asarray(res.obs_inlier)[: len(meta["keep"])]
+    inl = binl[: len(meta["keep"])]
     oc_np, op_np = meta["oc"], meta["op"]
     bad = np.where(~inl)[0]
     inv_cam = {i: c for c, i in meta["cam_slot"].items()}

@@ -231,9 +231,8 @@ class LoopCloser:
 
         # apply: correct map points through their reference KF's correction
         # (reference: CorrectLoop's eigSwc-based point update)
-        R_new = np.asarray(res.R)[:K]
-        t_new = np.asarray(res.t)[:K]
-        s_new = np.asarray(res.s)[:K]
+        R_all, t_all, s_all = jax.device_get((res.R, res.t, res.s))
+        R_new, t_new, s_new = R_all[:K], t_all[:K], s_all[:K]
         pts = np.where(m.pt_valid)[0]
         ref = m.pt_ref_kf[pts]
         # points whose ref KF is not alive are re-anchored to any observer
@@ -383,8 +382,7 @@ class LoopCloser:
                 jnp.asarray(m.pt_desc[safe]), proj.level,
                 _kf_feat(m, w), 6.0, level_lo=-2, level_hi=2,
                 max_dist=matching.TH_LOW, ratio=1.0)
-            valid = np.asarray(res.valid)
-            fidx = np.asarray(res.idx)
+            valid, fidx = jax.device_get((res.valid, res.idx))
             obs = m.observation_counts()
             for i in np.where(valid)[0]:
                 # earlier fuses in this very loop may have replaced this id:
@@ -427,10 +425,10 @@ def verify_sim3_pair(mk: MapStore, k: int, mc: MapStore, c: int,
         jnp.asarray(mc.kf_feat_desc[c]),
         jnp.asarray(mc.kf_feat_valid[c] & (mc.kf_feat_point[c] >= 0)),
         max_dist=matching.TH_LOW, ratio=0.9, mutual=True)
-    valid = np.asarray(res.valid)
+    # one packed transfer (this runs once per loop/merge candidate)
+    valid, idx_c = jax.device_get((res.valid, res.idx))
     if valid.sum() < cfg.min_bow_matches:
         return None
-    idx_c = np.asarray(res.idx)
     fk = np.where(valid)[0]
     fc = idx_c[fk]
     pk = mk.kf_feat_point[k][fk]
@@ -439,11 +437,10 @@ def verify_sim3_pair(mk: MapStore, k: int, mc: MapStore, c: int,
     fk, fc, pk, pc = fk[ok], fc[ok], pk[ok], pc[ok]
     if len(fk) < cfg.min_bow_matches:
         return None
-    # 3D points in each keyframe's camera frame
-    Tk = SE3(jnp.asarray(mk.kf_R[k]), jnp.asarray(mk.kf_t[k]))
-    Tc = SE3(jnp.asarray(mc.kf_R[c]), jnp.asarray(mc.kf_t[c]))
-    xk = np.asarray(Tk.apply(jnp.asarray(mk.pt_xyz[pk])))
-    xc = np.asarray(Tc.apply(jnp.asarray(mc.pt_xyz[pc])))
+    # 3D points in each keyframe's camera frame (host math — a few hundred
+    # points; a device dispatch here would cost a round trip each)
+    xk = mk.pt_xyz[pk] @ mk.kf_R[k].T + mk.kf_t[k]
+    xc = mc.pt_xyz[pc] @ mc.kf_R[c].T + mc.kf_t[c]
     N = 256
     pad = max(N - len(fk), 0)
 
@@ -461,14 +458,15 @@ def verify_sim3_pair(mk: MapStore, k: int, mc: MapStore, c: int,
         focal=float(cam.fx),
         min_inliers=cfg.min_sim3_inliers,
         fix_scale=cfg.fix_scale)
-    if not bool(s3.ok):
+    s3_ok, s3_R, s3_t, s3_s = jax.device_get((s3.ok, s3.R, s3.t, s3.s))
+    if not bool(s3_ok):
         return None
     # inertial maps are metric: a Sim3 whose scale strays from 1 is spurious
     # (reference: LoopClosing.cc:168 scale gate [0.90, 1.1])
     if (mk.imu_initialized and mc.imu_initialized
-            and not (0.90 <= float(s3.s) <= 1.1)):
+            and not (0.90 <= float(s3_s) <= 1.1)):
         return None
-    S_kc = Sim3(s3.R, s3.t, s3.s)   # maps c-frame points -> k-frame
+    S_kc = Sim3(s3_R, s3_t, s3_s)   # maps c-frame points -> k-frame
     n_proj = count_projection_matches(mk, k, mc, c, S_kc, cam)
     if n_proj < cfg.min_proj_matches:
         return None
@@ -484,26 +482,29 @@ def count_projection_matches(mk: MapStore, k: int, mc: MapStore, c: int,
     pts = mc.local_point_ids(np.asarray(kfs))[:2048]
     if len(pts) == 0:
         return 0
-    Tc = SE3(jnp.asarray(mc.kf_R[c]), jnp.asarray(mc.kf_t[c]))
-    xc = np.asarray(Tc.apply(jnp.asarray(mc.pt_xyz[pts])))
-    xk = np.asarray(S_kc.apply(jnp.asarray(xc)))
-    uv = np.asarray(cameras.project(cam, jnp.asarray(xk)))
-    vis = (xk[:, 2] > 0.1) & np.asarray(cameras.in_image(cam, jnp.asarray(uv)))
+    # host math for the transforms (a few thousand points), then ONE device
+    # program for the guided match with ONE scalar fetch — the old form
+    # ping-ponged uv/vis through ~5 separate round trips per candidate
+    xc = mc.pt_xyz[pts] @ mc.kf_R[c].T + mc.kf_t[c]
+    S_R, S_t, S_s = (np.asarray(S_kc.R), np.asarray(S_kc.t),
+                     float(np.asarray(S_kc.s)))
+    xk = S_s * (xc @ S_R.T) + S_t
     P = 2048
     pad = P - len(pts)
-    projf = kernels.ProjectedPoints(
-        uv=jnp.asarray(np.concatenate([uv, np.zeros((pad, 2), np.float32)])),
-        dist=jnp.zeros(P),
-        level=jnp.zeros(P, jnp.int32),
-        visible=jnp.asarray(np.concatenate([vis, np.zeros(pad, bool)])))
+    xk_p = np.concatenate([xk, np.full((pad, 3), -1.0, np.float32)]
+                          ).astype(np.float32)
+    vmask = np.concatenate([np.ones(len(pts), bool), np.zeros(pad, bool)])
+    uv = cameras.project(cam, jnp.asarray(xk_p))
+    vis = (jnp.asarray(vmask) & (jnp.asarray(xk_p)[:, 2] > 0.1)
+           & cameras.in_image(cam, uv))
     res = matching.search_by_projection(
-        projf.uv, projf.visible,
+        uv, vis,
         jnp.asarray(np.concatenate([mc.pt_desc[pts],
                                     np.zeros((pad, 8), np.uint32)])),
-        projf.level,
+        jnp.zeros(P, jnp.int32),
         _kf_feat(mk, k), 8.0, level_lo=-8, level_hi=8,
         max_dist=matching.TH_LOW, ratio=1.0)
-    return int(np.asarray(res.valid).sum())
+    return int(jnp.sum(res.valid))
 
 
 def apply_gba_with_propagation(m: MapStore, meta: dict, res):
@@ -523,8 +524,9 @@ def apply_gba_with_propagation(m: MapStore, meta: dict, res):
     pt_ids = np.asarray(meta["pt_ids"])
     bef_R, bef_t = m.kf_R.copy(), m.kf_t.copy()
     new_R, new_t = m.kf_R.copy(), m.kf_t.copy()
-    gR = np.asarray(res.kf_R)[:n_real]
-    gt = np.asarray(res.kf_t)[:n_real]
+    gR, gt, g_points, g_inl = jax.device_get(
+        (res.kf_R, res.kf_t, res.points, res.obs_inlier))
+    gR, gt = gR[:n_real], gt[:n_real]
     done = np.zeros(m.cfg.max_kf, bool)
     for i, c in enumerate(cams):
         if m.kf_valid[c]:
@@ -548,7 +550,7 @@ def apply_gba_with_propagation(m: MapStore, meta: dict, res):
 
     # snapshot points -> optimized positions (only those still alive)
     alive = m.pt_valid[pt_ids]
-    m.pt_xyz[pt_ids[alive]] = np.asarray(res.points)[: len(pt_ids)][alive]
+    m.pt_xyz[pt_ids[alive]] = g_points[: len(pt_ids)][alive]
     # points born during the solve ride their reference keyframe
     others = np.setdiff1d(np.where(m.pt_valid)[0], pt_ids)
     if len(others):
@@ -562,7 +564,7 @@ def apply_gba_with_propagation(m: MapStore, meta: dict, res):
     m.kf_R[:], m.kf_t[:] = new_R, new_t
 
     # detach outlier observations found by the solve (Optimizer.cc:2040)
-    inl = np.asarray(res.obs_inlier)[: len(meta["keep"])]
+    inl = g_inl[: len(meta["keep"])]
     inv_cam = {i: c for c, i in meta["cam_slot"].items()}
     inv_pt = {i: p for p, i in meta["pt_slot"].items()}
     for o in np.where(~inl)[0]:

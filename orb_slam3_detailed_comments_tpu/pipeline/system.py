@@ -554,11 +554,11 @@ class System:
                 jnp.asarray(m.kf_feat_desc[c]),
                 jnp.asarray(m.kf_feat_valid[c] & (m.kf_feat_point[c] >= 0)),
                 max_dist=75, ratio=0.9, mutual=True)
-            valid = np.asarray(res.valid)
+            valid, ridx = jax.device_get((res.valid, res.idx))
             if valid.sum() < 15:
                 continue
             fidx = np.where(valid)[0]
-            pids = m.kf_feat_point[c][np.asarray(res.idx)[fidx]]
+            pids = m.kf_feat_point[c][ridx[fidx]]
             ok = (pids >= 0) & m.pt_valid[pids]
             fidx, pids = fidx[ok], pids[ok]
             if len(fidx) < 15:

@@ -271,15 +271,23 @@ class Tracker:
         use_imu_pred = (self.imu is not None and self.map.imu_initialized
                         and self.imu.pre_last_frame is not None
                         and self.state == OK and self.last is not None)
+        fused = False
         with timing.span("pose prediction"):
             if use_imu_pred or (self.velocity is not None and self.state == OK):
-                ok = self._track_with_motion_model(prep, ts, fid,
-                                                   use_imu=use_imu_pred)
-            if not ok:
+                # the fused one-dispatch step covers BOTH the motion-model
+                # and local-map stages; "fail1" falls through to the
+                # reference's fallback chain (Tracking.cc:2120)
+                r = self._track_steady_fused(prep, ts, fid,
+                                             use_imu=use_imu_pred)
+                if r != "fail1":
+                    fused = True
+                    ok = r == "ok"
+            if not ok and not fused:
                 ok = self._track_reference_keyframe(prep, ts, fid)
-            if not ok and self.state in (RECENTLY_LOST, LOST) and self.relocalizer:
+            if not ok and not fused and self.state in (RECENTLY_LOST, LOST) \
+                    and self.relocalizer:
                 ok = self._relocalization(prep, ts, fid)
-        if ok:
+        if ok and not fused:
             with timing.span("track local map"):
                 ok = self._track_local_map()
         if ok:
@@ -577,6 +585,137 @@ class Tracker:
             proj_angle=(None if proj_angle is None
                         else jnp.asarray(proj_angle, jnp.float32)))
         return res
+
+    def _track_steady_fused(self, prep, ts, fid, use_imu=False) -> str:
+        """The steady-state frame as ONE device dispatch + ONE packed fetch:
+        motion-model tracking, on-chip local-keyframe selection, and
+        local-map tracking fused into kernels.track_step_visual. Replaces
+        the _track_with_motion_model -> _track_local_map pair (two serialized
+        device round trips) on the OK-state path.
+
+        Returns "ok", "fail1" (motion-model short: run the reference's
+        fallback chain, Tracking.cc:2120), or "fail2" (local-map short:
+        lost handling, Tracking.cc:3474)."""
+        if use_imu:
+            from . import inertial
+            T_pred, v_pred = inertial.predict_pose_imu(
+                self.map, self.imu, self.last.T_cw, self.imu.pre_last_frame)
+            self._v_pred = v_pred
+        else:
+            T_pred = _compose_np(self.velocity, self.last.T_cw)
+        last_pts = np.unique(self.last.match_pt[self.last.match_pt >= 0])
+        last_pts = last_pts[self.map.pt_valid[last_pts]]
+        if len(last_pts) < 10:
+            return "fail1"
+        # stage-1 candidates: last frame's matched points, padded to the
+        # feature capacity (they are <= one frame's features by construction)
+        cap = self.map.cfg.n_feat
+        last_pts = last_pts[:cap]
+        ids1 = np.full(cap, -1, np.int64)
+        ids1[:len(last_pts)] = last_pts
+        safe1 = np.where(ids1 >= 0, ids1, 0)
+        # rotation-consistency reference angles (ORBmatcher.cc:1950)
+        lm = self.last.match_pt
+        sel = lm >= 0
+        last_ang = (self.last.angles if self.last.angles is not None
+                    else np.asarray(self.last.prepared.feat.angle))
+        ang_of_pt = np.zeros(self.map.pt_valid.shape[0], np.float32)
+        ang_of_pt[lm[sel]] = last_ang[sel]
+        # local-map radius, widened right after relocalization
+        # (reference: Tracking.cc:4039-4062)
+        radius2 = self.cfg.local_radius
+        if self.frame_id <= getattr(self, "last_reloc_fid", -999) + 2:
+            radius2 = 3.0 * radius2
+        dp = self.map.device_points()
+        ko = self.map.device_kf_obs()
+        common = (T_pred, prep,
+                  jnp.asarray(ids1, jnp.int32), jnp.asarray(ang_of_pt[safe1]),
+                  dp["xyz"], dp["desc"], dp["normal"], dp["min_dist"],
+                  dp["max_dist"], dp["valid"],
+                  ko["feat_point"], ko["valid"], ko["covis"],
+                  self.cfg.motion_radius * self.radius_scale,
+                  radius2 * self.radius_scale,
+                  self.inv_sigma2)
+        statics = dict(cam=self.cam, scale=self.orb_cfg.scale,
+                       n_levels=self.orb_cfg.n_levels,
+                       local_cap=self.cfg.local_pts_cap)
+        # eligible for the fused inertial refine? (same gate as
+        # _pose_inertial_refine; both branches host-known before dispatch)
+        m = self.map
+        refine = (self.imu is not None and m.imu_initialized
+                  and self.imu.pre_since_kf is not None
+                  and self.last_kf_id >= 0
+                  and m.kf_valid[self.last_kf_id])
+        use_lf = False
+        if refine:
+            from .inertial import GRAVITY_MAG, _extr, body_from_camera
+            R_bc, t_bc = _extr(self.imu.calib)
+            R_cb, t_cb = R_bc.T, -R_bc.T @ t_bc
+            g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
+            prior_key = (id(m), m.version, self.last.frame_id)
+            use_lf = (getattr(self, "_imu_prior", None) is not None
+                      and getattr(self, "_imu_prior_key", None) == prior_key
+                      and self.imu.pre_last_frame is not None)
+            if use_lf:
+                res = kernels.track_step_inertial_lf(
+                    *common, jnp.asarray(self.imu.v_w), self._imu_prior,
+                    self.imu.pre_last_frame, jnp.asarray(g),
+                    jnp.asarray(R_cb), jnp.asarray(t_cb), **statics)
+            else:
+                k = self.last_kf_id
+                R_wb_a, p_a = body_from_camera(m.kf_R[k], m.kf_t[k],
+                                               R_bc, t_bc)
+                res = kernels.track_step_inertial_anchor(
+                    *common, jnp.asarray(self.imu.v_w),
+                    jnp.asarray(R_wb_a.astype(np.float32)),
+                    jnp.asarray(p_a.astype(np.float32)),
+                    jnp.asarray(m.kf_vel[k]), jnp.asarray(m.kf_bg[k]),
+                    jnp.asarray(m.kf_ba[k]), self.imu.pre_since_kf,
+                    jnp.asarray(g), jnp.asarray(R_cb), jnp.asarray(t_cb),
+                    **statics)
+        else:
+            res = kernels.track_step_visual(*common, **statics)
+        # the single packed transfer of the whole frame: visual + refine
+        # leaves together (the marginalization prior stays on device), plus
+        # the device depth deferral, exactly as the staged path does
+        leaves = list(res)[:9]
+        if refine:
+            leaves += [res.ni, res.inl_i, res.v_w, res.Ri_cw, res.ti_cw]
+        dev_depth = (self.cur_depth is not None
+                     and not isinstance(self.cur_depth, np.ndarray))
+        if dev_depth:
+            leaves.append(self.cur_depth)
+        got = jax.device_get(tuple(leaves))
+        n1, ref_kf, match, R_cw, t_cw, ids2, visible2, cur_ang, cur_valid = \
+            got[:9]
+        if dev_depth:
+            self.cur_depth = got[-1]
+        self.cur_prep = prep
+        self._cur_cache_prep = prep
+        self._cur_angles = cur_ang
+        self._cur_valid = cur_valid
+        if int(n1) < self.cfg.min_inliers_mm:
+            return "fail1"
+        self.ref_kf = int(ref_kf)
+        vis_ids = ids2[visible2 & (ids2 >= 0)]
+        self.map.pt_visible[vis_ids] += 1
+        self.cur_T = SE3(R_cw, t_cw)
+        self.cur_match = match
+        if int((match >= 0).sum()) < self.cfg.min_inliers_local:
+            return "fail2"
+        if refine:
+            ni, inl_i, v_w, Ri_cw, ti_cw = got[9:14]
+            if int(ni) < self.cfg.min_inliers_local:
+                # keep the visual-only solution (reference: the outlier
+                # bailout of PoseInertialOptimization acceptance)
+                self._imu_prior = None
+            else:
+                self._imu_prior = res.prior     # device-resident
+                self._imu_prior_key = (id(m), m.version, self.frame_id - 1)
+                self.cur_T = SE3(Ri_cw, ti_cw)
+                self.imu.v_w = np.asarray(v_w, np.float32)
+                self.cur_match = np.where(inl_i, match, -1).astype(np.int32)
+        return "ok"
 
     def _track_with_motion_model(self, prep, ts, fid, use_imu=False) -> bool:
         """(reference: Tracking::TrackWithMotionModel, Tracking.cc:3352;
