@@ -148,7 +148,7 @@ class LocalMapper:
         # one packed transfer for the whole triangulation result (each
         # separate np.asarray is its own device round trip)
         ok_all, X_all, idx_b_all = jax.device_get((res.ok, res.xyz, res.idx_b))
-        ok_all &= np.isfinite(X_all).all(axis=2)
+        ok_all = ok_all & np.isfinite(X_all).all(axis=2)
 
         claimed_a = ~free_a
         for j, b in enumerate(keep):
