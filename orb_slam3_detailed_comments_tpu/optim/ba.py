@@ -89,6 +89,210 @@ def _robust_cost(prob, cam, delta2):
     return jnp.sum(jnp.where(ok, rho, 0.0))
 
 
+def _schur_lm_solve(U, b_c, V, b_p, Wd, lam, fixed_cam, point_valid):
+    """Damped Schur reduction + dense Cholesky + landmark back-substitution.
+    Shared by the COO and table assembly paths."""
+    C = U.shape[0]
+    Ud = U + lam * jnp.eye(6) * jnp.maximum(
+        jnp.einsum("cii->c", U), 1e-3)[:, None, None] / 6.0
+    Vd = V + lam * jnp.eye(3) * jnp.maximum(
+        jnp.einsum("pii->p", V), 1e-3)[:, None, None] / 3.0
+    Vinv = _inv3x3(Vd)
+    Vinv = jnp.where(point_valid[:, None, None], Vinv, 0.0)
+
+    # Schur reduction (MXU): S = U - W V^-1 W^T, rhs = b_c - W V^-1 b_p.
+    # The P-contraction runs as one flat [6C, 3P] x [3P, 6C] matmul — the
+    # cidj einsum form lowers to padded small-axis loops.
+    P = Wd.shape[0]
+    Y = jax.lax.dot_general(                       # [P, C*6, 3]
+        Wd.reshape(P, C * 6, 3), Vinv, (((2,), (1,)), ((0,), (0,))))
+    Yf = Y.transpose(1, 0, 2).reshape(C * 6, P * 3)
+    Wf = Wd.reshape(P, C * 6, 3).transpose(1, 0, 2).reshape(C * 6, P * 3)
+    S = (-(Yf @ Wf.T)).reshape(C, 6, C, 6)
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Ud)
+    rhs = b_c - (Yf @ b_p.reshape(P * 3)).reshape(C, 6)
+
+    # fixed cameras: identity rows/cols, zero rhs
+    free = ~fixed_cam
+    fmask = free[:, None].astype(S.dtype)          # [C,1]
+    S = S * fmask[:, :, None, None] * fmask[None, None, :, :]
+    eye_fix = jnp.eye(6) * (~free)[:, None, None].astype(S.dtype)
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(eye_fix)
+    rhs = rhs * fmask
+
+    Sm = S.reshape(6 * C, 6 * C)
+    # Schur reduction in f32 leaves O(eps * ||S||) asymmetry/indefiniteness;
+    # jitter must scale with the spectrum or Cholesky fails at small lambda.
+    jitter = 1e-5 * jnp.max(jnp.diag(Sm)) + 1e-3
+    dc = jax.scipy.linalg.cho_solve(
+        (jax.scipy.linalg.cholesky(Sm + jitter * jnp.eye(6 * C), lower=True),
+         True),
+        rhs.reshape(-1)).reshape(C, 6)
+    dc = jnp.where(free[:, None], dc, 0.0)
+
+    # back-substitute landmarks: dp = Vinv (b_p - W^T dc)
+    WTdc = jnp.einsum("pcix,ci->px", Wd, dc)
+    dp = jnp.einsum("pxy,py->px", Vinv, b_p - WTdc)
+    dp = jnp.where(point_valid[:, None], dp, 0.0)
+    return dc, dp
+
+
+# Relative cost decrease below which an ACCEPTED LM step ends the solve
+# early (GN/LM converges in a handful of iterations on tracking-grade
+# problems; the remaining fixed iterations are numerically inert).
+_REL_TOL = 1e-6
+
+# Above this camera count the [P, d=C] observation tables (and the [P,d,C]
+# one-hot) outgrow their win; fall back to COO scatter assembly (global BA).
+_TABLE_C_MAX = 48
+
+
+def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
+                     delta2: float, lm_lambda0: float) -> BAResult:
+    """LM-BA with observations re-laid-out as a dense [P, d=C] table.
+
+    XLA scatter-adds (the COO path's U/V/W assembly) cost ~5 ms/iteration
+    at local-BA sizes on TPU; in table layout every per-iteration reduction
+    is a dense einsum (points on rows, observing cameras on a padded depth
+    axis, per-camera aggregation through a precomputed one-hot) — no
+    scatters or gathers inside the LM loop at all. A point is observed at
+    most once per camera, so depth d = C loses nothing.
+    """
+    C = prob.kf_R.shape[0]
+    P = prob.points.shape[0]
+    O = prob.obs_pt.shape[0]
+    d = C
+
+    # ---- one-time table construction (the only scatter in the solve) ----
+    pt = jnp.where(prob.obs_valid, prob.obs_pt, P)     # invalid -> dump row
+    order = jnp.argsort(pt)
+    pt_s = pt[order]
+    starts = jnp.searchsorted(pt_s, jnp.arange(P))
+    rank = jnp.arange(O, dtype=jnp.int32) - starts[jnp.clip(pt_s, 0, P - 1)]
+    rank = jnp.where(pt_s < P, rank, d)                # invalid -> dump col
+    tab = jnp.full((P + 1, d + 1), -1, jnp.int32).at[
+        jnp.minimum(pt_s, P), jnp.clip(rank, 0, d)].set(order)
+    tab = tab[:P, :d]                                  # [P, d] obs id or -1
+    tvalid = tab >= 0
+    idx = jnp.maximum(tab, 0)
+    cam_t = jnp.where(tvalid, prob.obs_cam[idx], 0)
+    uv_t = prob.obs_uv[idx]
+    w_t0 = jnp.where(tvalid & prob.point_valid[:, None], prob.obs_w[idx], 0.0)
+    onehot = (jax.nn.one_hot(cam_t, C, dtype=jnp.float32)
+              * tvalid[..., None].astype(jnp.float32))  # [P, d, C]
+    inval = (~tvalid).astype(jnp.float32)
+
+    def residuals(kf_R, kf_t, points):
+        # per-entry poses via one-hot einsum (exact: single nonzero per row);
+        # invalid entries get the identity pose at z=1 so no NaN leaks into
+        # the 0-weighted sums
+        R_e = (jnp.einsum("pdc,cij->pdij", onehot, kf_R)
+               + jnp.eye(3) * inval[..., None, None])
+        t_e = (jnp.einsum("pdc,ci->pdi", onehot, kf_t)
+               + jnp.array([0.0, 0.0, 1.0]) * inval[..., None])
+        X = jnp.broadcast_to(points[:, None, :], (P, d, 3))
+        T = SE3(R_e.reshape(-1, 3, 3), t_e.reshape(-1, 3))
+        r, Jc, Jp, depth_ok = reproj.residual_full(
+            T, X.reshape(-1, 3), uv_t.reshape(-1, 2), cam)
+        return (r.reshape(P, d, 2), Jc.reshape(P, d, 2, 6),
+                Jp.reshape(P, d, 2, 3), depth_ok.reshape(P, d))
+
+    def robust_cost(kf_R, kf_t, points, w_t):
+        R_e = (jnp.einsum("pdc,cij->pdij", onehot, kf_R)
+               + jnp.eye(3) * inval[..., None, None])
+        t_e = (jnp.einsum("pdc,ci->pdi", onehot, kf_t)
+               + jnp.array([0.0, 0.0, 1.0]) * inval[..., None])
+        pc = jnp.einsum("pdij,pj->pdi", R_e, points) + t_e
+        pred = cameras.project(cam, pc.reshape(-1, 3)).reshape(P, d, 2)
+        r = uv_t - pred
+        chi2 = jnp.sum(r * r, axis=-1) * w_t
+        ok = (w_t > 0) & (pc[..., 2] > 0.05)
+        rho = jnp.where(chi2 <= delta2, chi2,
+                        2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0))
+                        - delta2)
+        return jnp.sum(jnp.where(ok, rho, 0.0))
+
+    oh2 = onehot.reshape(P * d, C)
+
+    def lm_step(state):
+        kf_R, kf_t, points, w_t, lam, cost, k, done = state
+        r, Jc, Jp, depth_ok = residuals(kf_R, kf_t, points)
+        chi2 = jnp.sum(r * r, axis=-1) * w_t
+        w = w_t * reproj.huber_weight(chi2, delta2) * depth_ok
+
+        # Assembly as FLAT matmuls: einsums with 6/3-sized free axes lower
+        # to padded VPU loops (~15x slower, measured); reshaping so the
+        # contraction is a [C or P, big] matmul puts them on the MXU.
+        JcW = (Jc * w[..., None, None]).reshape(P * d, 2, 6)
+        Jcf = Jc.reshape(P * d, 2, 6)
+        Jpf = Jp.reshape(P * d, 2, 3)
+        rf = r.reshape(P * d, 2)
+        G = (JcW[:, 0, :, None] * Jcf[:, 0, None, :]
+             + JcW[:, 1, :, None] * Jcf[:, 1, None, :]).reshape(P * d, 36)
+        U = (oh2.T @ G).reshape(C, 6, 6)
+        bc_o = JcW[:, 0, :] * rf[:, 0, None] + JcW[:, 1, :] * rf[:, 1, None]
+        b_c = oh2.T @ bc_o
+
+        JpW = (Jp * w[..., None, None]).reshape(P, 2 * d, 3)
+        E = Jp.reshape(P, 2 * d, 3)
+        V = jax.lax.dot_general(JpW, E, (((1,), (1,)), ((0,), (0,))))
+        b_p = jax.lax.dot_general(
+            JpW, r.reshape(P, 2 * d), (((1,), (1,)), ((0,), (0,))))
+
+        Hm = (JcW[:, 0, :, None] * Jpf[:, 0, None, :]
+              + JcW[:, 1, :, None] * Jpf[:, 1, None, :]).reshape(P, d, 18)
+        Wd = jax.lax.dot_general(
+            onehot, Hm, (((1,), (1,)), ((0,), (0,)))).reshape(P, C, 6, 3)
+
+        dc, dp = _schur_lm_solve(U, b_c, V, b_p, Wd, lam,
+                                 prob.fixed_cam, prob.point_valid)
+
+        T_new = se3.exp(dc).compose(SE3(kf_R, kf_t))
+        pts_new = points + dp
+        new_cost = robust_cost(T_new.R, T_new.t, pts_new, w_t)
+        accept = ((new_cost < cost) & jnp.isfinite(new_cost)
+                  & jnp.isfinite(dc).all() & jnp.isfinite(dp).all())
+        kf_R = jnp.where(accept, T_new.R, kf_R)
+        kf_t = jnp.where(accept, T_new.t, kf_t)
+        points = jnp.where(accept, pts_new, points)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 4.0, 1e2))
+        done = accept & (cost - new_cost <= _REL_TOL * cost + 1e-6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (kf_R, kf_t, points, w_t, lam, cost, k + 1, done)
+
+    def run(kf_R, kf_t, points, w_t, n):
+        cost0 = robust_cost(kf_R, kf_t, points, w_t)
+        state = (kf_R, kf_t, points, w_t,
+                 jnp.asarray(lm_lambda0, jnp.float32), cost0,
+                 jnp.int32(0), jnp.bool_(False))
+        state = jax.lax.while_loop(
+            lambda s: (s[6] < n) & ~s[7], lm_step, state)
+        return state[0], state[1], state[2], state[5]
+
+    # Phase 1 (reference LocalBundleAdjustment: 5 iters with Huber), then
+    # drop gross outliers at the chi2 gate, then phase 2 on survivors.
+    n1 = max(iters // 3, 2)
+    kf_R, kf_t, points, _ = run(prob.kf_R, prob.kf_t, prob.points, w_t0, n1)
+    r, _, _, depth_ok = residuals(kf_R, kf_t, points)
+    chi2 = jnp.sum(r * r, axis=-1) * w_t0
+    w_t = jnp.where(depth_ok & (chi2 <= 2.0 * delta2), w_t0, 0.0)
+    kf_R, kf_t, points, cost = run(kf_R, kf_t, points, w_t,
+                                   max(iters - n1, 1))
+
+    # final renormalization + chi2 gate in O-order (reference erases obs >
+    # chi2 threshold after LocalBundleAdjustment, Optimizer.cc:2040-2100)
+    Tn = SE3(kf_R, kf_t).normalized()
+    kf_R = Tn.R
+    r, _, _, depth_ok = residuals(kf_R, kf_t, points)
+    chi2 = jnp.sum(r * r, axis=-1) * w_t0
+    ok_t = tvalid & depth_ok & (chi2 <= delta2) & (w_t0 > 0)
+    scatter_idx = jnp.where(tvalid, tab, O)
+    inlier = jnp.zeros(O + 1, bool).at[scatter_idx].set(ok_t)[:O]
+    inlier = inlier & prob.obs_valid
+    return BAResult(kf_R, kf_t, points, inlier, cost)
+
+
 @partial(jax.jit, static_argnames=("cam", "iters", "max_points_dense"))
 def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
              delta2: float = reproj.CHI2_MONO, lm_lambda0: float = 1e-4,
@@ -96,6 +300,8 @@ def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
     """Run LM-BA; returns updated poses/points and the final inlier mask."""
     C = prob.kf_R.shape[0]
     P = prob.points.shape[0]
+    if C <= _TABLE_C_MAX:
+        return _ba_solve_tables(prob, cam, iters, delta2, lm_lambda0)
 
     def lm_step(state):
         prob, lam, cost = state
@@ -118,41 +324,8 @@ def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
         Wo = jnp.einsum("oki,okj->oij", JcW, Jp)      # [O, 6, 3]
         Wd = jnp.zeros((P, C, 6, 3)).at[prob.obs_pt, prob.obs_cam].add(Wo)
 
-        # LM damping
-        Ud = U + lam * jnp.eye(6) * jnp.maximum(
-            jnp.einsum("cii->c", U), 1e-3)[:, None, None] / 6.0
-        Vd = V + lam * jnp.eye(3) * jnp.maximum(
-            jnp.einsum("pii->p", V), 1e-3)[:, None, None] / 3.0
-        Vinv = _inv3x3(Vd)
-        Vinv = jnp.where(prob.point_valid[:, None, None], Vinv, 0.0)
-
-        # Schur reduction (MXU): S = U - W V^-1 W^T, rhs = b_c - W V^-1 b_p
-        Y = jnp.einsum("pcix,pxy->pciy", Wd, Vinv)    # [P, C, 6, 3]
-        S = -jnp.einsum("pciy,pdjy->cidj", Y, Wd)
-        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Ud)
-        rhs = b_c - jnp.einsum("pciy,py->ci", Y, b_p)
-
-        # fixed cameras: identity rows/cols, zero rhs
-        free = ~prob.fixed_cam
-        fmask = free[:, None].astype(S.dtype)          # [C,1]
-        S = S * fmask[:, :, None, None] * fmask[None, None, :, :]
-        eye_fix = jnp.eye(6) * (~free)[:, None, None].astype(S.dtype)
-        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(eye_fix)
-        rhs = rhs * fmask
-
-        Sm = S.reshape(6 * C, 6 * C)
-        # Schur reduction in f32 leaves O(eps * ||S||) asymmetry/indefiniteness;
-        # jitter must scale with the spectrum or Cholesky fails at small lambda.
-        jitter = 1e-5 * jnp.max(jnp.diag(Sm)) + 1e-3
-        dc = jax.scipy.linalg.cho_solve(
-            (jax.scipy.linalg.cholesky(Sm + jitter * jnp.eye(6 * C), lower=True), True),
-            rhs.reshape(-1)).reshape(C, 6)
-        dc = jnp.where(free[:, None], dc, 0.0)
-
-        # back-substitute landmarks: dp = Vinv (b_p - W^T dc)
-        WTdc = jnp.einsum("pcix,ci->px", Wd, dc)
-        dp = jnp.einsum("pxy,py->px", Vinv, b_p - WTdc)
-        dp = jnp.where(prob.point_valid[:, None], dp, 0.0)
+        dc, dp = _schur_lm_solve(U, b_c, V, b_p, Wd, lam,
+                                 prob.fixed_cam, prob.point_valid)
 
         # candidate update
         T_new = se3.exp(dc).compose(SE3(prob.kf_R, prob.kf_t))
