@@ -470,11 +470,33 @@ class MapStore:
         self._inc_cache_v = self.version
         return inc
 
+    def incidence_bits(self) -> np.ndarray:
+        """[K, ceil(P/64)] uint64 incidence bitsets (native; cached per map
+        version). AND+popcount over these replaces the [K,P] incidence
+        matmuls — ~20x less host time per covisibility query."""
+        if getattr(self, "_bits_cache_v", -1) == self.version:
+            return self._bits_cache
+        from .. import native
+        self._bits_cache = native.build_incidence_bits(
+            self.kf_valid, self.kf_feat_point, self.cfg.max_pt)
+        self._bits_cache_v = self.version
+        return self._bits_cache
+
+    def _covis_weights(self, ks) -> np.ndarray:
+        """[len(ks), K] shared-point counts (native bitsets when available,
+        numpy incidence matmul otherwise)."""
+        from .. import native
+        if native.available:
+            return native.covis_counts(self.incidence_bits(), self.kf_valid,
+                                       np.asarray(ks, np.int64))
+        inc = self.incidence()
+        return (inc[np.asarray(ks, np.int64)].astype(np.int32)
+                @ inc.astype(np.int32).T)
+
     def covisibility(self, k: int, min_weight: int = 15) -> tuple:
         """Keyframes sharing >= min_weight points with KF k, sorted by weight
         (reference: KeyFrame::UpdateConnections threshold 15)."""
-        inc = self.incidence()
-        w = inc @ inc[k].astype(np.int32)
+        w = self._covis_weights([k])[0]
         w[k] = 0
         ids = np.where(w >= min_weight)[0]
         order = np.argsort(-w[ids])
@@ -482,18 +504,26 @@ class MapStore:
 
     def covisibility_batch(self, ks: np.ndarray, min_weight: int = 15
                            ) -> list:
-        """covisibility() for several keyframes with ONE [K,P]@[P,n]
-        product instead of n matvecs. Returns [(ids, weights), ...]."""
-        inc = self.incidence()
-        W = inc.astype(np.int32) @ inc[np.asarray(ks, np.int64)].T
+        """covisibility() for several keyframes in one native pass (or one
+        [K,P]@[P,n] product). Returns [(ids, weights), ...]."""
+        W = self._covis_weights(ks)
         out = []
         for j, k in enumerate(ks):
-            w = W[:, j]
+            w = W[j]
             w[int(k)] = 0
             ids = np.where(w >= min_weight)[0]
             order = np.argsort(-w[ids])
             out.append((ids[order], w[ids][order]))
         return out
+
+    def observers_of_points(self, pt_ids) -> np.ndarray:
+        """[K] bool: live KFs observing ANY of pt_ids (the local-BA
+        frontier query)."""
+        from .. import native
+        if native.available and len(pt_ids):
+            return native.observers_of(self.incidence_bits(), self.kf_valid,
+                                       pt_ids, self.cfg.max_pt)
+        return self.incidence()[:, np.asarray(pt_ids, np.int64)].any(axis=1)
 
     def covisibility_matrix(self) -> np.ndarray:
         """[K, K] shared-point counts (int32). Cached per map version; the
@@ -504,8 +534,7 @@ class MapStore:
         ids = self.kf_ids()
         cov = np.zeros((K, K), np.int32)
         if len(ids):
-            inc = self.incidence()[ids].astype(np.int32)
-            cov[np.ix_(ids, ids)] = inc @ inc.T
+            cov[ids] = self._covis_weights(ids)
         self._cov_cache = cov
         self._cov_cache_v = self.version
         return cov

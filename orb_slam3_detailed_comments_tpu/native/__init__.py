@@ -40,6 +40,9 @@ def _load():
     _lib.update_point_stats.restype = ctypes.c_int
     _lib.replace_point.restype = ctypes.c_int
     _lib.observation_counts.restype = None
+    _lib.build_incidence_bits.restype = None
+    _lib.covis_counts.restype = None
+    _lib.observers_of.restype = None
     available = True
 
 
@@ -76,6 +79,42 @@ def replace_point(kf_valid, kf_feat_point, old_id: int, new_id: int) -> int:
     return _lib.replace_point(
         K, N, _ptr(kf_valid, np.dtype(bool)),
         _ptr(kf_feat_point, np.dtype(np.int32)), int(old_id), int(new_id))
+
+
+def build_incidence_bits(kf_valid, kf_feat_point, P: int) -> np.ndarray:
+    """[K, ceil(P/64)] uint64 bitset: KF k observes point p."""
+    K, N = kf_feat_point.shape
+    Pw = (P + 63) // 64
+    bits = np.empty((K, Pw), np.uint64)
+    _lib.build_incidence_bits(
+        K, N, P, _ptr(kf_valid, np.dtype(bool)),
+        _ptr(kf_feat_point, np.dtype(np.int32)), _ptr(bits, np.dtype(np.uint64)))
+    return bits
+
+
+def covis_counts(bits, kf_valid, ks) -> np.ndarray:
+    """[M, K] shared-point counts of query KFs `ks` against all KFs."""
+    K, Pw = bits.shape
+    ks = np.ascontiguousarray(ks, np.int64)
+    out = np.empty((len(ks), K), np.int32)
+    _lib.covis_counts(
+        K, Pw, _ptr(bits, np.dtype(np.uint64)), _ptr(kf_valid, np.dtype(bool)),
+        len(ks), _ptr(ks, np.dtype(np.int64)), _ptr(out, np.dtype(np.int32)))
+    return out
+
+
+def observers_of(bits, kf_valid, pt_ids, P: int) -> np.ndarray:
+    """[K] bool: KFs observing ANY of pt_ids."""
+    K, Pw = bits.shape
+    pt_bits = np.zeros(Pw, np.uint64)
+    ids = np.asarray(pt_ids, np.int64)
+    np.bitwise_or.at(pt_bits, ids >> 6,
+                     np.uint64(1) << (ids & 63).astype(np.uint64))
+    out = np.empty(K, np.uint8)
+    _lib.observers_of(
+        K, Pw, _ptr(bits, np.dtype(np.uint64)), _ptr(kf_valid, np.dtype(bool)),
+        _ptr(pt_bits, np.dtype(np.uint64)), _ptr(out, np.dtype(np.uint8)))
+    return out.astype(bool)
 
 
 def observation_counts(kf_valid, kf_feat_point, P: int) -> np.ndarray:

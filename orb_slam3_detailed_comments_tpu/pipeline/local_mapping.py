@@ -339,8 +339,7 @@ def build_ba_problem(m: MapStore, window: list, fixed,
     pt_slot = {int(p): i for i, p in enumerate(pt_ids)}
 
     # frontier: other observers of these points
-    inc = m.incidence()
-    observers = np.where(inc[:, pt_ids].any(axis=1))[0]
+    observers = np.where(m.observers_of_points(pt_ids))[0]
     frontier = [int(x) for x in observers if int(x) not in set(window)]
     if fixed is None:
         fixed_set = set(frontier)
