@@ -89,12 +89,13 @@ def _visual_terms(prob: VIBAProblem, cam, R_cb, t_cb, delta2):
     pred = cameras.project(cam, x_c)
     r = prob.obs_uv - pred
     Jproj = cameras.project_jac(cam, x_c)                      # [O, 2, 3]
-    JR = Jproj @ R_cb                                           # [O, 2, 3]
-    # d x_b/d dp = -I ; d x_b/d dphi = hat(x_b)
-    Jpose = jnp.concatenate([-jnp.broadcast_to(jnp.eye(3), (*x_b.shape[:-1], 3, 3)),
-                             so3.hat(x_b)], axis=-1)            # [O, 3, 6]
-    Jc = JR @ Jpose                                             # [O, 2, 6]
-    Jp = JR @ R_bw                                              # [O, 2, 3]
+    # all small-axis matmul chains unrolled (batched [..,2,3]@[..,3,x]
+    # lowers to per-entry tiny matmuls, 4x slower in composition; see
+    # reproj._twist_jac): JR = Jproj @ R_cb; Jpose = [-I | hat(x_b)] so
+    # Jc = JR @ Jpose = -[JR | JR @ (-hat(x_b))] = -_twist_jac(JR, x_b).
+    JR = reproj._point_jac(Jproj, R_cb)                         # [O, 2, 3]
+    Jc = -reproj._twist_jac(JR, x_b)                            # [O, 2, 6]
+    Jp = reproj._point_jac(JR, R_bw)                            # [O, 2, 3]
     depth_ok = x_c[..., 2] > 0.05
     return r, Jc, Jp, depth_ok
 
@@ -177,16 +178,23 @@ def vi_ba_solve(prob: VIBAProblem, cam: cameras.CameraParams,
         w = pr.obs_w * reproj.huber_weight(chi2, delta2) * ok
         JcW = Jc * w[:, None, None]
         JpW = Jp * w[:, None, None]
-        # pose block occupies state dims 0:6 of each KF
-        U6 = jnp.zeros((C, 6, 6)).at[pr.obs_cam].add(
-            jnp.einsum("oki,okj->oij", JcW, Jc))
-        b6 = jnp.zeros((C, 6)).at[pr.obs_cam].add(
-            jnp.einsum("oki,ok->oi", JcW, r))
+        # pose block occupies state dims 0:6 of each KF. Camera-indexed
+        # sums ride an [O, C] one-hot matmul (MXU) instead of scatter-adds
+        # (see optim/ba.py table path); point-indexed sums stay scatters
+        # here (P is large, O modest for inertial windows).
+        oh = jax.nn.one_hot(pr.obs_cam, C, dtype=jnp.float32)   # [O, C]
+        G = (JcW[:, 0, :, None] * Jc[:, 0, None, :]
+             + JcW[:, 1, :, None] * Jc[:, 1, None, :]).reshape(-1, 36)
+        U6 = (oh.T @ G).reshape(C, 6, 6)
+        bc_o = JcW[:, 0, :] * r[:, 0, None] + JcW[:, 1, :] * r[:, 1, None]
+        b6 = oh.T @ bc_o
         V = jnp.zeros((P, 3, 3)).at[pr.obs_pt].add(
-            jnp.einsum("oki,okj->oij", JpW, Jp))
+            JpW[:, 0, :, None] * Jp[:, 0, None, :]
+            + JpW[:, 1, :, None] * Jp[:, 1, None, :])
         b_p = jnp.zeros((P, 3)).at[pr.obs_pt].add(
-            jnp.einsum("oki,ok->oi", JpW, r))
-        Wo = jnp.einsum("oki,okj->oij", JcW, Jp)
+            JpW[:, 0, :] * r[:, 0, None] + JpW[:, 1, :] * r[:, 1, None])
+        Wo = (JcW[:, 0, :, None] * Jp[:, 0, None, :]
+              + JcW[:, 1, :, None] * Jp[:, 1, None, :])
         Wd = jnp.zeros((P, C, 6, 3)).at[pr.obs_pt, pr.obs_cam].add(Wo)
 
         Vd = V + lam * jnp.eye(3) * jnp.maximum(
@@ -194,9 +202,13 @@ def vi_ba_solve(prob: VIBAProblem, cam: cameras.CameraParams,
         Vinv = ba_mod._inv3x3(Vd)
         Vinv = jnp.where(pr.point_valid[:, None, None] & (~jnp.asarray(fix_points)),
                          Vinv, 0.0)
-        Y = jnp.einsum("pcix,pxy->pciy", Wd, Vinv)
-        S6 = -jnp.einsum("pciy,pdjy->cidj", Y, Wd)           # [C,6,C,6]
-        rhs6 = b6 - jnp.einsum("pciy,py->ci", Y, b_p)
+        # flat-matmul Schur contraction (see ba._schur_lm_solve)
+        Y = jax.lax.dot_general(                             # [P, C*6, 3]
+            Wd.reshape(P, C * 6, 3), Vinv, (((2,), (1,)), ((0,), (0,))))
+        Yf = Y.transpose(1, 0, 2).reshape(C * 6, P * 3)
+        Wf = Wd.reshape(P, C * 6, 3).transpose(1, 0, 2).reshape(C * 6, P * 3)
+        S6 = (-(Yf @ Wf.T)).reshape(C, 6, C, 6)              # [C,6,C,6]
+        rhs6 = b6 - (Yf @ b_p.reshape(P * 3)).reshape(C, 6)
 
         # ---- assemble the [C*D, C*D] reduced system -------------------
         H = jnp.zeros((C, D, C, D))
