@@ -26,12 +26,12 @@ _B = 16          # keypoints per program instance
 _LANES = 256     # window width: covers patch width + worst-case 127 offset
 
 
-def _rows_for(pw: int) -> int:
+def _rows_for(ph: int) -> int:
     # aligned row window: patch rows + max sublane offset (7), rounded to 8
-    return ((pw + 7 + 7) // 8) * 8
+    return ((ph + 7 + 7) // 8) * 8
 
 
-def _gather_kernel(rc_ref, img_ref, out_ref, *, pw: int, wr: int):
+def _gather_kernel(rc_ref, img_ref, out_ref, *, ph: int, pw: int, wr: int):
     i = pl.program_id(0)
     for b in range(_B):
         r = rc_ref[i * _B + b, 0]
@@ -43,49 +43,53 @@ def _gather_kernel(rc_ref, img_ref, out_ref, *, pw: int, wr: int):
         # (negative dynamic shifts miscompile on Mosaic as of jax 0.8)
         win = pltpu.roll(win, (wr - (r - rb)) % wr, 0)
         win = pltpu.roll(win, (_LANES - (c - cb)) % _LANES, 1)
-        out_ref[b, :, :] = win[:pw, :pw]
+        out_ref[b, :, :] = win[:ph, :pw]
 
 
-@partial(jax.jit, static_argnames=("pw", "interpret"))
-def gather_patches_atlas(atlas: jnp.ndarray, rc: jnp.ndarray, pw: int,
-                         interpret: bool = False) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("ph", "pw", "interpret"))
+def gather_patches_atlas(atlas: jnp.ndarray, rc: jnp.ndarray, ph: int,
+                         pw: int = 0, interpret: bool = False) -> jnp.ndarray:
     """atlas [H, W] (W % 128 == 0, with slack — see module docstring);
-    rc [N, 2] int32 top-left patch corners (in-bounds, r+pw+7 <= H-?,
-    c <= W-256+...: callers keep content margins, see extractor);
-    returns [N, pw, pw] float32 patches."""
+    rc [N, 2] int32 top-left patch corners (in-bounds, callers keep content
+    margins — see extractor); returns [N, ph, pw] float32 patches
+    (pw defaults to ph: square)."""
+    pw = pw or ph
     N = rc.shape[0]
-    wr = _rows_for(pw)
+    wr = _rows_for(ph)
     pad = (-N) % _B
     rcp = jnp.pad(rc, ((0, pad), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=((N + pad) // _B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_B, pw, pw), lambda i, rc: (i, 0, 0),
+        out_specs=pl.BlockSpec((_B, ph, pw), lambda i, rc: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        partial(_gather_kernel, pw=pw, wr=wr),
+        partial(_gather_kernel, ph=ph, pw=pw, wr=wr),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N + pad, pw, pw), atlas.dtype),
+        out_shape=jax.ShapeDtypeStruct((N + pad, ph, pw), atlas.dtype),
         interpret=interpret,
     )(rcp, atlas)
     return out[:N]
 
 
 def gather_patches_atlas_xla(atlas: jnp.ndarray, rc: jnp.ndarray,
-                             pw: int) -> jnp.ndarray:
+                             ph: int, pw: int = 0) -> jnp.ndarray:
     """Fallback (CPU tests / non-TPU backends): same atlas contract, same
     output, via vmapped dynamic_slice."""
+    pw = pw or ph
+
     def slc(r, c):
-        return jax.lax.dynamic_slice(atlas, (r, c), (pw, pw))
+        return jax.lax.dynamic_slice(atlas, (r, c), (ph, pw))
     return jax.vmap(slc)(rc[:, 0], rc[:, 1])
 
 
-def gather_patches(atlas: jnp.ndarray, rc: jnp.ndarray, pw: int) -> jnp.ndarray:
+def gather_patches(atlas: jnp.ndarray, rc: jnp.ndarray, ph: int,
+                   pw: int = 0) -> jnp.ndarray:
     if jax.default_backend() == "tpu":
-        return gather_patches_atlas(atlas, rc, pw)
-    return gather_patches_atlas_xla(atlas, rc, pw)
+        return gather_patches_atlas(atlas, rc, ph, pw)
+    return gather_patches_atlas_xla(atlas, rc, ph, pw)
 
 
 def build_atlas(levels, widest: int, lanes_slack: int = _LANES):

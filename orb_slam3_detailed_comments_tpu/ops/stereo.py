@@ -61,37 +61,47 @@ def stereo_match(xy_l, level_l, desc_l, valid_l,
     coarse_ok = best_d < th
 
     # --- SAD sub-pixel refinement around the coarse match ---------------
+    # One windowed gather per keypoint per image (Pallas atlas gather; the
+    # old per-sample fancy-indexed bilinear did ~6M random gathers/frame,
+    # ~60 ms on TPU): the integer window is gathered once, the shared
+    # fractional offset is applied by static +-1 shifts, and the 11 SAD
+    # slide positions are static column slices of one wide right window.
     u_l = xy_l[:, 0]
     v_l = xy_l[:, 1]
     u_r0 = xy_r[best_r, 0]
+    P = 2 * SAD_W + 1
 
-    def gather_patch(img, uc, vc):
-        """[L, 2W+1, 2W+1] bilinear patches centered at (uc, vc)."""
-        dy = jnp.arange(-SAD_W, SAD_W + 1, dtype=jnp.float32)
-        dx = jnp.arange(-SAD_W, SAD_W + 1, dtype=jnp.float32)
-        ys = vc[:, None, None] + dy[None, :, None]
-        xs = uc[:, None, None] + dx[None, None, :]
-        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, img.shape[0] - 2)
-        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, img.shape[1] - 2)
-        fy = jnp.clip(ys - y0, 0.0, 1.0)
-        fx = jnp.clip(xs - x0, 0.0, 1.0)
-        v00 = img[y0, x0]
-        v01 = img[y0, x0 + 1]
-        v10 = img[y0 + 1, x0]
-        v11 = img[y0 + 1, x0 + 1]
-        return ((1 - fy) * (1 - fx) * v00 + (1 - fy) * fx * v01
-                + fy * (1 - fx) * v10 + fy * fx * v11)
+    from . import pallas_patches
 
-    pl = gather_patch(left_img0, u_l, v_l)                     # [L, P, P]
+    def bilinear_windows(img, uc, vc, half_w: int):
+        """[L, P, 2*half_w+1] bilinear patches at rows vc+-SAD_W, cols
+        uc+-half_w, from ONE [P+1, w+1] integer-corner gather each."""
+        w = 2 * half_w + 1
+        atlas, _ = pallas_patches.build_atlas([img], img.shape[1])
+        y0 = jnp.clip(jnp.floor(vc).astype(jnp.int32) - SAD_W,
+                      0, img.shape[0] - (P + 1))
+        x0 = jnp.clip(jnp.floor(uc).astype(jnp.int32) - half_w,
+                      0, img.shape[1] - (w + 1))
+        fy = jnp.clip(vc - SAD_W - y0, 0.0, 1.0)[:, None, None]
+        fx = jnp.clip(uc - half_w - x0, 0.0, 1.0)[:, None, None]
+        rc = jnp.stack([y0, x0], axis=-1)
+        W = pallas_patches.gather_patches(atlas, rc, P + 1, w + 1)
+        return ((1 - fy) * (1 - fx) * W[:, :P, :w]
+                + (1 - fy) * fx * W[:, :P, 1:]
+                + fy * (1 - fx) * W[:, 1:, :w]
+                + fy * fx * W[:, 1:, 1:])
+
+    pl = bilinear_windows(left_img0, u_l, v_l, SAD_W)          # [L, P, P]
     pl = pl - pl[:, SAD_W:SAD_W + 1, SAD_W:SAD_W + 1]          # center-normalized
+    wide = bilinear_windows(right_img0, u_r0, v_l, SAD_W + SLIDE_L)
     offsets = jnp.arange(-SLIDE_L, SLIDE_L + 1, dtype=jnp.float32)
 
-    def sad_at(off):
-        pr = gather_patch(right_img0, u_r0 + off, v_l)
+    def sad_at(k):
+        pr = jax.lax.dynamic_slice_in_dim(wide, k, P, axis=2)
         pr = pr - pr[:, SAD_W:SAD_W + 1, SAD_W:SAD_W + 1]
         return jnp.sum(jnp.abs(pl - pr), axis=(1, 2))          # [L]
 
-    sads = jax.vmap(sad_at)(offsets)                           # [2L+1, L]
+    sads = jnp.stack([sad_at(k) for k in range(2 * SLIDE_L + 1)])  # [2L+1, L]
     k = jnp.argmin(sads, axis=0)
     s_m = jnp.take_along_axis(sads, k[None, :], axis=0)[0]
     km = jnp.clip(k, 1, 2 * SLIDE_L - 1)
