@@ -41,6 +41,8 @@ class System:
         if sensor not in (MONOCULAR, STEREO, RGBD,
                           IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
             raise ValueError(f"unknown sensor {sensor}")
+        from ..utils import compile_cache
+        compile_cache.enable()   # amortize XLA compiles across processes
         self.cam = cam
         self.sensor = sensor
         self.inertial = sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD)

@@ -1,0 +1,35 @@
+"""Persistent XLA compilation cache.
+
+First compilation of the frame pipeline costs 15-60 s (and each
+local-mapping bucket shape compiles on first use); the jax persistent
+cache amortizes that across processes — measured 15.8 s -> 4.4 s for the
+extractor program through the axon remote compiler. Enabled by System's
+constructor unless the user configured a cache themselves or set
+ORB_TPU_NO_COMPILE_CACHE=1.
+"""
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable(cache_dir: str | None = None) -> None:
+    global _done
+    if _done or os.environ.get("ORB_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    _done = True
+    import jax
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return  # user already configured one
+    except AttributeError:  # pragma: no cover - very old jax
+        return
+    path = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "tpu_slam_xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
