@@ -73,6 +73,13 @@ def main():
     est_ts = np.array([r_[0] for r_ in rows])
     est_xyz = np.array([r_[1:4] for r_ in rows])
     gt = synth_render.camera_centers(R, t)
+    # TUM-format ground truth so evaluation/evaluate_ate_scale.py can be
+    # driven on the demo output standalone (identity orientation: the ATE
+    # CLI only reads positions)
+    with open(os.path.join(outdir, f"groundtruth_{mode}.txt"), "w") as f:
+        for k in range(n):
+            f.write(f"{ts[k]:.6f} {gt[k, 0]:.6f} {gt[k, 1]:.6f} "
+                    f"{gt[k, 2]:.6f} 0 0 0 1\n")
     rmse, nn, scale = evaluate_ate.ate_rmse(ts, gt, est_ts, est_xyz,
                                             with_scale=(mode == "mono"))
     print(f"[{mode}] frames={n} tracked={len(rows)} kf={slam.n_keyframes} "

@@ -156,4 +156,5 @@ class Atlas:
         self.maps[other_id] = MapStore(self.map_cfg)
         self.n_merges += 1
         act.version += 1
+        act.big_change_idx += 1
         return slot_map

@@ -118,6 +118,10 @@ class MapStore:
         # MapPoint.cc mpReplaced)
         self.pt_replaced_by = np.full(P, -1, np.int32)
         self.version = 0
+        # bumped only on "big" corrections — loop closure, applied GBA,
+        # map merge (reference: Map::IncreaseChangeIndex consumers via
+        # System::MapChanged, Map.h:110-113)
+        self.big_change_idx = 0
         self._scale_factors = cfg.scale ** np.arange(cfg.n_levels)
 
     # ---- allocation ------------------------------------------------------

@@ -146,6 +146,11 @@ _REL_TOL = 1e-6
 # one-hot) outgrow their win; fall back to COO scatter assembly (global BA).
 _TABLE_C_MAX = 48
 
+# Above this camera count even the COO path's dense [P, C, 6, 3] coupling
+# and [6C, 6C] Cholesky are untenable (gigabytes / O(C^3)); route to the
+# matrix-free Schur-PCG solver in optim/schur_pcg.py.
+_PCG_C_MIN = 128
+
 
 def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
                      delta2: float, lm_lambda0: float) -> BAResult:
@@ -302,6 +307,9 @@ def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
     P = prob.points.shape[0]
     if C <= _TABLE_C_MAX:
         return _ba_solve_tables(prob, cam, iters, delta2, lm_lambda0)
+    if C > _PCG_C_MIN:
+        from . import schur_pcg  # local import: schur_pcg imports this module
+        return schur_pcg.ba_solve_pcg(prob, cam, iters, delta2, lm_lambda0)
 
     def lm_step(state):
         prob, lam, cost = state

@@ -254,6 +254,7 @@ class LoopCloser:
         m.kf_R[kf_ids] = R_new
         m.kf_t[kf_ids] = t_new / np.maximum(s_new[:, None], 1e-9)
         m.version += 1
+        m.big_change_idx += 1
 
         # fuse duplicated points around the loop (reference: SearchAndFuse)
         self._fuse_loop_points(k, match_kf)
@@ -573,3 +574,4 @@ def apply_gba_with_propagation(m: MapStore, meta: dict, res):
         feats = np.where(m.kf_feat_point[c] == pid)[0]
         m.kf_feat_point[c, feats] = NO_POINT
     m.version += 1
+    m.big_change_idx += 1

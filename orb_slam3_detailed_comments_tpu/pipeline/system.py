@@ -96,6 +96,9 @@ class System:
         self._vocab_path = vocab_path
         self._kfdb_pending: list = []
         self._change_dataset_pending = False
+        self._is_shutdown = False
+        self._last_big_change = 0
+        self.image_scale = 1.0   # Camera.newWidth/width (System::GetImageScale)
         if vocab_path is not None:
             self._build_recognition(vocab_path=vocab_path)
         if enable_loop_closing or True:
@@ -200,7 +203,13 @@ class System:
                   imu_calib=imu_calib, camera2=s.camera2, T_c1c2=s.T_c1c2)
         cam = overrides.pop("camera", s.camera)
         kw.update(overrides)
-        return cls(cam, sensor, **kw)
+        sys_ = cls(cam, sensor, **kw)
+        if getattr(s, "resize_to", None) is not None:
+            # the factor callers divide pixel I/O by (System::GetImageScale,
+            # System.cc:285-300: cv::resize by mImageScale)
+            sys_.image_scale = float(s.resize_to[0]) / float(
+                getattr(s, "orig_width", s.resize_to[0]))
+        return sys_
 
     def track_monocular(self, img: np.ndarray, ts: float,
                         imu=None) -> Optional[np.ndarray]:
@@ -677,6 +686,9 @@ class System:
             self._worker.join(timeout=30)
             self._worker = None
             self._async = False
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
+        self._is_shutdown = True
 
     def activate_localization_mode(self):
         """Camera tracking only; the map is frozen
@@ -686,6 +698,82 @@ class System:
     def deactivate_localization_mode(self):
         """(reference: System::DeactivateLocalizationMode, System.cc:518)"""
         self.tracker.localization_only = False
+
+    def map_changed(self) -> bool:
+        """True once after a big map correction — loop closure, applied
+        global BA, or map merge (reference: System::MapChanged,
+        System.cc:528, via Map::GetLastBigChangeIdx)."""
+        cur = max(m.big_change_idx for m in self.atlas.maps)
+        if cur > self._last_big_change:
+            self._last_big_change = cur
+            return True
+        return False
+
+    def reset(self):
+        """Clear the whole Atlas and start over (reference: System::Reset ->
+        Tracking::Reset, System.cc:537, Tracking.cc:4549)."""
+        from ..mapping.atlas import Atlas
+        with self.map_lock:
+            if self.loop_closer is not None:
+                self.loop_closer.abort_gba()
+            self.atlas = Atlas(self.atlas.map_cfg)
+            self.map = self.atlas.active
+            self.tracker.reset_for_new_map(self.map)
+            self.local_mapper.map = self.map
+            self.local_mapper.recent_points.clear()
+            if self.inertial:
+                self._viba_stage = 0
+                self._last_scale_refine = 0.0
+            self.loop_closer = None
+            self.kfdb = None
+            self.kfdbs = {}
+            self._kfdb_pending.clear()
+
+    def reset_active_map(self):
+        """Reset only the active map, keeping stored Atlas maps (reference:
+        System::ResetActiveMap -> Tracking::ResetActiveMap, System.cc:545,
+        Tracking.cc:4614)."""
+        from ..mapping.mapstore import MapStore
+        with self.map_lock:
+            if self.loop_closer is not None:
+                self.loop_closer.abort_gba()
+            mid = self.atlas.active_id
+            self.atlas.maps[mid] = MapStore(self.atlas.map_cfg)
+            self.atlas.maps[mid].map_id = mid
+            self.map = self.atlas.maps[mid]
+            self.tracker.reset_for_new_map(self.map)
+            self.local_mapper.map = self.map
+            self.local_mapper.recent_points.clear()
+            if self.inertial:
+                self._viba_stage = 0
+                self._last_scale_refine = 0.0
+            self.loop_closer = None
+            self.kfdb = None
+            self.kfdbs.pop(mid, None)
+            self._kfdb_pending.clear()
+
+    def get_time_from_imu_init(self) -> float:
+        """Seconds since the IMU initialized, 0 before (reference:
+        System::GetTimeFromIMUInit, System.cc:1418)."""
+        if (not self.inertial or getattr(self, "_viba_stage", 0) < 1
+                or self.tracker.last_ts is None):
+            return 0.0
+        return max(self.tracker.last_ts - self._t_init, 0.0)
+
+    def is_shutdown(self) -> bool:
+        """(reference: System::isShutDown, System.h:141)"""
+        return self._is_shutdown
+
+    def is_finished(self) -> bool:
+        """Mapping/loop workers drained (reference: System::isFinished
+        semantics — all threads finished after Shutdown)."""
+        return self._is_shutdown
+
+    def get_image_scale(self) -> float:
+        """Resize factor applied to inputs when Camera.newWidth is set
+        (reference: System::GetImageScale, System.cc:1565; callers divide
+        pixel coordinates by it)."""
+        return self.image_scale
 
     def print_time_stats(self, file=None):
         """Per-stage timing table (reference: Tracking::PrintTimeStats,

@@ -177,6 +177,7 @@ def load_settings(path: str) -> Settings:
         nh = int(nh if nh is not None else s.camera.height)
         if (nw, nh) != (s.camera.width, s.camera.height):
             s.resize_to = (nw, nh)
+            s.orig_width = s.camera.width   # for System::GetImageScale
             s.camera = scale_camera(s.camera, nw, nh)
             if s.camera2 is not None:
                 s.camera2 = scale_camera(s.camera2, nw, nh)

@@ -133,3 +133,71 @@ class TestBA:
         res1 = ba.ba_solve(prob, CAM, iters=1)
         res8 = ba.ba_solve(prob, CAM, iters=10)
         assert float(res8.cost) <= float(res1.cost)
+
+
+class TestSchurPCG:
+    """Matrix-free Schur-PCG global BA (optim/schur_pcg.py) — the
+    Atlas-scale path of Optimizer::GlobalBundleAdjustemnt."""
+
+    def test_matvec_matches_dense_schur(self, rng):
+        from orb_slam3_detailed_comments_tpu.optim import reproj, schur_pcg
+
+        sc = make_scene(rng, n_points=24, n_cams=4, noise_px=0.2)
+        prob = scene_to_ba_problem(sc, rng=rng)
+        C, P = 4, 24
+        r, Jc, Jp, depth_ok = ba._residuals(prob, CAM)
+        ok = prob.obs_valid & depth_ok
+        chi2 = jnp.sum(r * r, axis=-1) * prob.obs_w
+        w = prob.obs_w * reproj.huber_weight(chi2, reproj.CHI2_MONO) * ok
+        lam = jnp.float32(1e-3)
+        U, b_c, V, b_p = schur_pcg._normal_blocks(
+            r, Jc, Jp, w, prob.obs_cam, prob.obs_pt, C, P)
+        Ud, Vd = schur_pcg._damped_blocks(U, V, lam)
+        Vinv = ba._inv3x3(Vd)
+
+        # dense S assembled explicitly from per-obs blocks
+        Un, Wn = np.asarray(Ud), np.zeros((P, C, 6, 3), np.float32)
+        JcW = np.asarray(Jc * w[:, None, None])
+        for o in range(prob.obs_cam.shape[0]):
+            c, p = int(prob.obs_cam[o]), int(prob.obs_pt[o])
+            Wn[p, c] += JcW[o].T @ np.asarray(Jp)[o]
+        Sd = np.zeros((C, 6, C, 6), np.float32)
+        Vn = np.asarray(Vinv)
+        for p in range(P):
+            for ci in range(C):
+                for cj in range(C):
+                    Sd[ci, :, cj, :] -= Wn[p, ci] @ Vn[p] @ Wn[p, cj].T
+        for c in range(C):
+            Sd[c, :, c, :] += Un[c]
+
+        free = (~prob.fixed_cam).astype(jnp.float32)
+        x = jnp.asarray(rng.normal(0, 1, (C, 6)), jnp.float32)
+        got = np.asarray(schur_pcg._schur_matvec(
+            x, Ud, Vinv, Jc, Jp, w, prob.obs_cam, prob.obs_pt, free))
+        xf = np.asarray(x) * np.asarray(free)[:, None]
+        want = np.einsum("icjd,jd->ic", Sd, xf)
+        want = want * np.asarray(free)[:, None] \
+            + np.asarray(x) * (1 - np.asarray(free)[:, None])
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-2)
+
+    def test_converges_like_dense(self, rng):
+        from orb_slam3_detailed_comments_tpu.optim import schur_pcg
+
+        sc = make_scene(rng, n_points=200, n_cams=6, noise_px=0.3)
+        prob = scene_to_ba_problem(sc, rng=rng)
+        res = schur_pcg.ba_solve_pcg(prob, CAM, iters=12)
+        err_t = np.linalg.norm(np.asarray(res.kf_t) - sc["t"], axis=-1)
+        assert err_t[2:].max() < 0.02, err_t
+        np.testing.assert_allclose(np.asarray(res.kf_t)[:2], sc["t"][:2],
+                                   atol=1e-6)  # fixed gauge untouched
+        perr = np.linalg.norm(np.asarray(res.points) - sc["points"], axis=-1)
+        assert np.median(perr) < 0.02
+        assert np.asarray(res.obs_inlier).mean() > 0.9
+
+    def test_ba_solve_routes_large_c(self, rng):
+        sc = make_scene(rng, n_points=160, n_cams=140, noise_px=0.3)
+        prob = scene_to_ba_problem(sc, rng=rng)
+        assert prob.kf_R.shape[0] > ba._PCG_C_MIN
+        res = ba.ba_solve(prob, CAM, iters=8)
+        err_t = np.linalg.norm(np.asarray(res.kf_t) - sc["t"], axis=-1)
+        assert np.median(err_t[2:]) < 0.03, np.median(err_t[2:])

@@ -161,3 +161,60 @@ def test_pipelined_iter_matches_online(sequence):
             assert pb is None
         else:
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_system_facade_api(sequence):
+    """The thin System facade calls of reference System.h:125-198 —
+    MapChanged, Reset/ResetActiveMap, isShutDown, GetImageScale,
+    GetTimeFromIMUInit."""
+    frames, _, _ = sequence
+    slam = System(CAM, MONOCULAR)
+    assert slam.get_image_scale() == 1.0
+    assert slam.get_time_from_imu_init() == 0.0
+    assert not slam.is_shutdown()
+    for i, img in enumerate(frames[:20]):
+        slam.track_monocular(img, i * 0.05)
+    assert slam.n_keyframes > 0
+    assert not slam.map_changed()          # no loop/GBA/merge happened
+    slam.map.big_change_idx += 1           # simulate an applied GBA
+    assert slam.map_changed()
+    assert not slam.map_changed()          # latched until the next bump
+
+    slam.reset_active_map()
+    assert slam.n_keyframes == 0
+    for i, img in enumerate(frames[:20]):  # re-initializes cleanly
+        slam.track_monocular(img, 1.0 + i * 0.05)
+    assert slam.n_keyframes > 0
+
+    slam.reset()
+    assert len(slam.atlas.maps) == 1 and slam.n_keyframes == 0
+    slam.shutdown()
+    assert slam.is_shutdown() and slam.is_finished()
+
+
+def test_image_scale_from_settings(tmp_path):
+    from orb_slam3_detailed_comments_tpu.utils import config
+    y = tmp_path / "s.yaml"
+    y.write_text("""%YAML:1.0
+---
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: 458.0
+Camera1.fy: 457.0
+Camera1.cx: 376.0
+Camera1.cy: 240.0
+Camera.width: 752
+Camera.height: 480
+Camera.newWidth: 376
+Camera.newHeight: 240
+Camera.fps: 20
+Camera.RGB: 1
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+""")
+    s = config.load_settings(str(y))
+    slam = System.from_settings(s, MONOCULAR)
+    assert abs(slam.get_image_scale() - 0.5) < 1e-6
