@@ -42,12 +42,28 @@ import jax.numpy as jnp
 from ..lie import SE3, se3
 from ..models import cameras
 from . import reproj
-from .ba import BAProblem, BAResult, _inv3x3, _residuals, _robust_cost
+from .ba import BAProblem, BAResult, _inv3x3, _residuals
 
 # CG stops at ||r|| <= _CG_RTOL * ||rhs|| (inexact-Newton forcing term) or
 # after cg_iters; both loose — LM damping absorbs an imperfect step.
 _CG_RTOL = 1e-3
 _REL_TOL = 1e-6
+
+
+def _psum(x, axis):
+    """Reduce over the observation-shard mesh axis (no-op single-device).
+    Everything reduced this way is replicated state (camera/point blocks),
+    so the collective payload is tiny next to the per-obs work."""
+    return jax.lax.psum(x, axis) if axis is not None else x
+
+
+def _robust_cost(prob, cam, delta2, axis=None):
+    r, _, _, depth_ok = _residuals(prob, cam)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_w
+    ok = prob.obs_valid & depth_ok
+    rho = jnp.where(chi2 <= delta2, chi2,
+                    2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2)
+    return _psum(jnp.sum(jnp.where(ok, rho, 0.0)), axis)
 
 
 def _damped_blocks(U, V, lam):
@@ -69,7 +85,7 @@ def _jt_dot(J, a):
     return J[:, 0, :] * a[:, :1] + J[:, 1, :] * a[:, 1:2]
 
 
-def _normal_blocks(r, Jc, Jp, w, obs_cam, obs_pt, C, P):
+def _normal_blocks(r, Jc, Jp, w, obs_cam, obs_pt, C, P, axis=None):
     """U, b_c, V, b_p via segment-sum (the only scatters per iteration)."""
     JcW = Jc * w[:, None, None]
     JpW = Jp * w[:, None, None]
@@ -81,33 +97,43 @@ def _normal_blocks(r, Jc, Jp, w, obs_cam, obs_pt, C, P):
           + JpW[:, 1, :, None] * Jp[:, 1, None, :])
     V = jax.ops.segment_sum(Vo, obs_pt, num_segments=P)
     b_p = jax.ops.segment_sum(_jt_dot(JpW, r), obs_pt, num_segments=P)
-    return U, b_c, V, b_p
+    return (_psum(U, axis), _psum(b_c, axis),
+            _psum(V, axis), _psum(b_p, axis))
 
 
-def _schur_matvec(x, Ud, Vinv, Jc, Jp, w, obs_cam, obs_pt, free):
-    """S x for x [C,6]; fixed cameras act as identity rows."""
+def _schur_matvec(x, Ud, Vinv, Jc, Jp, w, obs_cam, obs_pt, free,
+                  axis=None):
+    """S x for x [C,6]; fixed cameras act as identity rows. Under an obs
+    shard the per-point partials psum before V^{-1} and the per-camera
+    output psums after — two small collectives per matvec."""
     C = Ud.shape[0]
     xf = x * free[:, None]
     a = _jc_dot(Jc, xf[obs_cam]) * w[:, None]              # [O,2]
-    tp = jax.ops.segment_sum(_jt_dot(Jp, a), obs_pt,
-                             num_segments=Vinv.shape[0])   # [P,3]
+    tp = _psum(jax.ops.segment_sum(_jt_dot(Jp, a), obs_pt,
+                                   num_segments=Vinv.shape[0]), axis)
     y = jnp.einsum("pij,pj->pi", Vinv, tp)
     b = _jc_dot(Jp, y[obs_pt]) * w[:, None]                # [O,2] (Jp y)
-    out = jax.ops.segment_sum(_jt_dot(Jc, b), obs_cam, num_segments=C)
+    out = _psum(jax.ops.segment_sum(_jt_dot(Jc, b), obs_cam,
+                                    num_segments=C), axis)
     Sx = jnp.einsum("cij,cj->ci", Ud, xf) - out
     return Sx * free[:, None] + x * (1.0 - free[:, None])
 
 
-def _block_jacobi(Ud, Vinv, Jc, Jp, w, obs_cam, obs_pt, free):
-    """Exact diag blocks of S -> inverted 6x6 preconditioner [C,6,6]."""
+def _block_jacobi(Ud, Vinv, Jc, Jp, w, obs_cam, obs_pt, free, axis=None):
+    """Exact diag blocks of S -> inverted 6x6 preconditioner [C,6,6].
+
+    Exact only single-device: under an obs shard a (cam, pt) pair whose
+    observations land on different shards contributes cross terms the
+    per-shard sum misses — but pairs are unique (one obs per cam-pt), so
+    the psum of per-obs terms IS still the exact diagonal."""
     C = Ud.shape[0]
     # K_o = Jc^T w Jp  [O,6,3]
     JcW = Jc * w[:, None, None]
     K = (JcW[:, 0, :, None] * Jp[:, 0, None, :]
          + JcW[:, 1, :, None] * Jp[:, 1, None, :])
     KV = jnp.einsum("oix,oxy->oiy", K, Vinv[obs_pt])
-    D = jax.ops.segment_sum(jnp.einsum("oix,ojx->oij", KV, K),
-                            obs_cam, num_segments=C)
+    D = _psum(jax.ops.segment_sum(jnp.einsum("oix,ojx->oij", KV, K),
+                                  obs_cam, num_segments=C), axis)
     M = Ud - D
     M = (M * free[:, None, None]
          + jnp.eye(6) * (1.0 - free)[:, None, None])
@@ -149,12 +175,14 @@ def _pcg(rhs, Minv, matvec, iters):
     return x
 
 
-@partial(jax.jit, static_argnames=("cam", "iters", "cg_iters"))
-def ba_solve_pcg(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
-                 delta2: float = reproj.CHI2_MONO, lm_lambda0: float = 1e-4,
-                 cg_iters: int = 100) -> BAResult:
-    """LM bundle adjustment with an inner Schur-PCG; API-compatible with
-    ba.ba_solve. Intended for C beyond the dense solver's reach."""
+def _solve_impl(prob: BAProblem, cam: cameras.CameraParams, iters: int,
+                delta2: float, lm_lambda0: float, cg_iters: int,
+                axis=None) -> BAResult:
+    """Shared body of the single-device and obs-sharded solvers. With
+    `axis` set, obs_* fields hold this shard's observations while poses,
+    points and masks are replicated; all reductions psum over the axis, so
+    every device walks identical LM/CG trajectories (costs, predicates and
+    updates are replicated values)."""
     C = prob.kf_R.shape[0]
     P = prob.points.shape[0]
     free = (~prob.fixed_cam).astype(jnp.float32)
@@ -167,32 +195,35 @@ def ba_solve_pcg(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
         w = prb.obs_w * reproj.huber_weight(chi2, delta2) * ok
 
         U, b_c, V, b_p = _normal_blocks(r, Jc, Jp, w, prb.obs_cam,
-                                        prb.obs_pt, C, P)
+                                        prb.obs_pt, C, P, axis)
         Ud, Vd = _damped_blocks(U, V, lam)
         Vinv = jnp.where(prb.point_valid[:, None, None], _inv3x3(Vd), 0.0)
 
         # rhs = b_c - W Vinv b_p, matrix-free
         y = jnp.einsum("pij,pj->pi", Vinv, b_p)
         b = _jc_dot(Jp, y[prb.obs_pt]) * w[:, None]
-        rhs = (b_c - jax.ops.segment_sum(_jt_dot(Jc, b), prb.obs_cam,
-                                         num_segments=C)) * free[:, None]
+        rhs = (b_c - _psum(jax.ops.segment_sum(
+            _jt_dot(Jc, b), prb.obs_cam, num_segments=C), axis)
+        ) * free[:, None]
 
         matvec = partial(_schur_matvec, Ud=Ud, Vinv=Vinv, Jc=Jc, Jp=Jp, w=w,
-                         obs_cam=prb.obs_cam, obs_pt=prb.obs_pt, free=free)
+                         obs_cam=prb.obs_cam, obs_pt=prb.obs_pt, free=free,
+                         axis=axis)
         Minv = _block_jacobi(Ud, Vinv, Jc, Jp, w, prb.obs_cam, prb.obs_pt,
-                             free)
+                             free, axis)
         dc = _pcg(rhs, Minv, matvec, cg_iters) * free[:, None]
 
         # landmark back-substitution: dp = Vinv (b_p - W^T dc)
         a = _jc_dot(Jc, dc[prb.obs_cam]) * w[:, None]
-        tp = jax.ops.segment_sum(_jt_dot(Jp, a), prb.obs_pt, num_segments=P)
+        tp = _psum(jax.ops.segment_sum(_jt_dot(Jp, a), prb.obs_pt,
+                                       num_segments=P), axis)
         dp = jnp.einsum("pij,pj->pi", Vinv, b_p - tp)
         dp = jnp.where(prb.point_valid[:, None], dp, 0.0)
 
         T_new = se3.exp(dc).compose(SE3(prb.kf_R, prb.kf_t))
         cand = prb._replace(kf_R=T_new.R, kf_t=T_new.t,
                             points=prb.points + dp)
-        new_cost = _robust_cost(cand, cam, delta2)
+        new_cost = _robust_cost(cand, cam, delta2, axis)
         accept = ((new_cost < cost) & jnp.isfinite(new_cost)
                   & jnp.isfinite(dc).all() & jnp.isfinite(dp).all())
         prb = jax.tree.map(
@@ -205,7 +236,7 @@ def ba_solve_pcg(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
         return (prb, lam, cost, k + 1, done)
 
     def run(prb, n):
-        cost0 = _robust_cost(prb, cam, delta2)
+        cost0 = _robust_cost(prb, cam, delta2, axis)
         state = (prb, jnp.asarray(lm_lambda0, jnp.float32), cost0,
                  jnp.int32(0), jnp.bool_(False))
         state = jax.lax.while_loop(lambda s: (s[3] < n) & ~s[4],
@@ -227,3 +258,12 @@ def ba_solve_pcg(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
     chi2 = jnp.sum(r * r, axis=-1) * prob2.obs_w
     inlier = prob.obs_valid & depth_ok & (chi2 <= delta2)
     return BAResult(prob2.kf_R, prob2.kf_t, prob2.points, inlier, cost)
+
+
+@partial(jax.jit, static_argnames=("cam", "iters", "cg_iters"))
+def ba_solve_pcg(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
+                 delta2: float = reproj.CHI2_MONO, lm_lambda0: float = 1e-4,
+                 cg_iters: int = 100) -> BAResult:
+    """LM bundle adjustment with an inner Schur-PCG; API-compatible with
+    ba.ba_solve. Intended for C beyond the dense solver's reach."""
+    return _solve_impl(prob, cam, iters, delta2, lm_lambda0, cg_iters)

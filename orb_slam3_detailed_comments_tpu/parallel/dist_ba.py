@@ -127,3 +127,37 @@ def make_frame_parallel_pose_opt(mesh: Mesh, cam: cameras.CameraParams,
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False)
     return jax.jit(sharded)
+
+
+def make_dist_gba_pcg(mesh: Mesh, cam: cameras.CameraParams,
+                      iters: int = 10, cg_iters: int = 100,
+                      delta2: float = reproj.CHI2_MONO,
+                      lm_lambda0: float = 1e-4):
+    """Distributed Atlas-scale global BA: the matrix-free Schur-PCG solver
+    (optim/schur_pcg.py) with observations sharded over the mesh.
+
+    Unlike make_dist_ba_step this never materializes the [P, C, 6, 3]
+    coupling, so it scales to full-Atlas problems; per CG matvec the
+    collectives are one [P,3] and one [C,6] psum over ICI — tiny next to
+    the O(O) per-obs work each device keeps local. The whole LM loop
+    (damping, accept/reject, outlier phases) runs inside one program;
+    every device computes identical replicated updates.
+
+    Returns fn(prob: BAProblem) -> BAResult with prob.obs_* length a
+    multiple of mesh devices (pad with obs_valid=False).
+    """
+    from ..optim import schur_pcg
+
+    def body(prob):
+        return schur_pcg._solve_impl(prob, cam, iters, delta2, lm_lambda0,
+                                     cg_iters, axis=OBS_AXIS)
+
+    in_specs = ba_mod.BAProblem(
+        kf_R=P(), kf_t=P(), points=P(),
+        obs_cam=P(OBS_AXIS), obs_pt=P(OBS_AXIS), obs_uv=P(OBS_AXIS),
+        obs_w=P(OBS_AXIS), obs_valid=P(OBS_AXIS),
+        fixed_cam=P(), point_valid=P())
+    out_specs = ba_mod.BAResult(
+        kf_R=P(), kf_t=P(), points=P(), obs_inlier=P(OBS_AXIS), cost=P())
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                                 out_specs=out_specs, check_vma=False))

@@ -308,18 +308,31 @@ class LoopCloser:
             from jax.sharding import Mesh
             from ..parallel import dist_ba
             mesh = Mesh(np.asarray(jax.devices()), (dist_ba.OBS_AXIS,))
-            step = dist_ba.make_dist_ba_step(mesh, self.cam)
-            while done < max(self.cfg.gba_iters - 1, 1) \
-                    and not self._gba_abort.is_set():
-                R, t, pts = step(prob.kf_R, prob.kf_t, prob.points,
-                                 prob.obs_cam, prob.obs_pt, prob.obs_uv,
-                                 prob.obs_w, prob.obs_valid,
-                                 prob.fixed_cam, prob.point_valid)
-                prob = prob._replace(kf_R=R, kf_t=t, points=pts)
-                done += 1
-            if not self._gba_abort.is_set():
-                # single-device polish pass also produces the inlier gate
-                res = ba.ba_solve(prob, self.cam, iters=1)
+            C = int(prob.kf_R.shape[0])
+            if C > ba._PCG_C_MIN:
+                # Atlas scale: matrix-free sharded Schur-PCG, chunked for
+                # the abort protocol like the single-device path
+                solve = dist_ba.make_dist_gba_pcg(
+                    mesh, self.cam, iters=self.cfg.gba_chunk)
+                while done < self.cfg.gba_iters \
+                        and not self._gba_abort.is_set():
+                    res = solve(prob)
+                    prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
+                                         points=res.points)
+                    done += self.cfg.gba_chunk
+            else:
+                step = dist_ba.make_dist_ba_step(mesh, self.cam)
+                while done < max(self.cfg.gba_iters - 1, 1) \
+                        and not self._gba_abort.is_set():
+                    R, t, pts = step(prob.kf_R, prob.kf_t, prob.points,
+                                     prob.obs_cam, prob.obs_pt, prob.obs_uv,
+                                     prob.obs_w, prob.obs_valid,
+                                     prob.fixed_cam, prob.point_valid)
+                    prob = prob._replace(kf_R=R, kf_t=t, points=pts)
+                    done += 1
+                if not self._gba_abort.is_set():
+                    # single-device polish pass also produces the inlier gate
+                    res = ba.ba_solve(prob, self.cam, iters=1)
         else:
             while done < self.cfg.gba_iters and not self._gba_abort.is_set():
                 res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk)

@@ -172,3 +172,38 @@ def test_batch_ingest_matches_online_tracking(rng):
         assert (x is None) == (y is None), i
         if x is not None:
             np.testing.assert_allclose(x, y, atol=1e-5), i
+
+
+def test_dist_gba_pcg_matches_single_device(rng):
+    """The obs-sharded matrix-free Schur-PCG GBA (dist_ba.make_dist_gba_pcg)
+    must reproduce the single-device solver: every reduction is psum'd, so
+    all devices walk identical LM/CG trajectories."""
+    from orb_slam3_detailed_comments_tpu.optim import ba, schur_pcg
+    prob_t = _ba_problem(rng, C=10, Pn=128, O=2048)
+    prob = ba.BAProblem(*[jnp.asarray(a) for a in prob_t])
+    res1 = schur_pcg.ba_solve_pcg(prob, CAM, iters=8)
+    mesh8 = _mesh()
+    solve8 = dist_ba.make_dist_gba_pcg(mesh8, CAM, iters=8)
+    res8 = solve8(prob)
+    # f32 reduction-order differences accumulate over ~20 CG iters x 8 LM
+    # steps; the solutions must agree to well under a millimeter
+    np.testing.assert_allclose(np.asarray(res8.kf_t), np.asarray(res1.kf_t),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res8.points),
+                               np.asarray(res1.points), atol=5e-4)
+    assert np.asarray(res8.obs_inlier).mean() > 0.9
+
+
+def test_dist_gba_pcg_converges(rng):
+    from orb_slam3_detailed_comments_tpu.optim import ba
+    prob_t = _ba_problem(rng, C=10, Pn=128, O=2048)
+    prob = ba.BAProblem(*[jnp.asarray(a) for a in prob_t])
+    mesh8 = _mesh()
+    solve8 = dist_ba.make_dist_gba_pcg(mesh8, CAM, iters=10)
+    res = solve8(prob)
+    oc, op, uv = prob_t[3], prob_t[4], prob_t[5]
+    pc = np.einsum("oij,oj->oi", np.asarray(res.kf_R)[oc],
+                   np.asarray(res.points)[op]) + np.asarray(res.kf_t)[oc]
+    pred = np.asarray(cameras.project(CAM, jnp.asarray(pc)))
+    rms = np.sqrt(np.mean(np.sum((pred - uv) ** 2, -1)))
+    assert rms < 1.0, rms  # sub-pixel residual on 0.3 px noise
