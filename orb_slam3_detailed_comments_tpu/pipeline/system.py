@@ -474,6 +474,11 @@ class System:
                     self.kfdb.add(new, act.kf_feat_desc[new],
                                   act.kf_feat_valid[new])
                 self.kfdbs.pop(mid, None)
+                # fuse duplicate landmarks across the weld seam — the same
+                # physical points exist in both maps around the merge
+                # keyframe (reference: MergeLocal's SearchAndFuse over the
+                # welded window, LoopClosing.cc:1590+ / 2689)
+                self.loop_closer._fuse_loop_points(k, slot_map[int(c)])
                 # weld-region refinement (reference: MergeLocal's local BA)
                 from .local_mapping import run_local_ba
                 window = [k] + list(slot_map.values())[:12]
