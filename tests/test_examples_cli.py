@@ -139,3 +139,77 @@ def test_rgbd_tum_cli(tmp_path):
     # depth makes it metric: Horn scale must be ~1 without correction
     assert abs(scale - 1.0) < 0.05, scale
     assert rmse < 0.05, f"rgbd CLI ATE {rmse:.3f} m"
+
+
+def test_stereo_kitti_cli(tmp_path):
+    """stereo_kitti wiring: KITTI odometry layout (image_0/image_1 +
+    times.txt), Camera.bf baseline, KITTI 3x4 trajectory format
+    (reference: Examples/Stereo/stereo_kitti.cc)."""
+    import cv2
+    planes, R, t = _render_seq()
+    n = len(R)
+    baseline = 0.12
+    d0 = tmp_path / "image_0"
+    d1 = tmp_path / "image_1"
+    d0.mkdir(); d1.mkdir()
+    for i in range(n):
+        l, r = synth_render.render_stereo_pair(CAM, planes, R[i], t[i],
+                                               baseline)
+        cv2.imwrite(str(d0 / f"{i:06d}.png"),
+                    np.clip(np.asarray(l), 0, 255).astype(np.uint8))
+        cv2.imwrite(str(d1 / f"{i:06d}.png"),
+                    np.clip(np.asarray(r), 0, 255).astype(np.uint8))
+    np.savetxt(tmp_path / "times.txt", np.arange(n) * 0.05)
+    y = tmp_path / "s.yaml"
+    y.write_text(YAML.format(extra=f"Camera.bf: {458.0 * baseline}\n"))
+    out = tmp_path / "traj_kitti.txt"
+    _run_cli("examples/stereo_kitti.py", [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.6 * n and rows.shape[1] == 12
+    # stereo is metric: the recovered inter-frame step must match ground
+    # truth without scale correction
+    gt = synth_render.camera_centers(R, t)
+    est = rows[:, [3, 7, 11]]
+    step_gt = np.linalg.norm(np.diff(gt[: len(est)], axis=0), axis=1).mean()
+    step_est = np.linalg.norm(np.diff(est, axis=0), axis=1).mean()
+    assert abs(step_est - step_gt) < 0.3 * step_gt, (step_est, step_gt)
+
+
+def test_mono_inertial_euroc_cli(tmp_path):
+    """mono_inertial_euroc wiring: EuRoC mav0 layout with imu0/data.csv,
+    per-frame IMU windows, IMU.* yaml keys
+    (reference: Examples/Monocular-Inertial/mono_inertial_euroc.cc)."""
+    import cv2
+    rng = np.random.default_rng(11)
+    planes = synth_render.default_world(rng)
+    n = 20
+    tr = synth_render.inertial_trajectory(n)
+    d = tmp_path / "mav0" / "cam0" / "data"
+    d.mkdir(parents=True)
+    for i in range(n):
+        img = np.asarray(synth_render.render_frame(
+            CAM, planes, tr["R_cw"][i], tr["t_cw"][i]))
+        cv2.imwrite(str(d / f"{int(1e9 * (1 + tr['ts'][i]))}.png"),
+                    np.clip(img, 0, 255).astype(np.uint8))
+    imu_dir = tmp_path / "mav0" / "imu0"
+    imu_dir.mkdir(parents=True)
+    with open(imu_dir / "data.csv", "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for w in tr["windows"]:
+            if w is None:
+                continue
+            acc, gyro, tm = np.asarray(w[0]), np.asarray(w[1]), np.asarray(w[2])
+            for j in range(len(tm)):
+                f.write(f"{int(1e9 * (1 + tm[j]))},"
+                        f"{gyro[j, 0]},{gyro[j, 1]},{gyro[j, 2]},"
+                        f"{acc[j, 0]},{acc[j, 1]},{acc[j, 2]}\n")
+    imu_yaml = ("IMU.NoiseGyro: 1.7e-4\nIMU.NoiseAcc: 2.0e-3\n"
+                "IMU.GyroWalk: 1.9e-5\nIMU.AccWalk: 3.0e-3\n"
+                "IMU.Frequency: 200\n")
+    y = tmp_path / "s.yaml"
+    y.write_text(YAML.format(extra=imu_yaml))
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/mono_inertial_euroc.py",
+             [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.5 * n and rows.shape[1] == 8
