@@ -49,6 +49,8 @@ class Atlas:
         for i, m in enumerate(self.maps):
             if i != self.active_id and 0 < m.n_kf < min_kf:
                 self.maps[i] = MapStore(self.map_cfg)  # clear
+                # keep max(big_change_idx) monotone for System.map_changed
+                self.maps[i].big_change_idx = m.big_change_idx
 
     def resolve_kf_pose(self, map_id: int, slot: int, epoch: int):
         """Trajectory replay across merges: follow atlas redirects, then the
@@ -152,7 +154,9 @@ class Atlas:
             if p >= 0 and p in slot_map:
                 act.kf_prev[k_new] = slot_map[p]
 
-        # retire the other map
+        # retire the other map; fold its big-change history into the
+        # active map so System.map_changed's max never regresses
+        act.big_change_idx += self.maps[other_id].big_change_idx
         self.maps[other_id] = MapStore(self.map_cfg)
         self.n_merges += 1
         act.version += 1

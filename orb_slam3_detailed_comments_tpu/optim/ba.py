@@ -89,14 +89,22 @@ def _robust_cost(prob, cam, delta2):
     return jnp.sum(jnp.where(ok, rho, 0.0))
 
 
-def _schur_lm_solve(U, b_c, V, b_p, Wd, lam, fixed_cam, point_valid):
-    """Damped Schur reduction + dense Cholesky + landmark back-substitution.
-    Shared by the COO and table assembly paths."""
-    C = U.shape[0]
+def _damped_blocks(U, V, lam):
+    """Trace-scaled LM damping of the camera/point diagonal blocks (shared
+    with the Schur-PCG solver — the two must stay numerically identical
+    for the solver routing at _PCG_C_MIN to be behavior-neutral)."""
     Ud = U + lam * jnp.eye(6) * jnp.maximum(
         jnp.einsum("cii->c", U), 1e-3)[:, None, None] / 6.0
     Vd = V + lam * jnp.eye(3) * jnp.maximum(
         jnp.einsum("pii->p", V), 1e-3)[:, None, None] / 3.0
+    return Ud, Vd
+
+
+def _schur_lm_solve(U, b_c, V, b_p, Wd, lam, fixed_cam, point_valid):
+    """Damped Schur reduction + dense Cholesky + landmark back-substitution.
+    Shared by the COO and table assembly paths."""
+    C = U.shape[0]
+    Ud, Vd = _damped_blocks(U, V, lam)
     Vinv = _inv3x3(Vd)
     Vinv = jnp.where(point_valid[:, None, None], Vinv, 0.0)
 

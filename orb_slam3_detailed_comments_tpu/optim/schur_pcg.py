@@ -43,6 +43,8 @@ from ..lie import SE3, se3
 from ..models import cameras
 from . import reproj
 from .ba import BAProblem, BAResult, _inv3x3, _residuals
+from .ba import _robust_cost as _ba_robust_cost
+from .ba import _damped_blocks
 
 # CG stops at ||r|| <= _CG_RTOL * ||rhs|| (inexact-Newton forcing term) or
 # after cg_iters; both loose — LM damping absorbs an imperfect step.
@@ -58,20 +60,9 @@ def _psum(x, axis):
 
 
 def _robust_cost(prob, cam, delta2, axis=None):
-    r, _, _, depth_ok = _residuals(prob, cam)
-    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_w
-    ok = prob.obs_valid & depth_ok
-    rho = jnp.where(chi2 <= delta2, chi2,
-                    2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2)
-    return _psum(jnp.sum(jnp.where(ok, rho, 0.0)), axis)
-
-
-def _damped_blocks(U, V, lam):
-    Ud = U + lam * jnp.eye(6) * jnp.maximum(
-        jnp.einsum("cii->c", U), 1e-3)[:, None, None] / 6.0
-    Vd = V + lam * jnp.eye(3) * jnp.maximum(
-        jnp.einsum("pii->p", V), 1e-3)[:, None, None] / 3.0
-    return Ud, Vd
+    """ba._robust_cost reduced over the obs-shard axis (identical formula
+    by construction — one definition, one psum)."""
+    return _psum(_ba_robust_cost(prob, cam, delta2), axis)
 
 
 def _jc_dot(Jc, x):
@@ -256,7 +247,10 @@ def _solve_impl(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     prob2 = prob2._replace(kf_R=Tn.R)
     r, _, _, depth_ok = _residuals(prob2, cam)
     chi2 = jnp.sum(r * r, axis=-1) * prob2.obs_w
-    inlier = prob.obs_valid & depth_ok & (chi2 <= delta2)
+    # prob2.obs_valid carries the mid-solve 2*delta2 gate — matching the
+    # COO ba_solve path so the two solvers stay interchangeable at the
+    # 128-camera routing boundary
+    inlier = prob2.obs_valid & depth_ok & (chi2 <= delta2)
     return BAResult(prob2.kf_R, prob2.kf_t, prob2.points, inlier, cost)
 
 

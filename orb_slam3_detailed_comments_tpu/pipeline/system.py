@@ -415,8 +415,14 @@ class System:
             new_map = self.atlas.create_new_map()
         else:
             mid = self.atlas.active_id
+            old = self.atlas.maps[mid]
             self.atlas.maps[mid] = MapStore(self.atlas.map_cfg)
             self.atlas.maps[mid].map_id = mid
+            self.atlas.maps[mid].big_change_idx = old.big_change_idx
+            # purge the dead map's rows from the frame-pose log: the fresh
+            # store reuses (slot, epoch=0) keys (Tracking::ResetActiveMap)
+            self.tracker.trajectory = [
+                r for r in self.tracker.trajectory if r[1] != mid]
             new_map = self.atlas.maps[mid]
         if self.loop_closer is not None:
             self.loop_closer.abort_gba()   # stale map: discard a racing GBA
@@ -723,6 +729,11 @@ class System:
                 self.loop_closer.abort_gba()
             self.atlas = Atlas(self.atlas.map_cfg)
             self.map = self.atlas.active
+            # the reference clears the frame-pose log in Tracking::Reset;
+            # stale rows would resolve against the fresh map's reused
+            # (slot, epoch=0) keyframes and emit garbage poses
+            self.tracker.trajectory.clear()
+            self._last_big_change = 0
             self.tracker.reset_for_new_map(self.map)
             self.local_mapper.map = self.map
             self.local_mapper.recent_points.clear()
@@ -743,9 +754,18 @@ class System:
             if self.loop_closer is not None:
                 self.loop_closer.abort_gba()
             mid = self.atlas.active_id
+            old = self.atlas.maps[mid]
             self.atlas.maps[mid] = MapStore(self.atlas.map_cfg)
             self.atlas.maps[mid].map_id = mid
+            # keep the change counter monotone across the store swap so
+            # System.map_changed never regresses below what it reported
+            self.atlas.maps[mid].big_change_idx = old.big_change_idx
             self.map = self.atlas.maps[mid]
+            # purge this map's rows from the frame-pose log (fresh store
+            # reuses (slot, epoch=0) keys; reference Tracking::ResetActiveMap
+            # erases the lost map's frames)
+            self.tracker.trajectory = [
+                r for r in self.tracker.trajectory if r[1] != mid]
             self.tracker.reset_for_new_map(self.map)
             self.local_mapper.map = self.map
             self.local_mapper.recent_points.clear()

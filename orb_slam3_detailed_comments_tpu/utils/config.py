@@ -48,6 +48,7 @@ class Settings:
     # different working resolution than the sensor's (reference:
     # Settings.cc:436 + the cv::resize in System::Track*, System.cc:285-300)
     resize_to: Optional[tuple] = None
+    orig_width: Optional[int] = None     # sensor width before the resize
     # system
     load_atlas: Optional[str] = None
     save_atlas: Optional[str] = None

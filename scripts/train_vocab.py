@@ -11,10 +11,12 @@ FORB meanValue/Hamming scheme DBoW2 uses).
 
     python scripts/train_vocab.py [levels=4] [n_worlds=60] [out.npz]
 
-The bundled default_vocab.npz is a 100k-word L=5 tree trained with
-`VOCAB_PHASE=extract python scripts/train_vocab.py 5 150 /tmp/v.npz` then
+The bundled default_vocab.npz is a 1M-word k=10 L=6 tree (ORBvoc's
+structure) trained on 4.1M descriptors from 400 worlds with
+`VOCAB_PHASE=extract python scripts/train_vocab.py 6 400 /tmp/v.npz` then
 `VOCAB_PHASE=train ...` (two phases so the CPU k-medians doesn't hold the
-TPU); quality-check candidates with scripts/eval_vocab.py.
+TPU); quality-check candidates with scripts/eval_vocab.py (held-out:
+top1=0.98, same/other margin 5.37x).
 """
 import os
 import sys

@@ -180,11 +180,18 @@ def test_system_facade_api(sequence):
     assert slam.map_changed()
     assert not slam.map_changed()          # latched until the next bump
 
+    n_rows_before = len(slam.trajectory_tum())
+    assert n_rows_before > 0
     slam.reset_active_map()
     assert slam.n_keyframes == 0
+    # pre-reset rows must be purged, not resolved against the fresh map's
+    # reused (slot, epoch=0) keyframes (reference: Tracking::ResetActiveMap)
+    assert len(slam.trajectory_tum()) == 0
     for i, img in enumerate(frames[:20]):  # re-initializes cleanly
         slam.track_monocular(img, 1.0 + i * 0.05)
     assert slam.n_keyframes > 0
+    rows = slam.trajectory_tum()
+    assert rows and all(r[0] >= 1.0 for r in rows)  # post-reset frames only
 
     slam.reset()
     assert len(slam.atlas.maps) == 1 and slam.n_keyframes == 0
