@@ -77,6 +77,7 @@ class LoopCloser:
         self._gba_abort = threading.Event()
         self.n_gba_runs = 0
         self.n_gba_aborted = 0
+        self.n_loops_rejected_gravity = 0
 
     # ------------------------------------------------------------------
     def process_keyframe(self, k: int) -> bool:
@@ -97,12 +98,12 @@ class LoopCloser:
             self.consistency_count += 1
             if self.consistency_count >= self.cfg.consistency_needed:
                 with timing.span("loop correction"):
-                    self._correct_loop(k, match_kf, S_kc)
+                    closed = self._correct_loop(k, match_kf, S_kc)
                 self.consistency_count = 0
-                self.n_loops_closed += 1
-                self.cooldown_until = (self.n_processed
-                                       + self.cfg.closure_cooldown_kfs)
-                closed = True
+                if closed:
+                    self.n_loops_closed += 1
+                    self.cooldown_until = (self.n_processed
+                                           + self.cfg.closure_cooldown_kfs)
         else:
             self.consistency_count = 0
         self.kfdb.add(k, self.map.kf_feat_desc[k], self.map.kf_feat_valid[k])
@@ -128,14 +129,39 @@ class LoopCloser:
         return verify_sim3_pair(self.map, k, self.map, c, self.cam, self.cfg)
 
     # ------------------------------------------------------------------
-    def _correct_loop(self, k: int, match_kf: int, S_kc: Sim3):
-        """(reference: LoopClosing::CorrectLoop, LoopClosing.cc:1273)"""
+    def _correct_loop(self, k: int, match_kf: int, S_kc: Sim3) -> bool:
+        """(reference: LoopClosing::CorrectLoop, LoopClosing.cc:1273).
+        Returns False when the inertial gravity-direction gate rejects
+        the correction (BAD LOOP, LoopClosing.cc:282-305)."""
         m = self.map
         # corrected similarity of k: S_kw_corr = S_kc ∘ S_cw  (treat the
         # matched side as drift-free)
         S_cw = Sim3(jnp.asarray(m.kf_R[match_kf]), jnp.asarray(m.kf_t[match_kf]),
                     jnp.asarray(1.0))
         S_kw_corr = S_kc.compose(S_cw)
+
+        if m.imu_initialized:
+            # gravity-direction sanity check: the implied world-frame
+            # correction Sww = Twc_old ∘ Scw_corr must be near-planar — the
+            # aligned world has gravity on z, so roll/pitch of a true loop
+            # correction are drift-free. Reject at 0.008 rad roll/pitch or
+            # 0.349 rad (20 deg) yaw; after the second inertial BA force
+            # the correction to yaw-only at unit scale
+            # (reference: LoopClosing.cc:270-305).
+            from ..lie import so3
+            T_wc_old = Sim3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]),
+                            jnp.asarray(1.0)).inverse()
+            S_ww = T_wc_old.compose(S_kw_corr)
+            phi = np.asarray(so3.log(jnp.asarray(S_ww.R)))
+            if not (abs(phi[0]) < 0.008 and abs(phi[1]) < 0.008
+                    and abs(phi[2]) < 0.349):
+                self.n_loops_rejected_gravity += 1
+                return False
+            if m.imu_ba2:
+                phi[0] = phi[1] = 0.0
+                S_ww = Sim3(jnp.asarray(so3.exp(jnp.asarray(phi, jnp.float32))),
+                            S_ww.t, jnp.asarray(1.0))
+                S_kw_corr = T_wc_old.inverse().compose(S_ww)
 
         kf_ids = m.kf_ids()
         K = len(kf_ids)
@@ -270,6 +296,7 @@ class LoopCloser:
                 run_local_ba(m, window, fixed=anchor, cam=self.cam,
                              iters=self.cfg.gba_iters,
                              max_points=m.cfg.max_pt // 2, max_obs=32768)
+        return True
 
     # -------------------------------------------------------------- GBA
     def _launch_global_ba(self, window, anchor):

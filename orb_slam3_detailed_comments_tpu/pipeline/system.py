@@ -470,6 +470,18 @@ class System:
                 T_c = Sim3(jnp.asarray(other.kf_R[int(c)]),
                            jnp.asarray(other.kf_t[int(c)]), jnp.asarray(1.0))
                 S_ao = T_k.inverse().compose(S_kc).compose(T_c)
+                # inertial weld: both worlds are gravity-aligned (z up), so
+                # roll/pitch of the true weld are zero — force yaw-only at
+                # unit scale after the first inertial BA (reference:
+                # LoopClosing.cc:182-189 mSold_new yaw projection)
+                if (self.inertial and act.imu_initialized
+                        and other.imu_initialized and act.imu_ba1):
+                    from ..lie import so3
+                    phi = np.asarray(so3.log(S_ao.R))
+                    phi[0] = phi[1] = 0.0
+                    S_ao = Sim3(jnp.asarray(
+                        so3.exp(jnp.asarray(phi, jnp.float32))),
+                        S_ao.t, jnp.asarray(1.0))
                 # the reference stops a running GBA before welding
                 # (MergeLocal sets mbStopGBA); the merge rewrites the
                 # snapshot the solve was taken from

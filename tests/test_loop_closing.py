@@ -243,3 +243,43 @@ def test_async_loop_closure_with_racing_gba(loop_sequence):
     # relative to tracking is scheduler-dependent (a late-landing or
     # superseded GBA leaves pose-graph-only correction on some frames)
     assert rmse < 0.30, f"ATE {rmse:.3f} m over {n} poses (scale {scale:.3f})"
+
+
+class TestInertialLoopGate:
+    """The gravity-direction sanity gate on inertial loop corrections
+    (reference: LoopClosing.cc:270-305): reject roll/pitch > 0.008 rad or
+    yaw > 0.349 rad; after VIBA2 force the correction to yaw-only."""
+
+    def _setup(self, rng, rolled: bool):
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.lie import Sim3, so3
+        from orb_slam3_detailed_comments_tpu.pipeline.loop_closing import (
+            LoopCloser, LoopClosingConfig)
+        from tests import synthetic
+        helper = TestAsyncGlobalBA()
+        m, sc = helper._scene_map(rng, n_cams=6)
+        m.imu_initialized = True
+        lc = LoopCloser(m, synthetic.CAM, None,
+                        LoopClosingConfig(run_global_ba=False))
+        k, c = 5, 0
+        # desired world correction: pure yaw (good) or rolled (bad)
+        phi = np.array([0.25 if rolled else 0.0, 0.0, 0.1], np.float32)
+        R_ww = so3.exp(jnp.asarray(phi))
+        S_ww = Sim3(R_ww, jnp.asarray([0.02, 0.0, 0.01]), jnp.asarray(1.0))
+        T_wc_old = Sim3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]),
+                        jnp.asarray(1.0)).inverse()
+        S_kw_corr = T_wc_old.inverse().compose(S_ww)
+        S_cw_inv = Sim3(jnp.asarray(m.kf_R[c]), jnp.asarray(m.kf_t[c]),
+                        jnp.asarray(1.0)).inverse()
+        S_kc = S_kw_corr.compose(S_cw_inv)
+        return m, lc, k, c, S_kc
+
+    def test_rolled_correction_rejected(self, rng):
+        m, lc, k, c, S_kc = self._setup(rng, rolled=True)
+        assert lc._correct_loop(k, c, S_kc) is False
+        assert lc.n_loops_rejected_gravity == 1
+
+    def test_yaw_correction_accepted(self, rng):
+        m, lc, k, c, S_kc = self._setup(rng, rolled=False)
+        assert lc._correct_loop(k, c, S_kc) is True
+        assert lc.n_loops_rejected_gravity == 0
