@@ -176,7 +176,8 @@ class System:
         # Hamming kernel and MXU tiling want lane-aligned capacities
         n_feat = int(int(np.ceil(s.n_features / 128.0)) * 128)
         tcfg = TrackingConfig(n_features=n_feat,
-                              max_frames=max(1, int(round(s.fps))))
+                              max_frames=max(1, int(round(s.fps))),
+                              insert_kfs_when_lost=s.insert_kfs_when_lost)
         if sensor not in (MONOCULAR, IMU_MONOCULAR):
             tcfg.ref_ratio = 0.75   # thRefRatio (Tracking.cc:3737)
         orb = OrbConfig(n_features=n_feat, n_levels=s.n_levels,

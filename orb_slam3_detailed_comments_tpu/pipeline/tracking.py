@@ -47,6 +47,9 @@ class TrackingConfig:
     recently_lost_frames: int = 100  # ~5 s at 20 fps (reference 5 s budget)
     periodic_kf: bool = True      # insert a KF every max_frames regardless
                                   # of c2 (see _need_new_keyframe)
+    insert_kfs_when_lost: bool = True  # IMU mode: keep the KF cadence while
+                                  # RECENTLY_LOST (reference IMU.
+                                  # InsertKFsWhenLost, Tracking.cc:2569)
 
 
 @dataclass
@@ -339,6 +342,14 @@ class Tracker:
             self.cur_prep = prep
             self.cur_match = np.full(prep.feat.valid.shape[0], -1, np.int32)
             self.imu.v_w = np.asarray(v_pred, np.float32)
+            # keep inserting keyframes on the IMU cadence while visually
+            # lost so the preintegration chain stays dense through the
+            # blackout (reference: InsertKFsWhenLost — CreateNewKeyFrame
+            # when bNeedKF && RECENTLY_LOST && IMU sensor, Tracking.cc:2569)
+            if (self.cfg.insert_kfs_when_lost and not self.localization_only
+                    and ts - self.last_kf_ts >= self.min_kf_dt):
+                self.cur_ts = ts
+                self._create_new_keyframe(ts, fid)
             self.last = FrameRecord(prep, T_pred, self.cur_match, ts, fid)
             return self._log_and_return(ts)
         return None

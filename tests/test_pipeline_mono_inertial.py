@@ -204,19 +204,29 @@ def test_imu_dead_reckoning_through_texture_loss(sequence):
     RECENTLY_LOST rescue, Tracking.cc:2203-2240)."""
     frames, traj = sequence
     slam = System(CAM, IMU_MONOCULAR, enable_loop_closing=False)
-    n_blank = 4
+    n_blank = 6
     blank_at = 42
     blank = np.zeros_like(frames[0])
     dead_poses, after = [], []
+    kf_before_gap = None
     for i, img in enumerate(frames):
         feed = blank if blank_at <= i < blank_at + n_blank else img
+        if i == blank_at:
+            kf_before_gap = slam.n_keyframes
         T = slam.track_monocular(feed, float(traj["ts"][i]),
                                  imu=traj["windows"][i])
+        if i == blank_at + n_blank - 1:
+            kf_after_gap = slam.n_keyframes
         if blank_at <= i < blank_at + n_blank:
             dead_poses.append(T)
         elif i >= blank_at + n_blank:
             after.append(T)
     assert slam.map.imu_initialized, "IMU never initialized"
+    # the KF cadence continues through the blackout, keeping the
+    # preintegration chain dense (reference: IMU.InsertKFsWhenLost,
+    # Tracking.cc:2569)
+    assert kf_after_gap > kf_before_gap, \
+        f"no keyframes inserted while lost ({kf_before_gap}->{kf_after_gap})"
     # every blank frame still produced a pose, via dead-reckoning
     assert all(p is not None for p in dead_poses), \
         f"dead-reckoning dropped {sum(p is None for p in dead_poses)}/{n_blank}"
