@@ -270,6 +270,7 @@ class Tracker:
 
         # --- normal tracking ---
         from ..utils import timing
+        self._update_last_frame_pose()
         ok = False
         use_imu_pred = (self.imu is not None and self.map.imu_initialized
                         and self.imu.pre_last_frame is not None
@@ -377,6 +378,28 @@ class Tracker:
         M[:3, :3] = R_cw
         M[:3, 3] = t_cw
         return M
+
+    # ------------------------------------------------------------------
+    def _update_last_frame_pose(self):
+        """Re-anchor the last frame's pose on its reference keyframe's
+        CURRENT map pose (reference: Tracking::UpdateLastFrame,
+        Tracking.cc:3247: Tlw = Tlr * Trw). Local BA, loop correction, GBA
+        and merges all move keyframes between frames; the motion-model /
+        IMU prediction must start from a map-consistent pose or tracking
+        falls off the corrected map. The last trajectory row holds exactly
+        T_lr at frame time (rescaled by on_map_transformed when the world
+        rescales), so this is pure host math."""
+        if self.last is None or not self.trajectory:
+            return
+        ts_, mid, rk, ep, R_cr, t_cr, _ = self.trajectory[-1]
+        if (mid != self.map.map_id or abs(ts_ - self.last.ts) > 1e-9
+                or rk < 0 or not self.map.kf_valid[rk]
+                or int(self.map.kf_epoch[rk]) != ep):
+            return
+        Rr, tr = self.map.kf_R[rk], self.map.kf_t[rk]
+        R_lw = (R_cr @ Rr).astype(np.float32)
+        t_lw = (R_cr @ tr + t_cr).astype(np.float32)
+        self.last = dataclasses.replace(self.last, T_cw=SE3(R_lw, t_lw))
 
     # ------------------------------------------------------------------
     def _monocular_initialization(self, prep, ts, fid):
