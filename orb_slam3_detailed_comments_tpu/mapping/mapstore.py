@@ -325,9 +325,29 @@ class MapStore:
             self.tombstones[(k, int(self.kf_epoch[k]))] = (
                 s, int(self.kf_epoch[s]), R_rel.copy(), t_rel.copy())
         self._merge_preintegration_chain(k)
+        owned = self.kf_feat_point[k]
+        owned = np.unique(owned[owned >= 0])
         self.kf_valid[k] = False
         self.kf_feat_point[k] = NO_POINT
         self.kf_feat_valid[k] = False
+        # points that referenced or were solely observed by k: re-anchor
+        # pt_ref_kf on a surviving observer; kill the now-unobserved
+        # (reference: KeyFrame::SetBadFlag erases its observations, and
+        # MapPoint::EraseObservation culls points that lose their backing)
+        refd = np.where(self.pt_valid & (self.pt_ref_kf == k))[0]
+        targets = np.union1d(owned[self.pt_valid[owned]], refd)
+        if len(targets):
+            ki, fi = np.nonzero((self.kf_feat_point >= 0)
+                                & self.kf_valid[:, None])
+            pids = self.kf_feat_point[ki, fi]
+            order = np.argsort(pids, kind="stable")
+            ps, ks = pids[order], ki[order]
+            idx = np.searchsorted(ps, targets)
+            safe = np.minimum(idx, max(len(ps) - 1, 0))
+            has = (len(ps) > 0) & (idx < len(ps)) & (ps[safe] == targets)
+            self.remove_points(targets[~has])
+            re = np.isin(targets, refd) & has
+            self.pt_ref_kf[targets[re]] = ks[safe[re]]
         self.version += 1
 
     def _merge_preintegration_chain(self, k: int):

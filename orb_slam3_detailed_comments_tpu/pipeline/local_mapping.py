@@ -9,6 +9,7 @@ fusing and BA are the jitted kernels.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -242,6 +243,62 @@ class LocalMapper:
             else:
                 m.kf_feat_point[k, f] = pid
 
+        # reverse direction: k's own points projected into the first-level
+        # neighbors (the reference fuses both ways, LocalMapping.cc:930-960)
+        self._fuse_into_neighbors(k, neighbors[:10])
+
+    def _fuse_into_neighbors(self, k: int, nb: list):
+        m = self.map
+        own_f = np.where(m.kf_feat_point[k] >= 0)[0]
+        if len(nb) == 0 or len(own_f) == 0:
+            return
+        pids_f = m.kf_feat_point[k][own_f]          # per-feature point id
+        P = m.cfg.n_feat
+        ids = np.full(P, -1, np.int64)
+        ids[: len(pids_f)] = pids_f
+        safe = np.where(ids >= 0, ids, 0)
+        B = 8 * int(np.ceil(len(nb) / 8))
+        nbp = np.asarray(list(nb) + [nb[0]] * (B - len(nb)))
+        f_valid_b = m.kf_feat_valid[nbp].copy()
+        f_valid_b[len(nb):] = False                 # padding matches nothing
+        radius_scale, _ = kernels.level_weights(m.cfg.n_levels, m.cfg.scale)
+        valid_b, fidx_b = jax.device_get(_fuse_reverse_batch(
+            jnp.asarray(m.kf_R[nbp]), jnp.asarray(m.kf_t[nbp]),
+            jnp.asarray(m.pt_xyz[safe]), jnp.asarray(m.pt_normal[safe]),
+            jnp.asarray(m.pt_min_dist[safe]), jnp.asarray(m.pt_max_dist[safe]),
+            jnp.asarray((ids >= 0) & m.pt_valid[safe]),
+            jnp.asarray(m.pt_desc[safe]),
+            jnp.asarray(m.kf_feat_xy[nbp]), jnp.asarray(m.kf_feat_level[nbp]),
+            jnp.asarray(m.kf_feat_desc[nbp]), jnp.asarray(f_valid_b),
+            jnp.asarray(radius_scale), self.cam,
+            float(m.cfg.scale), int(m.cfg.n_levels)))
+        obs = m.observation_counts()
+        for j, b in enumerate(nb):
+            row = m.kf_feat_point[b]
+            b_pts = set(int(x) for x in row[row >= 0])
+            for i in np.where(valid_b[j])[0]:
+                pid = m.resolve_pid(int(ids[i]))
+                if pid < 0:
+                    continue
+                f = int(fidx_b[j][i])
+                existing = int(m.kf_feat_point[b, f])
+                if existing >= 0:
+                    if existing == pid or not m.pt_valid[existing]:
+                        continue
+                    keep, kill = ((pid, existing)
+                                  if obs[pid] >= obs[existing]
+                                  else (existing, pid))
+                    if keep != kill:
+                        m.replace_point(kill, keep)
+                        obs = m.observation_counts()
+                        row = m.kf_feat_point[b]
+                        b_pts = set(int(x) for x in row[row >= 0])
+                elif pid not in b_pts:
+                    # a point may be observed at most once per keyframe —
+                    # skip if b already sees it through another feature
+                    m.kf_feat_point[b, f] = pid
+                    b_pts.add(pid)
+
     # ------------------------------------------------------------------
     def _keyframe_culling(self, k: int):
         """Cull covisible KFs where ~90% of points are seen by >=3 OTHER
@@ -425,9 +482,47 @@ def apply_ba_result(m: MapStore, meta: dict, res):
     bad = np.where(~inl)[0]
     inv_cam = {i: c for c, i in meta["cam_slot"].items()}
     inv_pt = {i: p for p, i in meta["pt_slot"].items()}
+    touched = set()
     for o in bad:
         c = inv_cam[int(oc_np[o])]
         pid = inv_pt[int(op_np[o])]
         feats = np.where(m.kf_feat_point[c] == pid)[0]
         m.kf_feat_point[c, feats] = NO_POINT
+        touched.add(pid)
+    # a point whose observations all got detached must die with them
+    # (reference: MapPoint::EraseObservation -> SetBadFlag when the
+    # observation count collapses, MapPoint.cc)
+    if touched:
+        tl = np.asarray(sorted(touched))
+        tl = tl[m.pt_valid[tl]]
+        if len(tl):
+            obs = m.observation_counts()
+            m.remove_points(tl[obs[tl] == 0])
     m.version += 1
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels"))
+def _fuse_reverse_batch(kf_R_b, kf_t_b, pts, normals, min_d, max_d, pvalid,
+                        pdesc, f_xy_b, f_level_b, f_desc_b, f_valid_b,
+                        radius_scale, cam, scale: float, n_levels: int):
+    """Project ONE keyframe's points into B neighbor keyframes and match —
+    the forward half of LocalMapping::SearchInNeighbors
+    (ORBmatcher::Fuse(pKFi, vpMapPointMatches), LocalMapping.cc:930-940),
+    vmapped over neighbors so the whole fuse is a single device program."""
+    from ..ops.extractor import FrameFeatures
+
+    def one(R, t, f_xy, f_level, f_desc, f_valid):
+        proj = kernels.project_points(SE3(R, t), pts, normals, min_d, max_d,
+                                      pvalid, cam, scale, n_levels)
+        feat = FrameFeatures(xy=f_xy, level=f_level,
+                             angle=jnp.zeros_like(f_xy[:, 0]),
+                             score=jnp.zeros_like(f_xy[:, 0]),
+                             desc=f_desc, valid=f_valid)
+        res = matching.search_by_projection(
+            proj.uv, proj.visible, pdesc, proj.level, feat,
+            3.0 * radius_scale[proj.level],
+            max_dist=matching.TH_LOW, ratio=1.0)
+        return res.valid, res.idx
+
+    return jax.vmap(one)(kf_R_b, kf_t_b, f_xy_b, f_level_b, f_desc_b,
+                         f_valid_b)
