@@ -499,15 +499,29 @@ def verify_sim3_pair(mk: MapStore, k: int, mc: MapStore, c: int,
         focal=float(cam.fx),
         min_inliers=cfg.min_sim3_inliers,
         fix_scale=cfg.fix_scale)
-    s3_ok, s3_R, s3_t, s3_s = jax.device_get((s3.ok, s3.R, s3.t, s3.s))
+    s3_ok = jax.device_get(s3.ok)
     if not bool(s3_ok):
+        return None
+    # GN refinement on bidirectional reprojection (the reference runs
+    # Optimizer::OptimizeSim3 on the RANSAC estimate and requires
+    # nSim3Inliers surviving matches, LoopClosing.cc:905-930)
+    ref = sim3_solver.refine_sim3_gn(
+        s3.R, s3.t, s3.s,
+        jnp.asarray(padarr(xk)), jnp.asarray(padarr(xc)),
+        jnp.asarray(padarr(mk.kf_feat_xyn[k][fk])),
+        jnp.asarray(padarr(mc.kf_feat_xyn[c][fc])),
+        jnp.asarray(vmask), focal=float(cam.fx),
+        fix_scale=cfg.fix_scale)
+    s3_R, s3_t, s3_s, n_ref = jax.device_get(
+        (ref.R, ref.t, ref.s, ref.n_inliers))
+    if int(n_ref) < cfg.min_sim3_inliers:
         return None
     # inertial maps are metric: a Sim3 whose scale strays from 1 is spurious
     # (reference: LoopClosing.cc:168 scale gate [0.90, 1.1])
     if (mk.imu_initialized and mc.imu_initialized
             and not (0.90 <= float(s3_s) <= 1.1)):
         return None
-    S_kc = Sim3(s3_R, s3_t, s3_s)   # maps c-frame points -> k-frame
+    S_kc = Sim3(jnp.asarray(s3_R), jnp.asarray(s3_t), jnp.asarray(s3_s))
     n_proj = count_projection_matches(mk, k, mc, c, S_kc, cam)
     if n_proj < cfg.min_proj_matches:
         return None

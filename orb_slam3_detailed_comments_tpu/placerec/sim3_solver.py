@@ -110,3 +110,60 @@ def solve_sim3_ransac(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
     inlf = jnp.where(use_polish, inl2, inl)
     n = jnp.sum(inlf)
     return Sim3Result(Rf, tf, sf, inlf, n, n >= min_inliers)
+
+
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def refine_sim3_gn(R0, t0, s0, x1, x2, xn1, xn2, valid,
+                   focal: float = 460.0, iters: int = 8,
+                   fix_scale: bool = False,
+                   th_px2: float = 10.0) -> Sim3Result:
+    """Gauss-Newton refinement of a Sim3 on bidirectional reprojection
+    error with Huber weighting — the reference's Optimizer::OptimizeSim3
+    (src/Optimizer.cc:4195: g2o VertexSim3Expmap + EdgeSim3ProjectXYZ /
+    EdgeInverseSim3ProjectXYZ, 5 iterations, chi2 gate th2=10) as one
+    jitted GN loop relinearized each iteration. Inputs follow
+    solve_sim3_ransac's convention (x1 = s R x2 + t)."""
+
+    def residuals(p, R, t, s):
+        dR = so3.exp(p[:3])
+        Rp = dR @ R
+        tp = t + p[3:6]
+        sp = s * jnp.exp(jnp.where(fix_scale, 0.0, p[6]))
+        y1 = sp * jnp.einsum("ij,nj->ni", Rp, x2) + tp
+        p1 = y1[:, :2] / jnp.where(jnp.abs(y1[:, 2:3]) < 1e-9, 1e-9,
+                                   y1[:, 2:3])
+        y2 = jnp.einsum("ji,nj->ni", Rp, x1 - tp) / jnp.maximum(sp, 1e-9)
+        p2 = y2[:, :2] / jnp.where(jnp.abs(y2[:, 2:3]) < 1e-9, 1e-9,
+                                   y2[:, 2:3])
+        r = jnp.concatenate([(p1 - xn1) * focal, (p2 - xn2) * focal],
+                            axis=-1)                  # [N, 4]
+        front = (y1[:, 2] > 0) & (y2[:, 2] > 0)
+        return r, front
+
+    def gn_iter(_, state):
+        R, t, s = state
+        p0 = jnp.zeros(7)
+        r, front = residuals(p0, R, t, s)
+        chi2 = (jnp.sum(r[:, :2] ** 2, -1) + jnp.sum(r[:, 2:] ** 2, -1)) / 2
+        w = jnp.where(valid & front, 1.0, 0.0)
+        w = w * jnp.minimum(1.0, jnp.sqrt(th_px2 / jnp.maximum(chi2, 1e-9)))
+        J = jax.jacfwd(lambda p: residuals(p, R, t, s)[0])(p0)   # [N,4,7]
+        Jf = (J * w[:, None, None]).reshape(-1, 7)
+        rf = (r * w[:, None]).reshape(-1)
+        H = Jf.T @ Jf + 1e-6 * jnp.eye(7)
+        g = Jf.T @ rf
+        dp = -jnp.linalg.solve(H, g)
+        dp = jnp.where(jnp.isfinite(dp), dp, 0.0)
+        R = so3.exp(dp[:3]) @ R
+        t = t + dp[3:6]
+        s = s * jnp.exp(jnp.where(fix_scale, 0.0, dp[6]))
+        return (R, t, s)
+
+    R, t, s = jax.lax.fori_loop(0, iters, gn_iter, (R0, t0, s0))
+    # final chi2 inlier gate, same criterion as the RANSAC scorer
+    r, front = residuals(jnp.zeros(7), R, t, s)
+    e1 = jnp.sum(r[:, :2] ** 2, -1)
+    e2 = jnp.sum(r[:, 2:] ** 2, -1)
+    inl = (e1 < th_px2) & (e2 < th_px2) & valid & front
+    n = jnp.sum(inl)
+    return Sim3Result(R, t, s, inl, n, n >= 0)

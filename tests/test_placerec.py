@@ -152,3 +152,64 @@ class TestPnP:
         assert ang < 0.01, ang
         assert np.linalg.norm(np.asarray(res.t) - t) < 0.05
         assert int(res.n_inliers) > 0.8 * (N - n_bad)
+
+
+class TestRefineSim3GN:
+    """Optimizer::OptimizeSim3 equivalent: GN on bidirectional reprojection
+    must beat the Horn/RANSAC estimate under image noise."""
+
+    def _pairs(self, rng, N=128, px_noise=0.3, map_noise=0.03):
+        """Noisy 3D (map triangulation error) but near-exact image
+        observations — the regime where image-error GN beats 3D Horn."""
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.lie import so3
+        X2 = np.stack([rng.uniform(-1.5, 1.5, N), rng.uniform(-1, 1, N),
+                       rng.uniform(3, 7, N)], 1).astype(np.float32)
+        R = np.asarray(so3.exp(jnp.asarray([0.05, -0.2, 0.1], jnp.float32)))
+        t = np.array([0.4, -0.1, 0.3], np.float32)
+        s = 1.3
+        X1 = (s * X2 @ R.T + t).astype(np.float32)
+        f = 458.0
+        xn1 = X1[:, :2] / X1[:, 2:3] + rng.normal(0, px_noise / f, (N, 2))
+        xn2 = X2[:, :2] / X2[:, 2:3] + rng.normal(0, px_noise / f, (N, 2))
+        x1 = X1 + rng.normal(0, map_noise, (N, 3)).astype(np.float32)
+        x2 = X2 + rng.normal(0, map_noise, (N, 3)).astype(np.float32)
+        return (x1.astype(np.float32), x2.astype(np.float32),
+                xn1.astype(np.float32), xn2.astype(np.float32), R, t, s, f)
+
+    def test_refines_below_ransac_error(self, rng):
+        import jax, jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.placerec import sim3_solver
+        x1, x2, xn1, xn2, R_gt, t_gt, s_gt, f = self._pairs(rng)
+        valid = np.ones(len(x1), bool)
+        s3 = sim3_solver.solve_sim3_ransac(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
+            jnp.asarray(xn1), jnp.asarray(xn2), jax.random.PRNGKey(0),
+            focal=f)
+        ref = sim3_solver.refine_sim3_gn(
+            s3.R, s3.t, s3.s, jnp.asarray(x1), jnp.asarray(x2),
+            jnp.asarray(xn1), jnp.asarray(xn2), jnp.asarray(valid), focal=f)
+        err_t0 = np.linalg.norm(np.asarray(s3.t) - t_gt)
+        err_t1 = np.linalg.norm(np.asarray(ref.t) - t_gt)
+        assert err_t1 < err_t0, (err_t1, err_t0)
+        assert abs(float(ref.s) - s_gt) < 0.01
+        assert int(ref.n_inliers) >= 30  # chi2 th=10px2 trims 3D-noise-dominated pairs
+
+    def test_fix_scale_holds_unit(self, rng):
+        import jax, jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.placerec import sim3_solver
+        x1, x2, xn1, xn2, R_gt, t_gt, s_gt, f = self._pairs(rng)
+        # make the pair metric (s=1) for the fixed-scale variant
+        x1 = (x2 @ R_gt.T + t_gt).astype(np.float32)
+        xn1 = (x1[:, :2] / x1[:, 2:3]).astype(np.float32)
+        valid = np.ones(len(x1), bool)
+        s3 = sim3_solver.solve_sim3_ransac(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
+            jnp.asarray(xn1), jnp.asarray(xn2), jax.random.PRNGKey(0),
+            focal=f, fix_scale=True)
+        ref = sim3_solver.refine_sim3_gn(
+            s3.R, s3.t, s3.s, jnp.asarray(x1), jnp.asarray(x2),
+            jnp.asarray(xn1), jnp.asarray(xn2), jnp.asarray(valid), focal=f,
+            fix_scale=True)
+        assert abs(float(ref.s) - 1.0) < 1e-6
+        assert int(ref.n_inliers) >= 30
