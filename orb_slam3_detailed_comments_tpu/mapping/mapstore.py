@@ -340,14 +340,17 @@ class MapStore:
             ki, fi = np.nonzero((self.kf_feat_point >= 0)
                                 & self.kf_valid[:, None])
             pids = self.kf_feat_point[ki, fi]
-            order = np.argsort(pids, kind="stable")
-            ps, ks = pids[order], ki[order]
-            idx = np.searchsorted(ps, targets)
-            safe = np.minimum(idx, max(len(ps) - 1, 0))
-            has = (len(ps) > 0) & (idx < len(ps)) & (ps[safe] == targets)
-            self.remove_points(targets[~has])
-            re = np.isin(targets, refd) & has
-            self.pt_ref_kf[targets[re]] = ks[safe[re]]
+            if len(pids) == 0:
+                self.remove_points(targets)
+            else:
+                order = np.argsort(pids, kind="stable")
+                ps, ks = pids[order], ki[order]
+                idx = np.searchsorted(ps, targets)
+                safe = np.minimum(idx, len(ps) - 1)
+                has = (idx < len(ps)) & (ps[safe] == targets)
+                self.remove_points(targets[~has])
+                re = np.isin(targets, refd) & has
+                self.pt_ref_kf[targets[re]] = ks[safe[re]]
         self.version += 1
 
     def _merge_preintegration_chain(self, k: int):
@@ -457,6 +460,46 @@ class MapStore:
         self.pt_valid[old_id] = False
         self.pt_replaced_by[old_id] = new_id
         self.version += 1
+
+    def fuse_observations(self, kf: int, pids, feats) -> int:
+        """Apply fuse matches into keyframe `kf`: each candidate point
+        pids[i], matched at feature feats[i], either replaces the weaker
+        duplicate already at that feature (keep the more-observed point,
+        reference ORBmatcher::Fuse, ORBmatcher.cc:1325) or becomes a new
+        observation. Keeps the one-observation-per-point-per-keyframe
+        invariant, follows replace forwarding chains, and bumps `version`
+        when links changed. Returns the number of changes. This is THE
+        apply loop for all fuse paths (SearchInNeighbors both directions,
+        LoopClosing::SearchAndFuse)."""
+        obs = self.observation_counts().copy()
+        row = self.kf_feat_point[kf]
+        kf_pts = set(int(x) for x in row[row >= 0])
+        changed = 0
+        for pid, f in zip(pids, feats):
+            pid = self.resolve_pid(int(pid))
+            if pid < 0:
+                continue
+            f = int(f)
+            existing = int(self.kf_feat_point[kf, f])
+            if existing >= 0:
+                if existing == pid or not self.pt_valid[existing]:
+                    continue
+                keep, kill = ((pid, existing) if obs[pid] >= obs[existing]
+                              else (existing, pid))
+                self.replace_point(kill, keep)
+                obs[keep] += obs[kill]
+                obs[kill] = 0
+                row = self.kf_feat_point[kf]      # links were rewritten
+                kf_pts = set(int(x) for x in row[row >= 0])
+                changed += 1
+            elif pid not in kf_pts:
+                self.kf_feat_point[kf, f] = pid
+                kf_pts.add(pid)
+                obs[pid] += 1
+                changed += 1
+        if changed:
+            self.version += 1
+        return changed
 
     def resolve_pid(self, pid: int) -> int:
         """Follow replace_point forwarding to the surviving point; -1 if the

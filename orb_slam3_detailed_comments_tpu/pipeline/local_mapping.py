@@ -227,21 +227,8 @@ class LocalMapper:
             3.0 * jnp.asarray(radius_scale)[proj.level],
             max_dist=matching.TH_LOW, ratio=1.0)
         valid, fidx = jax.device_get((res.valid, res.idx))
-        obs = m.observation_counts()
-        for i in np.where(valid)[0]:
-            # an earlier fuse in this loop may have replaced this candidate
-            pid = m.resolve_pid(int(ids[i]))
-            if pid < 0:
-                continue
-            f = int(fidx[i])
-            existing = int(m.kf_feat_point[k, f])
-            if existing >= 0:
-                if existing == pid or not m.pt_valid[existing]:
-                    continue
-                keep, kill = (pid, existing) if obs[pid] >= obs[existing] else (existing, pid)
-                m.replace_point(kill, keep)
-            else:
-                m.kf_feat_point[k, f] = pid
+        sel = np.where(valid)[0]
+        m.fuse_observations(k, ids[sel], fidx[sel])
 
         # reverse direction: k's own points projected into the first-level
         # neighbors (the reference fuses both ways, LocalMapping.cc:930-960)
@@ -272,32 +259,9 @@ class LocalMapper:
             jnp.asarray(m.kf_feat_desc[nbp]), jnp.asarray(f_valid_b),
             jnp.asarray(radius_scale), self.cam,
             float(m.cfg.scale), int(m.cfg.n_levels)))
-        obs = m.observation_counts()
         for j, b in enumerate(nb):
-            row = m.kf_feat_point[b]
-            b_pts = set(int(x) for x in row[row >= 0])
-            for i in np.where(valid_b[j])[0]:
-                pid = m.resolve_pid(int(ids[i]))
-                if pid < 0:
-                    continue
-                f = int(fidx_b[j][i])
-                existing = int(m.kf_feat_point[b, f])
-                if existing >= 0:
-                    if existing == pid or not m.pt_valid[existing]:
-                        continue
-                    keep, kill = ((pid, existing)
-                                  if obs[pid] >= obs[existing]
-                                  else (existing, pid))
-                    if keep != kill:
-                        m.replace_point(kill, keep)
-                        obs = m.observation_counts()
-                        row = m.kf_feat_point[b]
-                        b_pts = set(int(x) for x in row[row >= 0])
-                elif pid not in b_pts:
-                    # a point may be observed at most once per keyframe —
-                    # skip if b already sees it through another feature
-                    m.kf_feat_point[b, f] = pid
-                    b_pts.add(pid)
+            sel = np.where(valid_b[j])[0]
+            m.fuse_observations(b, ids[sel], fidx_b[j][sel])
 
     # ------------------------------------------------------------------
     def _keyframe_culling(self, k: int):

@@ -152,7 +152,8 @@ class LoopCloser:
             T_wc_old = Sim3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]),
                             jnp.asarray(1.0)).inverse()
             S_ww = T_wc_old.compose(S_kw_corr)
-            phi = np.asarray(so3.log(jnp.asarray(S_ww.R)))
+            phi = np.array(so3.log(jnp.asarray(S_ww.R)))  # np.array: owned,
+            # writable copy (np.asarray of a jax array is read-only)
             if not (abs(phi[0]) < 0.008 and abs(phi[1]) < 0.008
                     and abs(phi[2]) < 0.349):
                 self.n_loops_rejected_gravity += 1
@@ -424,20 +425,8 @@ class LoopCloser:
                 _kf_feat(m, w), 6.0, level_lo=-2, level_hi=2,
                 max_dist=matching.TH_LOW, ratio=1.0)
             valid, fidx = jax.device_get((res.valid, res.idx))
-            obs = m.observation_counts()
-            for i in np.where(valid)[0]:
-                # earlier fuses in this very loop may have replaced this id:
-                # follow the forwarding chain, drop it if the point died
-                pid = m.resolve_pid(int(ids[i])); f = int(fidx[i])
-                if pid < 0:
-                    continue
-                existing = int(m.kf_feat_point[w, f])
-                if existing >= 0 and m.pt_valid[existing] and existing != pid:
-                    keep, kill = ((pid, existing) if obs[pid] >= obs[existing]
-                                  else (existing, pid))
-                    m.replace_point(kill, keep)
-                elif existing < 0:
-                    m.kf_feat_point[w, f] = pid
+            sel = np.where(valid)[0]
+            m.fuse_observations(w, ids[sel], fidx[sel])
 
 
 def _kf_feat(m: MapStore, k: int):

@@ -477,8 +477,7 @@ class System:
                 # LoopClosing.cc:182-189 mSold_new yaw projection)
                 if (self.inertial and act.imu_initialized
                         and other.imu_initialized and act.imu_ba1):
-                    from ..lie import so3
-                    phi = np.asarray(so3.log(S_ao.R))
+                    phi = np.array(so3.log(S_ao.R))  # owned writable copy
                     phi[0] = phi[1] = 0.0
                     S_ao = Sim3(jnp.asarray(
                         so3.exp(jnp.asarray(phi, jnp.float32))),

@@ -116,7 +116,8 @@ def solve_sim3_ransac(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
 def refine_sim3_gn(R0, t0, s0, x1, x2, xn1, xn2, valid,
                    focal: float = 460.0, iters: int = 8,
                    fix_scale: bool = False,
-                   th_px2: float = 10.0) -> Sim3Result:
+                   th_px2: float = 10.0,
+                   min_inliers: int = 20) -> Sim3Result:
     """Gauss-Newton refinement of a Sim3 on bidirectional reprojection
     error with Huber weighting — the reference's Optimizer::OptimizeSim3
     (src/Optimizer.cc:4195: g2o VertexSim3Expmap + EdgeSim3ProjectXYZ /
@@ -166,4 +167,4 @@ def refine_sim3_gn(R0, t0, s0, x1, x2, xn1, xn2, valid,
     e2 = jnp.sum(r[:, 2:] ** 2, -1)
     inl = (e1 < th_px2) & (e2 < th_px2) & valid & front
     n = jnp.sum(inl)
-    return Sim3Result(R, t, s, inl, n, n >= 0)
+    return Sim3Result(R, t, s, inl, n, n >= min_inliers)

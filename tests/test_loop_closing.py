@@ -283,3 +283,20 @@ class TestInertialLoopGate:
         m, lc, k, c, S_kc = self._setup(rng, rolled=False)
         assert lc._correct_loop(k, c, S_kc) is True
         assert lc.n_loops_rejected_gravity == 0
+
+    def test_viba2_forces_yaw_only(self, rng):
+        """After the second inertial BA the accepted correction must be
+        projected to yaw-only (roll/pitch zero), reference
+        LoopClosing.cc:286-296 — and must not crash on the jax-array
+        buffer (read-only) path."""
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.lie import so3
+        m, lc, k, c, S_kc = self._setup(rng, rolled=False)
+        m.imu_ba2 = True
+        R_before = m.kf_R.copy()
+        assert lc._correct_loop(k, c, S_kc) is True
+        # the implied world correction actually applied to the map (compare
+        # a far-from-k keyframe before/after: pure-yaw world corrections
+        # keep gravity-aligned z rows intact up to the pose-graph solve)
+        assert np.isfinite(m.kf_R[list(m.kf_ids())]).all()
+        assert (m.kf_R != R_before).any()   # a correction was applied
