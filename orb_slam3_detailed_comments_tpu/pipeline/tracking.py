@@ -61,6 +61,7 @@ class FrameRecord:
     ts: float
     frame_id: int
     angles: Optional[np.ndarray] = None   # host copy of feat.angle, if pulled
+    depth: Optional[np.ndarray] = None    # [N] per-feature depth (stereo/RGBD)
 
 
 def _compose_np(A: SE3, B: SE3) -> SE3:
@@ -288,10 +289,16 @@ class Tracker:
                     ok = r == "ok"
             if not ok and not fused:
                 ok = self._track_reference_keyframe(prep, ts, fid)
+            vo_mode = False
+            if not ok and not fused and self.localization_only:
+                # mbVO: the frozen map left too few matches — track
+                # frame-to-frame on the last frame's depth-backed features
+                # (reference: Tracking.cc:2279-2360 visual-odometry branch)
+                ok = vo_mode = self._track_visual_odometry(prep, ts, fid)
             if not ok and not fused and self.state in (RECENTLY_LOST, LOST) \
                     and self.relocalizer:
                 ok = self._relocalization(prep, ts, fid)
-        if ok and not fused:
+        if ok and not fused and not vo_mode:
             with timing.span("track local map"):
                 ok = self._track_local_map()
         if ok:
@@ -318,7 +325,9 @@ class Tracker:
                 self.cur_prep, self.cur_T, self.cur_match, ts, fid,
                 angles=(self._cur_angles
                         if getattr(self, "_cur_cache_prep", None)
-                        is self.cur_prep else None))
+                        is self.cur_prep else None),
+                depth=(np.asarray(self.cur_depth)
+                       if self.cur_depth is not None else None))
             return self._log_and_return(ts)
 
         # --- lost handling (reference: Tracking.cc:2203-2262) ---
@@ -378,6 +387,52 @@ class Tracker:
         M[:3, :3] = R_cw
         M[:3, 3] = t_cw
         return M
+
+    # ------------------------------------------------------------------
+    def _track_visual_odometry(self, prep, ts, fid) -> bool:
+        """Localization-mode rescue: match the last frame's depth-backed
+        features against the current frame and optimize the pose on their
+        backprojections — the reference's mbVO "visual odometry" points
+        (Tracking.cc:2279-2360, UpdateLastFrame's temporal points at
+        Tracking.cc:3270-3340). Stereo/RGB-D only (needs per-feature
+        depth); drifts like any VO until the map is re-acquired."""
+        from ..optim import pose_opt
+        last = self.last
+        if (last is None or last.depth is None or last.prepared is None):
+            return False
+        lvalid = (np.asarray(last.prepared.feat.valid)
+                  & (last.depth > 0))
+        if lvalid.sum() < 40:
+            return False
+        res = matching.match_nn(
+            last.prepared.feat.desc, jnp.asarray(lvalid),
+            prep.feat.desc, prep.feat.valid,
+            max_dist=matching.TH_HIGH, ratio=0.9, mutual=True)
+        valid, idx = jax.device_get((res.valid, res.idx))
+        if valid.sum() < 20:
+            return False
+        # backproject last-frame features at their measured depth
+        xyn = np.asarray(last.prepared.xyn)
+        z = np.where(lvalid, last.depth, 1.0).astype(np.float32)
+        Xc = np.stack([xyn[:, 0] * z, xyn[:, 1] * z, z], 1)
+        R_lw, t_lw = np.asarray(last.T_cw.R), np.asarray(last.T_cw.t)
+        Xw = (Xc - t_lw) @ R_lw
+        uv = np.asarray(prep.xy_ud)[np.where(valid, idx, 0)]
+        T0 = (_compose_np(self.velocity, last.T_cw)
+              if self.velocity is not None else last.T_cw)
+        out = pose_opt.pose_optimization(
+            SE3(jnp.asarray(T0.R), jnp.asarray(T0.t)), jnp.asarray(Xw),
+            jnp.asarray(uv), jnp.ones(len(Xw), jnp.float32),
+            jnp.asarray(valid), self.cam)
+        n_inl, R_n, t_n = jax.device_get(
+            (out.n_inliers, out.T_cw.R, out.T_cw.t))
+        if int(n_inl) < 20 or not np.isfinite(t_n).all():
+            return False
+        self.cur_T = SE3(R_n, t_n)
+        self.cur_prep = prep
+        self.cur_match = np.full(np.asarray(prep.feat.valid).shape[0], -1,
+                                 np.int32)
+        return True
 
     # ------------------------------------------------------------------
     def _update_last_frame_pose(self):

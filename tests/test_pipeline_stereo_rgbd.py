@@ -171,3 +171,31 @@ def test_stereo_pipelined_iter_matches_online(world):
             assert pb is None
         else:
             np.testing.assert_array_equal(pa, pb)
+
+
+def test_localization_mode_vo_fallback(world):
+    """mbVO: in localization mode, leaving the mapped area must not stop
+    pose output — the tracker falls back to frame-to-frame visual odometry
+    on the last frame's depth-backed features (reference:
+    Tracking.cc:2279-2360)."""
+    planes, R, t, n = world
+    slam = System(CAM, STEREO, baseline=BASELINE, enable_loop_closing=False)
+    ts = np.arange(n) * 0.05
+    half = n // 2
+    for i in range(half):
+        l, r = synth_render.render_stereo_pair(CAM, planes, R[i], t[i],
+                                               BASELINE)
+        slam.track_stereo(l, r, float(ts[i]))
+    assert slam.tracker.state == 2
+    kf_frozen = slam.n_keyframes
+    slam.activate_localization_mode()
+    # continue INTO the unmapped half of the trajectory, map frozen
+    n_out = 0
+    for i in range(half, n):
+        l, r = synth_render.render_stereo_pair(CAM, planes, R[i], t[i],
+                                               BASELINE)
+        if slam.track_stereo(l, r, float(ts[i])) is not None:
+            n_out += 1
+    assert slam.n_keyframes == kf_frozen          # map stayed frozen
+    assert n_out > 0.7 * (n - half), \
+        f"only {n_out}/{n - half} poses in localization mode"
