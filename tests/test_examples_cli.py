@@ -213,3 +213,117 @@ def test_mono_inertial_euroc_cli(tmp_path):
              [str(y), str(tmp_path), str(out)])
     rows = np.loadtxt(out)
     assert rows.shape[0] > 0.5 * n and rows.shape[1] == 8
+
+
+def test_stereo_euroc_cli_with_rectification(tmp_path):
+    """stereo_euroc wiring: EuRoC two-camera layout + legacy LEFT./RIGHT.
+    rectification blocks (identity rig here, so rendered pinhole pairs map
+    through the remap path unchanged) -> metric trajectory
+    (reference: Examples/Stereo/stereo_euroc.cc + Settings rectification)."""
+    import cv2
+    planes, R, t = _render_seq()
+    n = len(R)
+    baseline = 0.11
+    bf = 458.0 * baseline
+    for cam_name in ("cam0", "cam1"):
+        (tmp_path / "mav0" / cam_name / "data").mkdir(parents=True)
+    for i in range(n):
+        l, r = synth_render.render_stereo_pair(CAM, planes, R[i], t[i],
+                                               baseline)
+        ns = int(1e9 * (1 + i * 0.05))
+        cv2.imwrite(str(tmp_path / "mav0" / "cam0" / "data" / f"{ns}.png"),
+                    np.clip(np.asarray(l), 0, 255).astype(np.uint8))
+        cv2.imwrite(str(tmp_path / "mav0" / "cam1" / "data" / f"{ns}.png"),
+                    np.clip(np.asarray(r), 0, 255).astype(np.uint8))
+    K = "[458.0, 0.0, 376.0, 0.0, 457.0, 240.0, 0.0, 0.0, 1.0]"
+    ident = "[1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]"
+    zeros5 = "[0.0, 0.0, 0.0, 0.0, 0.0]"
+    mat = ("!!opencv-matrix\n  rows: {r}\n  cols: {c}\n  dt: d\n"
+           "  data: {d}\n")
+    y = tmp_path / "s.yaml"
+    y.write_text(f"""%YAML:1.0
+Camera.fx: 458.0
+Camera.fy: 457.0
+Camera.cx: 376.0
+Camera.cy: 240.0
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20
+Camera.bf: {bf}
+ORBextractor.nFeatures: 1024
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+LEFT.width: 752
+LEFT.height: 480
+LEFT.K: {mat.format(r=3, c=3, d=K)}
+LEFT.D: {mat.format(r=1, c=5, d=zeros5)}
+LEFT.R: {mat.format(r=3, c=3, d=ident)}
+LEFT.P: {mat.format(r=3, c=4, d='[458.0, 0.0, 376.0, 0.0, 0.0, 457.0, 240.0, 0.0, 0.0, 0.0, 1.0, 0.0]')}
+RIGHT.width: 752
+RIGHT.height: 480
+RIGHT.K: {mat.format(r=3, c=3, d=K)}
+RIGHT.D: {mat.format(r=1, c=5, d=zeros5)}
+RIGHT.R: {mat.format(r=3, c=3, d=ident)}
+RIGHT.P: {mat.format(r=3, c=4, d=f'[458.0, 0.0, 376.0, {-bf}, 0.0, 457.0, 240.0, 0.0, 0.0, 0.0, 1.0, 0.0]')}
+""")
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/stereo_euroc.py", [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.6 * n and rows.shape[1] == 8
+    # metric scale (stereo): Horn WITHOUT scale correction must fit
+    ts = 1 + np.arange(n) * 0.05
+    gt = synth_render.camera_centers(R, t)
+    rmse, npair, scale = evaluate_ate.ate_rmse(ts, gt, rows[:, 0],
+                                               rows[:, 1:4])
+    assert rmse < 0.08, f"stereo-euroc CLI ATE {rmse:.3f} m"
+    assert abs(scale - 1.0) < 0.05   # metric (stereo): estimated scale ~1
+
+
+def test_stereo_inertial_euroc_cli(tmp_path):
+    """stereo_inertial_euroc wiring: stereo mav0 pair + imu0/data.csv +
+    IMU/baseline yaml keys through one CLI (reference:
+    Examples/Stereo-Inertial/stereo_inertial_euroc.cc)."""
+    import cv2
+    rng = np.random.default_rng(13)
+    planes = synth_render.default_world(rng)
+    n = 20
+    baseline = 0.11
+    tr = synth_render.inertial_trajectory(n)
+    for cam_name in ("cam0", "cam1"):
+        (tmp_path / "mav0" / cam_name / "data").mkdir(parents=True)
+    for i in range(n):
+        l, r = synth_render.render_stereo_pair(
+            CAM, planes, tr["R_cw"][i], tr["t_cw"][i], baseline)
+        ns = int(1e9 * (1 + tr["ts"][i]))
+        cv2.imwrite(str(tmp_path / "mav0" / "cam0" / "data" / f"{ns}.png"),
+                    np.clip(np.asarray(l), 0, 255).astype(np.uint8))
+        cv2.imwrite(str(tmp_path / "mav0" / "cam1" / "data" / f"{ns}.png"),
+                    np.clip(np.asarray(r), 0, 255).astype(np.uint8))
+    imu_dir = tmp_path / "mav0" / "imu0"
+    imu_dir.mkdir(parents=True)
+    with open(imu_dir / "data.csv", "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for w in tr["windows"]:
+            if w is None:
+                continue
+            acc, gyro, tm = np.asarray(w[0]), np.asarray(w[1]), np.asarray(w[2])
+            for j in range(len(tm)):
+                f.write(f"{int(1e9 * (1 + tm[j]))},"
+                        f"{gyro[j, 0]},{gyro[j, 1]},{gyro[j, 2]},"
+                        f"{acc[j, 0]},{acc[j, 1]},{acc[j, 2]}\n")
+    extra = (f"Camera.bf: {458.0 * baseline}\n"
+             "IMU.NoiseGyro: 1.7e-4\nIMU.NoiseAcc: 2.0e-3\n"
+             "IMU.GyroWalk: 1.9e-5\nIMU.AccWalk: 3.0e-3\n"
+             "IMU.Frequency: 200\n")
+    y = tmp_path / "s.yaml"
+    y.write_text(YAML.format(extra=extra))
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/stereo_inertial_euroc.py",
+             [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.5 * n and rows.shape[1] == 8
+    # keyframe trajectory sibling file written too
+    kf_rows = np.loadtxt(str(out).replace(".txt", "_kf.txt"))
+    assert kf_rows.ndim == 2 and kf_rows.shape[1] == 8
