@@ -611,10 +611,21 @@ def apply_gba_with_propagation(m: MapStore, meta: dict, res):
     inl = g_inl[: len(meta["keep"])]
     inv_cam = {i: c for c, i in meta["cam_slot"].items()}
     inv_pt = {i: p for p, i in meta["pt_slot"].items()}
+    touched = set()
     for o in np.where(~inl)[0]:
         c = inv_cam[int(meta["oc"][o])]
         pid = inv_pt[int(meta["op"][o])]
         feats = np.where(m.kf_feat_point[c] == pid)[0]
         m.kf_feat_point[c, feats] = NO_POINT
+        touched.add(pid)
+    # points whose observations all got detached die with them
+    # (MapPoint::SetBadFlag via EraseObservation; keeps the live-point ->
+    # >=1-observer invariant that apply_ba_result also maintains)
+    if touched:
+        tl = np.asarray(sorted(touched))
+        tl = tl[m.pt_valid[tl]]
+        if len(tl):
+            obs = m.observation_counts()
+            m.remove_points(tl[obs[tl] == 0])
     m.version += 1
     m.big_change_idx += 1

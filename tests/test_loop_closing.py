@@ -43,6 +43,9 @@ def test_loop_detected_and_trajectory_consistent(loop_sequence):
     rmse, n, scale = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz)
     # loop radius 3 m, full circle ~19 m path: ATE must stay small after closure
     assert rmse < 0.20, f"ATE {rmse:.3f} m over {n} poses (scale {scale:.3f})"
+    # the loop correction + GBA + fuse path must leave the map graph
+    # consistent (live points observed, links to live points, refs alive)
+    assert slam.check_map_consistency() == []
 
 
 def test_relocalization_after_blackout():
