@@ -34,7 +34,17 @@ class LoopClosingConfig:
     min_bow_matches: int = 20     # reference nBoWMatches (LoopClosing.cc:746)
     min_sim3_inliers: int = 20    # nSim3Inliers
     min_proj_matches: int = 50    # nProjMatches
-    consistency_needed: int = 3   # temporally consistent detections
+    min_proj_opt_matches: int = 80  # nProjOptMatches: post-refine projection
+                                    # gate before committing the closure
+                                    # (reference: LoopClosing.cc:752)
+    prop_min_proj: int = 30       # propagation path: nProjMatches of
+                                  # DetectAndReffineSim3FromLastKF
+                                  # (LoopClosing.cc:389-420)
+    prop_min_proj_opt: int = 50   # its post-refine gate
+    consistency_needed: int = 3   # successive verifications of the SAME
+                                  # region (mnLoopNumCoincidences)
+    max_not_found: int = 2        # chain survives this many consecutive
+                                  # propagation misses (mnLoopNumNotFoundLoop)
     closure_cooldown_kfs: int = 10  # no detection within N KFs of a closure
                                     # (reference: mLastLoopKFid + 10 gate)
     min_frame_gap: int = 0        # optional extra temporal gate (frames);
@@ -58,6 +68,21 @@ class LoopClosingConfig:
                                   # reduction) when more than one is present
 
 
+@dataclass
+class _ActiveCandidate:
+    """An in-progress loop hypothesis: the matched keyframe, its covisible
+    region, the current Sim3 guess (c camera frame -> verifying KF camera
+    frame), how many successive keyframes verified it, and the keyframe the
+    guess is anchored to (reference: mpLoopMatchedKF / mg2oLoopSlw /
+    mnLoopNumCoincidences / mnLoopNumNotFoundLoop, LoopClosing.h:180-196)."""
+    c: int
+    region: frozenset
+    S_kc: Sim3
+    count: int
+    last_k: int
+    not_found: int = 0
+
+
 class LoopCloser:
     def __init__(self, mapstore: MapStore, cam: cameras.CameraParams,
                  kfdb: KeyFrameDatabase, cfg: LoopClosingConfig = LoopClosingConfig()):
@@ -65,9 +90,9 @@ class LoopCloser:
         self.cam = cam
         self.kfdb = kfdb
         self.cfg = cfg
-        self.consistency_count = 0
-        self.last_candidate = -1
+        self.active: _ActiveCandidate | None = None
         self.n_loops_closed = 0
+        self.n_loops_rejected_projgate = 0
         self.n_processed = 0
         self.cooldown_until = 0
         # async global BA (reference: LoopClosing::RunGlobalBundleAdjustment
@@ -81,7 +106,16 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def process_keyframe(self, k: int) -> bool:
-        """One LoopClosing iteration; returns True if a loop was closed."""
+        """One LoopClosing iteration; returns True if a loop was closed.
+
+        Per-candidate temporal consistency (reference: NewDetectCommonRegions,
+        LoopClosing.cc:383-760): an active hypothesis is first re-verified by
+        PROPAGATING its Sim3 guess to this keyframe through the relative pose
+        (DetectCommonRegionsFromLastKF); only when that fails does BoW
+        retrieval run, and a fresh candidate only continues the chain if it
+        lands in the SAME covisible region. The closure commits after
+        `consistency_needed` successive verifications AND a final
+        nProjOptMatches projection gate on the refined Sim3."""
         closed = False
         self.n_processed += 1
         # post-closure cooldown: no detection within 10 keyframes of the
@@ -91,21 +125,59 @@ class LoopCloser:
             self.kfdb.add(k, self.map.kf_feat_desc[k], self.map.kf_feat_valid[k])
             return False
         from ..utils import timing
-        with timing.span("PR detection"):
-            cand = self._detect(k)
-        if cand is not None:
-            match_kf, S_kc = cand
-            self.consistency_count += 1
-            if self.consistency_count >= self.cfg.consistency_needed:
+        detected = None
+        if self.active is not None:
+            with timing.span("PR detection"):
+                detected = self._refine_from_last_kf(k)
+            if detected is not None:
+                c, S_kc = detected
+                self.active.S_kc = S_kc
+                self.active.count += 1
+                self.active.last_k = k
+                self.active.not_found = 0
+            else:
+                self.active.not_found += 1
+                if self.active.not_found >= self.cfg.max_not_found:
+                    self.active = None
+        if detected is None:
+            with timing.span("PR detection"):
+                cand = self._detect(k)
+            if cand is not None:
+                c, S_kc = cand
+                if self.active is not None and int(c) in self.active.region:
+                    # same place re-verified through retrieval: the chain
+                    # continues (anchored to the freshly verified candidate)
+                    self.active.c = int(c)
+                    self.active.S_kc = S_kc
+                    self.active.count += 1
+                    self.active.last_k = k
+                    self.active.not_found = 0
+                else:
+                    # a DIFFERENT region restarts the count at 1 — three
+                    # detections of three different places must never trip
+                    # a closure
+                    covis, _ = self.map.covisibility(int(c), min_weight=15)
+                    region = frozenset([int(c)] + [int(x) for x in covis])
+                    self.active = _ActiveCandidate(
+                        c=int(c), region=region, S_kc=S_kc, count=1, last_k=k)
+                detected = cand
+        if (self.active is not None
+                and self.active.count >= self.cfg.consistency_needed):
+            c, S_kc = self.active.c, self.active.S_kc
+            # final gate: the refined Sim3 must explain >= nProjOptMatches
+            # guided matches (reference: LoopClosing.cc:752)
+            n_proj = count_projection_matches(
+                self.map, self.active.last_k, self.map, c, S_kc, self.cam)
+            if n_proj >= self.cfg.min_proj_opt_matches:
                 with timing.span("loop correction"):
-                    closed = self._correct_loop(k, match_kf, S_kc)
-                self.consistency_count = 0
-                if closed:
-                    self.n_loops_closed += 1
-                    self.cooldown_until = (self.n_processed
-                                           + self.cfg.closure_cooldown_kfs)
-        else:
-            self.consistency_count = 0
+                    closed = self._correct_loop(self.active.last_k, c, S_kc)
+            else:
+                self.n_loops_rejected_projgate += 1
+            self.active = None
+            if closed:
+                self.n_loops_closed += 1
+                self.cooldown_until = (self.n_processed
+                                       + self.cfg.closure_cooldown_kfs)
         self.kfdb.add(k, self.map.kf_feat_desc[k], self.map.kf_feat_valid[k])
         return closed
 
@@ -127,6 +199,63 @@ class LoopCloser:
 
     def _verify_candidate(self, k: int, c: int):
         return verify_sim3_pair(self.map, k, self.map, c, self.cam, self.cfg)
+
+    def _refine_from_last_kf(self, k: int):
+        """Propagate the active hypothesis' Sim3 to keyframe k through the
+        estimated relative pose, re-verify by guided projection, and refine
+        (reference: DetectCommonRegionsFromLastKF ->
+        DetectAndReffineSim3FromLastKF, LoopClosing.cc:389-420 and 610-730).
+        Returns (c, S_kc_refined) or None."""
+        a = self.active
+        m = self.map
+        if not (m.kf_valid[a.c] and m.kf_valid[a.last_k] and m.kf_valid[k]):
+            return None
+        # S_k_c = T_k_w ∘ T_lastk_w^-1 ∘ S_lastk_c (camera frames; the map
+        # poses are SE3 so the relative factor has unit scale)
+        T_k = Sim3(jnp.asarray(m.kf_R[k]), jnp.asarray(m.kf_t[k]),
+                   jnp.asarray(1.0))
+        T_l = Sim3(jnp.asarray(m.kf_R[a.last_k]), jnp.asarray(m.kf_t[a.last_k]),
+                   jnp.asarray(1.0))
+        S_prop = T_k.compose(T_l.inverse()).compose(a.S_kc)
+        pt_ids, fidx = match_by_projection_pairs(
+            m, k, m, a.c, S_prop, self.cam)
+        if len(pt_ids) < self.cfg.prop_min_proj:
+            return None
+        S_ref = S_prop
+        # Sim3 refinement on the 3D-3D subset (k-features that carry map
+        # points) — the reference's OptimizeSim3 step of the propagation path
+        pk = m.kf_feat_point[k][fidx]
+        both = (pk >= 0) & m.pt_valid[np.maximum(pk, 0)]
+        if both.sum() >= self.cfg.min_sim3_inliers:
+            fk, pks, pcs = fidx[both], pk[both], pt_ids[both]
+            xk = m.pt_xyz[pks] @ m.kf_R[k].T + m.kf_t[k]
+            xc = m.pt_xyz[pcs] @ m.kf_R[a.c].T + m.kf_t[a.c]
+            xn_k = m.kf_feat_xyn[k][fk]
+            xn_c = xc[:, :2] / np.maximum(xc[:, 2:3], 1e-6)
+            N = 256
+            pad = max(N - len(fk), 0)
+
+            def padarr(arr):
+                arr = np.asarray(arr, np.float32)[:N]
+                return np.concatenate(
+                    [arr, np.full((pad, *arr.shape[1:]), 0.0, np.float32)])
+
+            vmask = np.concatenate([np.ones(min(len(fk), N), bool),
+                                    np.zeros(pad, bool)])
+            ref = sim3_solver.refine_sim3_gn(
+                S_prop.R, S_prop.t, S_prop.s,
+                jnp.asarray(padarr(xk)), jnp.asarray(padarr(xc)),
+                jnp.asarray(padarr(xn_k)), jnp.asarray(padarr(xn_c)),
+                jnp.asarray(vmask), focal=float(self.cam.fx),
+                fix_scale=self.cfg.fix_scale,
+                min_inliers=self.cfg.min_sim3_inliers)
+            rR, rt, rs, r_ok = jax.device_get((ref.R, ref.t, ref.s, ref.ok))
+            if bool(r_ok):
+                S_ref = Sim3(jnp.asarray(rR), jnp.asarray(rt), jnp.asarray(rs))
+        n2 = count_projection_matches(m, k, m, a.c, S_ref, self.cam)
+        if n2 < self.cfg.prop_min_proj_opt:
+            return None
+        return a.c, S_ref
 
     # ------------------------------------------------------------------
     def _correct_loop(self, k: int, match_kf: int, S_kc: Sim3) -> bool:
@@ -517,17 +646,19 @@ def verify_sim3_pair(mk: MapStore, k: int, mc: MapStore, c: int,
     return c, S_kc
 
 
-def count_projection_matches(mk: MapStore, k: int, mc: MapStore, c: int,
-                             S_kc: Sim3, cam) -> int:
-    """Project c's local map through S_kc into k and count guided matches
-    (reference nProjMatches re-verification)."""
+def match_by_projection_pairs(mk: MapStore, k: int, mc: MapStore, c: int,
+                              S_kc: Sim3, cam):
+    """Project c's local map through S_kc into k and run the guided match
+    (reference: the SearchByProjection re-verification of
+    DetectCommonRegionsFromBoW / FromLastKF). Returns (pt_ids, feat_idx):
+    matched c-side point ids and the k-side feature each one landed on."""
     covis_c, _ = mc.covisibility(c, min_weight=10)
     kfs = [c] + [int(x) for x in covis_c[:10]]
     pts = mc.local_point_ids(np.asarray(kfs))[:2048]
     if len(pts) == 0:
-        return 0
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     # host math for the transforms (a few thousand points), then ONE device
-    # program for the guided match with ONE scalar fetch — the old form
+    # program for the guided match with ONE packed fetch — the old form
     # ping-ponged uv/vis through ~5 separate round trips per candidate
     xc = mc.pt_xyz[pts] @ mc.kf_R[c].T + mc.kf_t[c]
     S_R, S_t, S_s = (np.asarray(S_kc.R), np.asarray(S_kc.t),
@@ -548,7 +679,16 @@ def count_projection_matches(mk: MapStore, k: int, mc: MapStore, c: int,
         jnp.zeros(P, jnp.int32),
         _kf_feat(mk, k), 8.0, level_lo=-8, level_hi=8,
         max_dist=matching.TH_LOW, ratio=1.0)
-    return int(jnp.sum(res.valid))
+    valid, fidx = jax.device_get((res.valid, res.idx))
+    sel = np.where(valid)[0]
+    return pts[sel], fidx[sel].astype(np.int64)
+
+
+def count_projection_matches(mk: MapStore, k: int, mc: MapStore, c: int,
+                             S_kc: Sim3, cam) -> int:
+    """Guided-match count through S_kc (reference nProjMatches gate)."""
+    pt_ids, _ = match_by_projection_pairs(mk, k, mc, c, S_kc, cam)
+    return len(pt_ids)
 
 
 def apply_gba_with_propagation(m: MapStore, meta: dict, res):

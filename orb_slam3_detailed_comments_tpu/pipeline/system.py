@@ -570,18 +570,70 @@ class System:
     # ------------------------------------------------------------------
     def _relocalize(self, prep):
         """Relocalization callback for the tracker: KFDB candidates ->
-        descriptor matching vs candidate map points -> batched PnP RANSAC
-        (reference: Tracking::Relocalization, Tracking.cc:4324)."""
+        descriptor matching vs candidate map points -> batched PnP RANSAC ->
+        pose-optimization rescue rounds: if the optimized inlier count is
+        short, a wide (r=10) guided projection search over the candidate's
+        local map re-feeds the optimizer, then a narrow (r=3) retry; accept
+        only at >= `reloc_accept` inliers
+        (reference: Tracking::Relocalization, Tracking.cc:4324-4540)."""
         if self.kfdb is None:
             return None
         import jax
         import jax.numpy as jnp
+        from ..lie import SE3
+        from ..optim import pose_opt
         from ..placerec import pnp
         from ..ops import matching as matching_mod
+        from . import kernels
         m = self.map
+        tk = self.tracker
         desc = np.asarray(prep.feat.desc)
         fvalid = np.asarray(prep.feat.valid)
+        reloc_accept = 50   # nGood acceptance (Tracking.cc:4536)
         cands = self.kfdb.detect_relocalization_candidates(m, desc, fvalid)
+
+        def optimize(match_pt, R, t):
+            """PoseOptimization over the current feature->point matches."""
+            has = match_pt >= 0
+            safe = np.where(has, match_pt, 0)
+            res = pose_opt.pose_optimization(
+                SE3(jnp.asarray(R), jnp.asarray(t)),
+                jnp.asarray(m.pt_xyz[safe]), prep.xy_ud,
+                jnp.asarray(tk.inv_sigma2)[prep.feat.level],
+                jnp.asarray(has) & prep.feat.valid, self.cam)
+            n, inl, Ro, to = jax.device_get(
+                (res.n_inliers, res.inlier, res.T_cw.R, res.T_cw.t))
+            return int(n), np.where(inl, match_pt, -1).astype(np.int32), Ro, to
+
+        def guided_search(local_pts, R, t, radius, match_pt):
+            """Project the candidate's local map and guided-match features
+            that are still unmatched (the SearchByProjection rescue,
+            Tracking.cc:4472-4530)."""
+            cap = tk.cfg.local_pts_cap
+            local_pts = local_pts[:cap]
+            ids = np.concatenate(
+                [local_pts, np.full(cap - len(local_pts), -1, np.int64)])
+            safe = np.where(ids >= 0, ids, 0)
+            T = SE3(jnp.asarray(R), jnp.asarray(t))
+            proj = kernels.project_points(
+                T, jnp.asarray(m.pt_xyz[safe]), jnp.asarray(m.pt_normal[safe]),
+                jnp.asarray(m.pt_min_dist[safe]),
+                jnp.asarray(m.pt_max_dist[safe]),
+                jnp.asarray((ids >= 0) & m.pt_valid[safe]), self.cam,
+                m.cfg.scale, m.cfg.n_levels)
+            res = matching_mod.search_by_projection(
+                proj.uv, proj.visible, jnp.asarray(m.pt_desc[safe]),
+                proj.level, prep.feat._replace(xy=prep.xy_ud),
+                radius * jnp.asarray(tk.radius_scale)[proj.level],
+                max_dist=matching_mod.TH_HIGH, ratio=0.9)
+            valid, fidx = jax.device_get((res.valid, res.idx))
+            out = match_pt.copy()
+            for p_i in np.where(valid)[0]:
+                f = int(fidx[p_i])
+                if out[f] < 0:
+                    out[f] = ids[p_i]
+            return out
+
         for c in cands:
             res = matching_mod.match_nn(
                 jnp.asarray(desc), jnp.asarray(fvalid),
@@ -612,7 +664,27 @@ class System:
             match_pt = np.full(N, -1, np.int32)
             inl = np.asarray(sol.inliers)
             match_pt[fidx] = np.where(inl[fidx], pids, -1)
-            return np.asarray(sol.R), np.asarray(sol.t), match_pt, c
+            # rescue round 1: optimize the RANSAC pose
+            n_good, match_pt, R, t = optimize(match_pt, np.asarray(sol.R),
+                                              np.asarray(sol.t))
+            if n_good < 10:
+                continue
+            if n_good < reloc_accept:
+                # the candidate's local map (c + covisibles)
+                covis_c, _ = m.covisibility(int(c), min_weight=10)
+                local_pts = m.local_point_ids(
+                    np.asarray([int(c)] + [int(x) for x in covis_c[:10]]))
+                for radius in (10.0, 3.0):
+                    if n_good >= reloc_accept:
+                        break
+                    match_pt = guided_search(local_pts, R, t, radius,
+                                             match_pt)
+                    if (match_pt >= 0).sum() < reloc_accept:
+                        continue
+                    n_good, match_pt, R, t = optimize(match_pt, R, t)
+            if n_good < reloc_accept:
+                continue
+            return R, t, match_pt, c
         return None
 
     def warmup(self, n_frames: int = 14):
