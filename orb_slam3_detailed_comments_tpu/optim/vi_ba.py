@@ -137,6 +137,21 @@ def vi_ba_solve(prob: VIBAProblem, cam: cameras.CameraParams,
                 iters: int = 8, delta2: float = reproj.CHI2_MONO,
                 huber_imu2: float = 1e9,
                 fix_points: bool = False) -> VIBAResult:
+    return _solve_impl(prob, cam, R_cb, t_cb, gravity, prior_gyro, prior_acc,
+                       iters, delta2, huber_imu2, fix_points, axis=None)
+
+
+def _solve_impl(prob: VIBAProblem, cam: cameras.CameraParams,
+                R_cb: jnp.ndarray, t_cb: jnp.ndarray,
+                gravity, prior_gyro: float, prior_acc: float,
+                iters: int, delta2: float, huber_imu2: float,
+                fix_points: bool, axis) -> VIBAResult:
+    """The LM loop. With `axis` set (inside shard_map), the visual
+    observations are a per-device shard: the visual partial normal equations
+    and the visual cost are psum-reduced over that mesh axis while the
+    (tiny, replicated) inertial edges and the solve itself run identically
+    on every device — the same ICI-reduction layout as
+    parallel/dist_ba.make_dist_ba_step."""
     C = prob.R_wb.shape[0]
     P = prob.points.shape[0]
     E = prob.edge_i.shape[0]
@@ -152,6 +167,8 @@ def vi_ba_solve(prob: VIBAProblem, cam: cameras.CameraParams,
         rho = jnp.where(chi2 <= delta2, chi2,
                         2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2)
         cv = jnp.sum(jnp.where(ok, rho, 0.0))
+        if axis is not None:
+            cv = jax.lax.psum(cv, axis)
 
         def edge_cost(e):
             i, j = pr.edge_i[e], pr.edge_j[e]
@@ -196,6 +213,13 @@ def vi_ba_solve(prob: VIBAProblem, cam: cameras.CameraParams,
         Wo = (JcW[:, 0, :, None] * Jp[:, 0, None, :]
               + JcW[:, 1, :, None] * Jp[:, 1, None, :])
         Wd = jnp.zeros((P, C, 6, 3)).at[pr.obs_pt, pr.obs_cam].add(Wo)
+        if axis is not None:
+            # reduce the visual partials over the observation shards (ICI)
+            U6 = jax.lax.psum(U6, axis)
+            b6 = jax.lax.psum(b6, axis)
+            V = jax.lax.psum(V, axis)
+            b_p = jax.lax.psum(b_p, axis)
+            Wd = jax.lax.psum(Wd, axis)
 
         Vd = V + lam * jnp.eye(3) * jnp.maximum(
             jnp.einsum("pii->p", V), 1e-3)[:, None, None] / 3.0

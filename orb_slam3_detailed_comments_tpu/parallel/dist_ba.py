@@ -129,6 +129,41 @@ def make_frame_parallel_pose_opt(mesh: Mesh, cam: cameras.CameraParams,
     return jax.jit(sharded)
 
 
+def make_dist_viba_solve(mesh: Mesh, cam: cameras.CameraParams,
+                         iters: int = 5,
+                         prior_gyro: float = 0.0, prior_acc: float = 0.0,
+                         fix_points: bool = False):
+    """Distributed full-map visual-inertial BA (the sharded FullInertialBA,
+    reference: Optimizer.cc:3237 run as the post-loop GBA on inertial maps,
+    LoopClosing.cc:2886-2890): visual observations sharded over the mesh
+    axis, their partial normal equations psum-reduced over ICI; the
+    9-dof preintegration edges, bias random walks and the dense
+    [15C, 15C] solve are replicated (tiny next to the visual reduction).
+
+    Returns fn(prob: VIBAProblem, R_cb, t_cb, gravity) -> VIBAResult with
+    prob.obs_* length a multiple of mesh devices (pad with obs_valid=False).
+    """
+    from ..optim import vi_ba, reproj as reproj_mod
+
+    def body(prob, R_cb, t_cb, gravity):
+        return vi_ba._solve_impl(
+            prob, cam, R_cb, t_cb, gravity, prior_gyro, prior_acc,
+            iters, reproj_mod.CHI2_MONO, 1e9, fix_points, axis=OBS_AXIS)
+
+    in_specs = (vi_ba.VIBAProblem(
+        R_wb=P(), p_w=P(), v_w=P(), bg=P(), ba=P(),
+        points=P(), point_valid=P(),
+        obs_cam=P(OBS_AXIS), obs_pt=P(OBS_AXIS), obs_uv=P(OBS_AXIS),
+        obs_w=P(OBS_AXIS), obs_valid=P(OBS_AXIS),
+        edge_i=P(), edge_j=P(), edge_pre=P(), edge_valid=P(),
+        fixed_cam=P()), P(), P(), P())
+    out_specs = vi_ba.VIBAResult(
+        R_wb=P(), p_w=P(), v_w=P(), bg=P(), ba=P(), points=P(),
+        obs_inlier=P(OBS_AXIS), cost=P())
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+
 def make_dist_gba_pcg(mesh: Mesh, cam: cameras.CameraParams,
                       iters: int = 10, cg_iters: int = 100,
                       delta2: float = reproj.CHI2_MONO,

@@ -211,30 +211,23 @@ def apply_scaled_rotation(m: MapStore, R_wg: np.ndarray, s: float):
     m.version += 1
 
 
-def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
-                          iters: int = 8, max_points: int = 2048,
-                          max_obs: int = 8192,
-                          prior_gyro: float = 1.0, prior_acc: float = 1e4,
-                          calib: Optional[ImuCalib] = None):
-    """Temporal-window visual-inertial BA
-    (reference: Optimizer::LocalInertialBA, Optimizer.cc:2203: Nd=10
-    optimizable recent KFs, older frontier fixed)."""
+def build_viba_problem(m: MapStore, kfs: list, fix: set,
+                       calib: Optional[ImuCalib],
+                       max_points: int = 2048, max_obs: int = 8192,
+                       e_cap: int = 24):
+    """Snapshot a keyframe set into a device VIBAProblem + host metadata.
+
+    kfs: temporally ordered keyframe ids; fix: ids held fixed. Build/solve/
+    apply are split exactly like the visual build_ba_problem so the inertial
+    global BA can race tracking off the map lock."""
     from ..optim import vi_ba
-    chain = m.temporal_chain()
-    if len(chain) < 3 or not m.imu_initialized:
-        return
-    opt = chain[-window:]
-    fixed_n = min(4, len(chain) - len(opt))
-    fix = chain[-window - fixed_n:-window] if fixed_n > 0 else chain[:1]
-    kfs = list(fix) + list(opt)
-    # pad cameras to a bucket
     n_real = len(kfs)
     C = ((n_real + 7) // 8) * 8
 
     slot = {int(k): i for i, k in enumerate(kfs)}
     pt_ids = m.local_point_ids(np.asarray(kfs))[:max_points]
     if len(pt_ids) < 30:
-        return
+        return None
     pt_slot = {int(p): i for i, p in enumerate(pt_ids)}
 
     sf2 = (m.cfg.scale ** np.arange(m.cfg.n_levels)) ** 2
@@ -250,7 +243,7 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
     ow = (1.0 / sf2[m.kf_feat_level[kfs][ci, fi]]).astype(np.float32)
     O = len(oc)
     if O < 50:
-        return
+        return None
     keep = (np.random.default_rng(0).choice(O, max_obs, replace=False)
             if O > max_obs else np.arange(O))
     pad_o = max_obs - len(keep)
@@ -259,8 +252,7 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
         a = np.asarray(a)[keep]
         return np.concatenate([a, np.full((pad_o, *a.shape[1:]), fill, a.dtype)])
 
-    # inertial edges along the chain inside the window (consecutive pairs)
-    E_CAP = 24
+    # inertial edges: consecutive chain pairs with live preintegration
     ei, ej = [], []
     pre_list = []
     for a, b in zip(kfs[:-1], kfs[1:]):
@@ -269,13 +261,13 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
             ej.append(slot[int(b)])
             pre_list.append(int(b))
     if not pre_list:
-        return
+        return None
     nE = len(ei)
-    if nE > E_CAP:
-        ei, ej, pre_list = ei[-E_CAP:], ej[-E_CAP:], pre_list[-E_CAP:]
-        nE = E_CAP
+    if nE > e_cap:
+        ei, ej, pre_list = ei[-e_cap:], ej[-e_cap:], pre_list[-e_cap:]
+        nE = e_cap
     pres = m.get_kf_preintegration(np.asarray(pre_list))
-    padE = E_CAP - nE
+    padE = e_cap - nE
 
     def pad_pre(x):
         pad_shape = (padE, *x.shape[1:])
@@ -307,8 +299,9 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
     bg = np.concatenate([m.kf_bg[kfs], np.zeros((padC, 3), np.float32)])
     ba = np.concatenate([m.kf_ba[kfs], np.zeros((padC, 3), np.float32)])
     fixed = np.zeros(C, bool)
+    fix = set(int(x) for x in fix)
     for i, k in enumerate(kfs):
-        if k in set(int(x) for x in fix):
+        if int(k) in fix:
             fixed[i] = True
     fixed[n_real:] = True
 
@@ -334,25 +327,28 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
         edge_valid=jnp.asarray(np.concatenate(
             [np.ones(nE, bool), np.zeros(padE, bool)])),
         fixed_cam=jnp.asarray(fixed))
+    # cams/oc/op/cam_slot/pt_slot keys match build_ba_problem's meta so
+    # apply_gba_with_propagation can consume a converted inertial result
+    meta = dict(cams=[int(k) for k in kfs], n_real=n_real, pt_ids=pt_ids,
+                keep=keep, oc=np.asarray(oc)[keep], op=np.asarray(op)[keep],
+                cam_slot=slot, pt_slot=pt_slot, fixed=fixed,
+                R_bc=R_bc, t_bc=t_bc, t_cb=t_cb)
+    return prob, meta
 
-    g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
-    res = vi_ba.vi_ba_solve(prob, cam, jnp.asarray(R_bc.T),
-                            jnp.asarray(t_cb),
-                            gravity=jnp.asarray(g),
-                            prior_gyro=prior_gyro, prior_acc=prior_acc,
-                            iters=iters)
-    # one packed transfer of the whole VI-BA result
+
+def apply_viba_result(m: MapStore, meta: dict, res) -> bool:
+    """Write a VIBAResult back into the map (body states -> camera poses,
+    velocities, biases, points). Returns False on a non-finite solve."""
+    kfs, n_real, pt_ids = meta["cams"], meta["n_real"], meta["pt_ids"]
+    fixed, R_bc, t_bc = meta["fixed"], meta["R_bc"], meta["t_bc"]
     p_all, R_wb_all, v_all, bg_all, ba_all, pts_all = jax.device_get(
         (res.p_w, res.R_wb, res.v_w, res.bg, res.ba, res.points))
     if not np.isfinite(p_all[:n_real]).all():
-        return
-    # write back (body -> camera poses)
-    R_wb_new = R_wb_all[:n_real]
-    p_new = p_all[:n_real]
+        return False
     for i, k in enumerate(kfs):
         if fixed[i]:
             continue
-        R_cw, t_cw = camera_from_body(R_wb_new[i], p_new[i], R_bc, t_bc)
+        R_cw, t_cw = camera_from_body(R_wb_all[i], p_all[i], R_bc, t_bc)
         m.kf_R[k] = R_cw
         m.kf_t[k] = t_cw
     m.kf_vel[kfs] = v_all[:n_real]
@@ -360,3 +356,78 @@ def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
     m.kf_ba[kfs] = ba_all[:n_real]
     m.pt_xyz[pt_ids] = pts_all[:len(pt_ids)]
     m.version += 1
+    return True
+
+
+def run_local_inertial_ba(m: MapStore, cam, window: int = 10,
+                          iters: int = 8, max_points: int = 2048,
+                          max_obs: int = 8192,
+                          prior_gyro: float = 1.0, prior_acc: float = 1e4,
+                          calib: Optional[ImuCalib] = None):
+    """Temporal-window visual-inertial BA
+    (reference: Optimizer::LocalInertialBA, Optimizer.cc:2203: Nd=10
+    optimizable recent KFs, older frontier fixed)."""
+    from ..optim import vi_ba
+    chain = m.temporal_chain()
+    if len(chain) < 3 or not m.imu_initialized:
+        return
+    opt = chain[-window:]
+    fixed_n = min(4, len(chain) - len(opt))
+    fix = chain[-window - fixed_n:-window] if fixed_n > 0 else chain[:1]
+    kfs = list(fix) + list(opt)
+    built = build_viba_problem(m, kfs, set(int(x) for x in fix), calib,
+                               max_points=max_points, max_obs=max_obs)
+    if built is None:
+        return
+    prob, meta = built
+    g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
+    res = vi_ba.vi_ba_solve(prob, cam, jnp.asarray(meta["R_bc"].T),
+                            jnp.asarray(meta["t_cb"]),
+                            gravity=jnp.asarray(g),
+                            prior_gyro=prior_gyro, prior_acc=prior_acc,
+                            iters=iters)
+    apply_viba_result(m, meta, res)
+
+
+# full-map bucketing: the camera count is rounded up to a multiple of this
+# so XLA compiles one full-inertial-BA program per bucket as the map grows
+_FULL_C_BUCKET = 16
+
+
+def run_full_inertial_ba(m: MapStore, cam, iters: int = 10,
+                         max_points: int = 4096, max_obs: int = 16384,
+                         prior_gyro: float = 1.0, prior_acc: float = 1e4,
+                         calib: Optional[ImuCalib] = None):
+    """Full-map visual-inertial bundle adjustment: EVERY keyframe of the
+    temporal chain optimizes 15-dof states with preintegration + bias
+    random-walk edges, landmarks Schur-eliminated (reference:
+    Optimizer::FullInertialBA, Optimizer.cc:3237 — run at the end of each
+    IMU-init stage, LocalMapping.cc:1760-1800, and as the post-loop global
+    BA on inertial maps, LoopClosing.cc:2886-2890)."""
+    chain = m.temporal_chain()
+    if len(chain) < 3 or not m.imu_initialized:
+        return
+    kfs = [int(k) for k in chain]
+    built = build_full_viba_problem(m, kfs, calib, max_points, max_obs)
+    if built is None:
+        return
+    prob, meta = built
+    from ..optim import vi_ba
+    g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
+    res = vi_ba.vi_ba_solve(prob, cam, jnp.asarray(meta["R_bc"].T),
+                            jnp.asarray(meta["t_cb"]),
+                            gravity=jnp.asarray(g),
+                            prior_gyro=prior_gyro, prior_acc=prior_acc,
+                            iters=iters)
+    apply_viba_result(m, meta, res)
+
+
+def build_full_viba_problem(m: MapStore, kfs: list,
+                            calib: Optional[ImuCalib],
+                            max_points: int = 4096, max_obs: int = 16384):
+    """Full-chain VIBA problem: gauge fixed at the oldest keyframe, edge
+    capacity bucketed with the chain length (one compile per bucket)."""
+    e_cap = max(_FULL_C_BUCKET * int(np.ceil(len(kfs) / _FULL_C_BUCKET)), 8)
+    return build_viba_problem(m, kfs, {int(kfs[0])}, calib,
+                              max_points=max_points, max_obs=max_obs,
+                              e_cap=e_cap)

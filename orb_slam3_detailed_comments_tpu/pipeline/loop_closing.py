@@ -98,6 +98,7 @@ class LoopCloser:
         # async global BA (reference: LoopClosing::RunGlobalBundleAdjustment
         # on a detached thread, aborted via mbStopGBA when a new loop lands)
         self.map_lock = None          # set by System in async mode
+        self.imu_calib = None         # set by System on inertial sensors
         self._gba_thread = None
         self._gba_abort = threading.Event()
         self.n_gba_runs = 0
@@ -416,12 +417,18 @@ class LoopCloser:
         self._fuse_loop_points(k, match_kf)
         m.update_point_stats(np.where(m.pt_valid)[0])
 
-        # global BA on the corrected map (reference: RunGlobalBundleAdjustment)
+        # global BA on the corrected map (reference: RunGlobalBundleAdjustment
+        # — FullInertialBA(7 it) on inertial maps, LoopClosing.cc:2886-2890)
         if self.cfg.run_global_ba:
             window = [int(x) for x in m.kf_ids()]
             anchor = [match_kf] if match_kf in window else window[:1]
             if self.cfg.async_gba and self.map_lock is not None:
                 self._launch_global_ba(window, anchor)
+            elif m.imu_initialized and self.imu_calib is not None:
+                from .inertial import run_full_inertial_ba
+                run_full_inertial_ba(m, self.cam, iters=self.cfg.gba_iters,
+                                     max_points=m.cfg.max_pt // 2,
+                                     max_obs=32768, calib=self.imu_calib)
             else:
                 run_local_ba(m, window, fixed=anchor, cam=self.cam,
                              iters=self.cfg.gba_iters,
@@ -439,6 +446,23 @@ class LoopCloser:
         # a new loop while GBA runs discards the stale run (mbStopGBA)
         self.abort_gba()
         m = self.map
+        if m.imu_initialized and self.imu_calib is not None:
+            # inertial map: the racing GBA is the full-map visual-inertial
+            # problem (reference: FullInertialBA on mpThreadGBA)
+            from .inertial import build_full_viba_problem
+            chain = [int(k) for k in m.temporal_chain()]
+            built = build_full_viba_problem(m, chain, self.imu_calib,
+                                            max_points=m.cfg.max_pt // 2,
+                                            max_obs=32768)
+            if built is None:
+                return
+            prob, meta = built
+            self._gba_abort = threading.Event()
+            self._gba_thread = threading.Thread(
+                target=self._gba_worker_inertial, args=(m, prob, meta),
+                daemon=True)
+            self._gba_thread.start()
+            return
         built = build_ba_problem(m, window, fixed=anchor,
                                  max_points=m.cfg.max_pt // 2, max_obs=32768)
         if built is None:
@@ -448,6 +472,49 @@ class LoopCloser:
         self._gba_thread = threading.Thread(
             target=self._gba_worker, args=(m, prob, meta), daemon=True)
         self._gba_thread.start()
+
+    def _gba_worker_inertial(self, m: MapStore, prob, meta):
+        """Chunked full-map visual-inertial GBA racing tracking; same abort
+        protocol as the visual worker. Sharded over all local devices when
+        more than one is present (visual observations psum-reduced)."""
+        from ..optim import vi_ba
+        from .inertial import GRAVITY_MAG
+        g = jnp.asarray(np.array([0.0, 0.0, -GRAVITY_MAG], np.float32))
+        R_cb = jnp.asarray(meta["R_bc"].T)
+        t_cb = jnp.asarray(meta["t_cb"])
+        res = None
+        done = 0
+        ndev = jax.device_count()
+        O = int(prob.obs_cam.shape[0])
+        solve = None
+        if self.cfg.dist_gba and ndev > 1 and O % ndev == 0:
+            from jax.sharding import Mesh
+            from ..parallel import dist_ba
+            mesh = Mesh(np.asarray(jax.devices()), (dist_ba.OBS_AXIS,))
+            dist = dist_ba.make_dist_viba_solve(mesh, self.cam,
+                                                iters=self.cfg.gba_chunk)
+            solve = lambda p: dist(p, R_cb, t_cb, g)
+        else:
+            solve = lambda p: vi_ba.vi_ba_solve(
+                p, self.cam, R_cb, t_cb, gravity=g,
+                iters=self.cfg.gba_chunk)
+        while done < self.cfg.gba_iters and not self._gba_abort.is_set():
+            res = solve(prob)
+            prob = prob._replace(R_wb=res.R_wb, p_w=res.p_w, v_w=res.v_w,
+                                 bg=res.bg, ba=res.ba, points=res.points)
+            done += self.cfg.gba_chunk
+        if res is None or self._gba_abort.is_set():
+            self.n_gba_aborted += 1
+            return
+        while not self.map_lock.acquire(timeout=0.1):
+            if self._gba_abort.is_set():
+                self.n_gba_aborted += 1
+                return
+        try:
+            apply_vi_gba_with_propagation(m, meta, res)
+            self.n_gba_runs += 1
+        finally:
+            self.map_lock.release()
 
     def _gba_worker(self, m: MapStore, prob, meta):
         """Chunked LM solve with an abort check between chunks (the jit'd
@@ -691,7 +758,32 @@ def count_projection_matches(mk: MapStore, k: int, mc: MapStore, c: int,
     return len(pt_ids)
 
 
-def apply_gba_with_propagation(m: MapStore, meta: dict, res):
+def apply_vi_gba_with_propagation(m: MapStore, meta: dict, res):
+    """Apply a full-map inertial GBA result (VIBAResult, body states) with
+    the same late-keyframe/point propagation as the visual path, plus
+    velocity/bias write-back (reference: the mVwbGBA handling in
+    RunGlobalBundleAdjustment, LoopClosing.cc:2940-3050)."""
+    from .inertial import camera_from_body
+    n_real = meta["n_real"]
+    R_bc, t_bc = meta["R_bc"], meta["t_bc"]
+    R_wb, p_w, v_w, bg_o, ba_o = jax.device_get(
+        (res.R_wb, res.p_w, res.v_w, res.bg, res.ba))
+    if not np.isfinite(p_w[:n_real]).all():
+        return
+    kf_R = np.empty((n_real, 3, 3), np.float32)
+    kf_t = np.empty((n_real, 3), np.float32)
+    for i in range(n_real):
+        kf_R[i], kf_t[i] = camera_from_body(R_wb[i], p_w[i], R_bc, t_bc)
+    res_cam = ba.BAResult(kf_R=kf_R, kf_t=kf_t,
+                          points=np.asarray(res.points),
+                          obs_inlier=np.asarray(res.obs_inlier),
+                          cost=np.asarray(res.cost))
+    apply_gba_with_propagation(
+        m, meta, res_cam,
+        vi=(v_w[:n_real], bg_o[:n_real], ba_o[:n_real]))
+
+
+def apply_gba_with_propagation(m: MapStore, meta: dict, res, vi=None):
     """Write a finished global-BA result into a map that kept evolving
     while the solve ran (reference: the correction loop at the end of
     LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:1530-1620).
@@ -703,6 +795,10 @@ def apply_gba_with_propagation(m: MapStore, meta: dict, res):
     the world->camera convention, applied in id order so anchors are
     corrected first. Points outside the snapshot ride their reference
     keyframe: x_new = Twc_ref_new . Tcw_ref_bef . x.
+
+    vi: optional (vel, bg, ba) arrays aligned with meta["cams"] — snapshot
+    keyframes take the optimized inertial states; late keyframes get their
+    world-frame velocity rotated by their own pose correction.
     """
     cams, n_real = meta["cams"], meta["n_real"]
     pt_ids = np.asarray(meta["pt_ids"])
@@ -719,6 +815,7 @@ def apply_gba_with_propagation(m: MapStore, meta: dict, res):
     if not done.any():
         return
 
+    late = []
     for c in np.where(m.kf_valid & ~done)[0]:   # increasing id order
         a = int(m.kf_prev[c])
         if a < 0 or not done[a]:
@@ -731,6 +828,19 @@ def apply_gba_with_propagation(m: MapStore, meta: dict, res):
         new_R[c] = Rrel @ new_R[a]
         new_t[c] = Rrel @ new_t[a] + trel
         done[c] = True
+        late.append(c)
+
+    if vi is not None:
+        v_all, bg_all, ba_all = vi
+        for i, c in enumerate(cams):
+            if m.kf_valid[c]:
+                m.kf_vel[c] = v_all[i]
+                m.kf_bg[c] = bg_all[i]
+                m.kf_ba[c] = ba_all[i]
+        # late keyframes: world-frame velocity rotated by the pose
+        # correction (w_new = R_cw_new^T R_cw_old w_old)
+        for c in late:
+            m.kf_vel[c] = (new_R[c].T @ bef_R[c]) @ m.kf_vel[c]
 
     # snapshot points -> optimized positions (only those still alive)
     alive = m.pt_valid[pt_ids]

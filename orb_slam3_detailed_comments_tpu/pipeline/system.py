@@ -161,6 +161,10 @@ class System:
         # in async mode the post-closure global BA races tracking on its
         # own thread (reference: mpThreadGBA) and applies under the map lock
         self.loop_closer.map_lock = self.map_lock
+        if self.inertial:
+            # post-loop GBA becomes the full-map visual-inertial problem
+            # (reference: FullInertialBA in RunGlobalBundleAdjustment)
+            self.loop_closer.imu_calib = self.tracker.imu.calib
 
     @classmethod
     def from_settings(cls, s, sensor: int = MONOCULAR, **overrides):
@@ -509,7 +513,7 @@ class System:
         """Staged IMU initialization (reference: LocalMapping.cc:236-310:
         InitializeIMU with decreasing priors, then VIBA1 at t>5 s and VIBA2
         at t>15 s)."""
-        from .inertial import try_initialize_imu, run_local_inertial_ba
+        from .inertial import try_initialize_imu, run_full_inertial_ba
         m = self.map
         imu = self.tracker.imu
         # stereo/RGB-D maps are already metric: hold scale at 1 (reference:
@@ -523,9 +527,12 @@ class System:
                 return
             R_wg, s = out
             self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
-            run_local_inertial_ba(m, self.cam, window=16,
-                                  prior_gyro=1e2, prior_acc=1e6,
-                                  calib=imu.calib)
+            # full-map visual-inertial BA closes every IMU-init stage
+            # (reference: FullInertialBA(100 it) at InitializeIMU's end,
+            # LocalMapping.cc:1760-1800)
+            run_full_inertial_ba(m, self.cam, iters=12,
+                                 prior_gyro=1e2, prior_acc=1e6,
+                                 calib=imu.calib)
             self._viba_stage = 1
             self._t_init = ts
             return
@@ -537,9 +544,9 @@ class System:
             if out is not None:
                 R_wg, s = out
                 self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
-                run_local_inertial_ba(m, self.cam, window=16,
-                                      prior_gyro=1.0, prior_acc=1e5,
-                                      calib=imu.calib)
+                run_full_inertial_ba(m, self.cam, iters=12,
+                                     prior_gyro=1.0, prior_acc=1e5,
+                                     calib=imu.calib)
             self._viba_stage = 2
             m.imu_ba1 = True
         elif self._viba_stage == 2 and t_since > 15.0:
@@ -549,6 +556,9 @@ class System:
             if out is not None:
                 R_wg, s = out
                 self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
+                run_full_inertial_ba(m, self.cam, iters=12,
+                                     prior_gyro=0.0, prior_acc=0.0,
+                                     calib=imu.calib)
             self._viba_stage = 3
             m.imu_ba2 = True
         elif (self._viba_stage >= 3 and self.sensor == IMU_MONOCULAR

@@ -1,0 +1,216 @@
+"""Full-map visual-inertial BA (FullInertialBA) tests.
+
+Covers the reference's Optimizer::FullInertialBA (src/Optimizer.cc:3237)
+uses: the full-chain solve through the map store (IMU-init stages,
+LocalMapping.cc:1760-1800), the post-loop inertial global BA with the
+racing-thread protocol (LoopClosing.cc:2886-2890) — checking that
+velocities/biases come out CONSISTENT with the corrected poses
+(preintegration residuals small) — and the observation-sharded multi-device
+solve (psum-reduced visual partials).
+"""
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_detailed_comments_tpu.imu import factors
+from orb_slam3_detailed_comments_tpu.imu import preintegration as pre
+from orb_slam3_detailed_comments_tpu.lie import so3
+from orb_slam3_detailed_comments_tpu.mapping.mapstore import MapConfig, MapStore
+from orb_slam3_detailed_comments_tpu.models import cameras
+from orb_slam3_detailed_comments_tpu.optim import vi_ba
+
+from synthetic import CAM
+from test_imu import simulate_imu, CAL
+from test_vi_ba import build_vi_problem
+
+
+def build_inertial_map(rng, n_kf=10, n_pts=200, pose_noise=0.02,
+                       vel_noise=0.25):
+    """An inertial MapStore on a simulated trajectory: exact preintegration
+    chains between keyframes, noisy projections as feature observations,
+    states perturbed away from truth (gauge keyframe 0 exact)."""
+    sim = simulate_imu(rng, n=n_kf * 40, dt=0.005)
+    kf_idx = np.arange(0, n_kf * 40 + 1, 40)
+    C = len(kf_idx)
+    R_wb = sim["R"][kf_idx].astype(np.float32)
+    p_w = sim["p"][kf_idx].astype(np.float32)
+    v_w = sim["v"][kf_idx].astype(np.float32)
+
+    pts = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+                    rng.uniform(4, 9, n_pts)], 1).astype(np.float32)
+
+    N = 256
+    m = MapStore(MapConfig(max_kf=32, max_pt=512, n_feat=N))
+    m.pt_xyz[:n_pts] = pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+    m.pt_valid[:n_pts] = True
+    m.pt_ref_kf[:n_pts] = 0
+    m.pt_desc[:n_pts] = rng.integers(0, 2 ** 32, (n_pts, 8), dtype=np.uint32)
+
+    kf_ids = []
+    for c in range(C):
+        # identity body-camera extrinsic: T_cw = (R_wb^T, -R_wb^T p)
+        R_cw = R_wb[c].T
+        t_cw = -R_cw @ p_w[c]
+        if c > 0:  # perturb all but the gauge keyframe
+            R_cw = R_cw @ np.asarray(so3.exp(jnp.asarray(
+                rng.normal(0, pose_noise, 3), jnp.float32)))
+            t_cw = t_cw + rng.normal(0, pose_noise, 3).astype(np.float32)
+        xc = pts @ R_wb[c] - (R_wb[c].T @ p_w[c])  # true camera coords
+        uv = np.asarray(cameras.project(CAM, jnp.asarray(xc))).copy()
+        uv += rng.normal(0, 0.4, uv.shape)
+        vis = (xc[:, 2] > 0.5) & np.asarray(
+            cameras.in_image(CAM, jnp.asarray(uv)))
+        sel = np.where(vis)[0][:N]
+        fp = np.full(N, -1, np.int32)
+        fp[: len(sel)] = sel
+        xy = np.zeros((N, 2), np.float32)
+        xy[: len(sel)] = uv[sel]
+        val = np.zeros(N, bool)
+        val[: len(sel)] = True
+        k = m.add_keyframe(
+            R_cw.astype(np.float32), t_cw.astype(np.float32),
+            float(kf_idx[c]) * 0.005, c, xy, np.zeros((N, 2), np.float32),
+            np.zeros(N, np.int32), np.zeros(N, np.float32),
+            np.zeros((N, 8), np.uint32), val, fp)
+        kf_ids.append(k)
+        m.kf_vel[k] = v_w[c] + rng.normal(0, vel_noise, 3) * (c > 0)
+        if c > 0:
+            a, b = kf_idx[c - 1], kf_idx[c]
+            P = pre.integrate(jnp.asarray(sim["acc"][a:b]),
+                              jnp.asarray(sim["gyro"][a:b]),
+                              jnp.asarray(sim["dt"][a:b]), CAL)
+            m.set_kf_preintegration(k, P, kf_ids[c - 1])
+    m.imu_initialized = True
+    truth = dict(R_wb=R_wb, p=p_w, v=v_w, g=sim["g"], kf_ids=kf_ids)
+    return m, truth
+
+
+def chain_preintegration_residuals(m, calib=CAL):
+    """Max norm of the 9-dof preintegration residual along the temporal
+    chain, evaluated at the map's current states (identity extrinsic)."""
+    chain = [int(k) for k in m.temporal_chain()]
+    g = jnp.asarray(np.array([0.0, 0.0, -9.81], np.float32))
+    worst = 0.0
+    for a, b in zip(chain[:-1], chain[1:]):
+        if m.kf_prev[b] != a or m.kf_pre_dT[b] <= 0:
+            continue
+        P = jax.tree.map(lambda x: x[0], m.get_kf_preintegration([b]))
+        R_i, p_i = m.kf_R[a].T, -m.kf_R[a].T @ m.kf_t[a]
+        R_j, p_j = m.kf_R[b].T, -m.kf_R[b].T @ m.kf_t[b]
+        r = factors.inertial_residual(
+            jnp.asarray(R_i), jnp.asarray(p_i), jnp.asarray(m.kf_vel[a]),
+            jnp.asarray(R_j), jnp.asarray(p_j), jnp.asarray(m.kf_vel[b]),
+            jnp.asarray(m.kf_bg[a]), jnp.asarray(m.kf_ba[a]), P, g)
+        worst = max(worst, float(jnp.abs(r).max()))
+    return worst
+
+
+class TestFullInertialBA:
+    def test_full_chain_recovers_states(self, rng):
+        """run_full_inertial_ba over the whole temporal chain must pull
+        perturbed poses/velocities back to truth and leave the
+        preintegration residuals small (velocity/bias consistency)."""
+        from orb_slam3_detailed_comments_tpu.pipeline.inertial import (
+            run_full_inertial_ba)
+        m, truth = build_inertial_map(rng)
+        res0 = chain_preintegration_residuals(m)
+        err0 = max(
+            np.linalg.norm(-m.kf_R[k].T @ m.kf_t[k] - truth["p"][i])
+            for i, k in enumerate(truth["kf_ids"]))
+        run_full_inertial_ba(m, CAM, iters=12, prior_gyro=1.0,
+                             prior_acc=1e4, calib=CAL)
+        err1 = max(
+            np.linalg.norm(-m.kf_R[k].T @ m.kf_t[k] - truth["p"][i])
+            for i, k in enumerate(truth["kf_ids"]))
+        assert err1 < 0.25 * err0, (err0, err1)
+        v_err = max(np.linalg.norm(m.kf_vel[k] - truth["v"][i])
+                    for i, k in enumerate(truth["kf_ids"]))
+        assert v_err < 0.08, v_err
+        res1 = chain_preintegration_residuals(m)
+        assert res1 < 0.25 * res0, (res0, res1)
+        assert res1 < 0.05, res1
+
+    def test_post_loop_inertial_gba_reconciles_velocities(self, rng):
+        """The racing post-loop GBA on an inertial map must be the full
+        visual-inertial problem: after it lands, velocities/biases are
+        consistent with the corrected poses (reference: FullInertialBA in
+        RunGlobalBundleAdjustment, LoopClosing.cc:2886-2890). A
+        visual-only GBA cannot do this — it never touches velocities."""
+        from orb_slam3_detailed_comments_tpu.pipeline.loop_closing import (
+            LoopCloser, LoopClosingConfig)
+        m, truth = build_inertial_map(rng, vel_noise=0.4)
+        v_before = m.kf_vel.copy()
+        res0 = chain_preintegration_residuals(m)
+        lc = LoopCloser(m, CAM, kfdb=None,
+                        cfg=LoopClosingConfig(async_gba=True, gba_iters=10,
+                                              gba_chunk=5, dist_gba=False))
+        lc.map_lock = threading.RLock()
+        lc.imu_calib = CAL
+        window = [int(k) for k in m.kf_ids()]
+        lc._launch_global_ba(window, anchor=window[:1])
+        lc.wait_gba()
+        assert lc.n_gba_runs == 1 and lc.n_gba_aborted == 0
+        assert (m.kf_vel != v_before).any()   # velocities were optimized
+        res1 = chain_preintegration_residuals(m)
+        assert res1 < 0.25 * res0, (res0, res1)
+        v_err = max(np.linalg.norm(m.kf_vel[k] - truth["v"][i])
+                    for i, k in enumerate(truth["kf_ids"]))
+        assert v_err < 0.1, v_err
+
+    def test_abort_discards_inertial_gba(self, rng):
+        from orb_slam3_detailed_comments_tpu.pipeline.loop_closing import (
+            LoopCloser, LoopClosingConfig)
+        m, _ = build_inertial_map(rng)
+        snap_t = m.kf_t.copy()
+        snap_v = m.kf_vel.copy()
+        lc = LoopCloser(m, CAM, kfdb=None,
+                        cfg=LoopClosingConfig(async_gba=True, gba_iters=400,
+                                              gba_chunk=1, dist_gba=False))
+        lc.map_lock = threading.RLock()
+        lc.imu_calib = CAL
+        lc._launch_global_ba([int(k) for k in m.kf_ids()], anchor=[0])
+        lc.abort_gba()
+        assert lc.n_gba_aborted >= 1
+        np.testing.assert_array_equal(m.kf_t, snap_t)
+        np.testing.assert_array_equal(m.kf_vel, snap_v)
+
+
+class TestDistVIBA:
+    def test_sharded_matches_single_device(self, rng):
+        """make_dist_viba_solve over the 8-device mesh must match the
+        single-device vi_ba_solve (the psum-reduced visual partials are
+        numerically the same sums)."""
+        from jax.sharding import Mesh
+        from orb_slam3_detailed_comments_tpu.parallel import dist_ba
+        prob, truth = build_vi_problem(rng)
+        # pad observations to a multiple of the device count
+        ndev = jax.device_count()
+        O = int(prob.obs_cam.shape[0])
+        Opad = ((O + ndev - 1) // ndev) * ndev
+        padn = Opad - O
+
+        def pad(x, fill=0):
+            x = np.asarray(x)
+            return jnp.asarray(np.concatenate(
+                [x, np.full((padn, *x.shape[1:]), fill, x.dtype)]))
+
+        prob = prob._replace(
+            obs_cam=pad(prob.obs_cam), obs_pt=pad(prob.obs_pt),
+            obs_uv=pad(prob.obs_uv), obs_w=pad(prob.obs_w),
+            obs_valid=pad(prob.obs_valid, False))
+        g = jnp.asarray(truth["g"], jnp.float32)
+        ref = vi_ba.vi_ba_solve(prob, CAM, jnp.eye(3), jnp.zeros(3),
+                                gravity=g, prior_gyro=1.0, prior_acc=1e4,
+                                iters=6)
+        mesh = Mesh(np.asarray(jax.devices()), (dist_ba.OBS_AXIS,))
+        solve = dist_ba.make_dist_viba_solve(mesh, CAM, iters=6,
+                                             prior_gyro=1.0, prior_acc=1e4)
+        out = solve(prob, jnp.eye(3), jnp.zeros(3), g)
+        np.testing.assert_allclose(np.asarray(out.p_w), np.asarray(ref.p_w),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out.v_w), np.asarray(ref.v_w),
+                                   atol=2e-2)
+        p_err = np.linalg.norm(np.asarray(out.p_w) - truth["p"], axis=1)
+        assert p_err.max() < 0.03, p_err
