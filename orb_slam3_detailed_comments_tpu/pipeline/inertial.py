@@ -422,6 +422,92 @@ def run_full_inertial_ba(m: MapStore, cam, iters: int = 10,
     apply_viba_result(m, meta, res)
 
 
+def run_merge_inertial_ba(m: MapStore, cam, k: int, c: int,
+                          calib: Optional[ImuCalib], nd: int = 6,
+                          iters: int = 8, max_points: int = 2048,
+                          max_obs: int = 8192):
+    """Visual-inertial weld refinement after a map merge (reference:
+    Optimizer::MergeInertialBA, Optimizer.cc:6017, called from MergeLocal /
+    MergeLocal2, LoopClosing.cc:2127,2618): an Nd-keyframe temporal window
+    ending at the current keyframe k and a 2*Nd-bounded temporal window
+    around the welded match c optimize full 15-dof body states with
+    preintegration edges inside each sub-chain (the weld junction itself has
+    no preintegration, so no cross-chain edge forms); the temporal
+    predecessor of each window is held fixed.
+
+    Returns the list of keyframe ids that were optimized or fixed (the weld
+    window handed to run_merge_essential_graph as its fixed set), or None
+    when no inertial problem could be built (caller falls back to the
+    visual weld BA)."""
+    if not m.imu_initialized:
+        return None
+
+    def back_chain(start: int, count: int):
+        out = [int(start)]
+        while len(out) < count:
+            p = int(m.kf_prev[out[-1]])
+            if p < 0 or not m.kf_valid[p]:
+                break
+            out.append(p)
+        return out
+
+    # successor links derived from kf_prev (the store keeps prev only)
+    next_of = {}
+    for b in m.kf_ids():
+        p = int(m.kf_prev[b])
+        if p >= 0:
+            next_of[p] = int(b)
+
+    # current-side window: k and its Nd-1 temporal predecessors, anchored
+    # by one more fixed predecessor (reference steps 1.1-1.2)
+    win_k = back_chain(k, nd)
+    p = int(m.kf_prev[win_k[-1]])
+    if p >= 0 and m.kf_valid[p]:
+        fix_k = [p]
+    else:
+        fix_k = [win_k.pop()]
+        if not win_k:
+            return None
+    # merge-side window: c, Nd/2 predecessors, then successors up to 2*Nd
+    # total, anchored likewise (reference steps 2.1-2.5)
+    win_c = back_chain(c, nd // 2 + 1)
+    p = int(m.kf_prev[win_c[-1]])
+    if p >= 0 and m.kf_valid[p]:
+        fix_c = [p]
+    else:
+        fix_c = [win_c.pop()]
+        if not win_c:
+            return None
+    nxt = next_of.get(int(c), -1)
+    while len(win_c) < 2 * nd and nxt >= 0 and nxt not in win_k:
+        win_c.append(int(nxt))
+        nxt = next_of.get(int(nxt), -1)
+
+    # temporally ordered per sub-chain (oldest first) so build_viba_problem
+    # links consecutive prev-connected pairs; the c-chain precedes the
+    # k-chain, and the junction pair fails the prev check -> no edge
+    chain_c = sorted(set(fix_c + win_c), key=lambda x: m.kf_ts[x])
+    chain_k = sorted(set(fix_k + win_k), key=lambda x: m.kf_ts[x])
+    if set(chain_c) & set(chain_k):
+        return None   # overlapping windows: fall back to the visual BA
+    kfs = chain_c + chain_k
+    fix = {chain_c[0], chain_k[0]} | set(fix_c) | set(fix_k)
+    built = build_viba_problem(m, kfs, fix, calib,
+                               max_points=max_points, max_obs=max_obs,
+                               e_cap=2 * nd + 8)
+    if built is None:
+        return None
+    prob, meta = built
+    from ..optim import vi_ba
+    g = np.array([0.0, 0.0, -GRAVITY_MAG], np.float32)
+    res = vi_ba.vi_ba_solve(prob, cam, jnp.asarray(meta["R_bc"].T),
+                            jnp.asarray(meta["t_cb"]),
+                            gravity=jnp.asarray(g), iters=iters)
+    if not apply_viba_result(m, meta, res):
+        return None
+    return kfs
+
+
 def build_full_viba_problem(m: MapStore, kfs: list,
                             calib: Optional[ImuCalib],
                             max_points: int = 4096, max_obs: int = 16384):

@@ -319,24 +319,9 @@ class LoopCloser:
         s0[widx] = sc
 
         # essential graph edges: strong covisibility + the sequential chain
-        # (pre-correction measurements). Batched host math — the per-pair
-        # Sim3 composes this replaces were O(K^2) device round-trips.
-        covm = m.covisibility_matrix()
-        ai, bi = np.triu_indices(K, 1)
-        keep = ((covm[kf_ids[ai], kf_ids[bi]]
-                 >= self.cfg.covis_edge_min_weight) | (bi == ai + 1))
-        ai, bi = ai[keep], bi[keep]
-        Ra, ta = m.kf_R[kf_ids[ai]], m.kf_t[kf_ids[ai]]
-        Rb, tb = m.kf_R[kf_ids[bi]], m.kf_t[kf_ids[bi]]
-        # Sa ∘ Sb^-1 at unit scale: R = Ra Rb^T, t = ta - R tb
-        Rrel = np.einsum("nij,nkj->nik", Ra, Rb)
-        trel = ta - np.einsum("nij,nj->ni", Rrel, tb)
-        ei = [int(x) for x in ai]
-        ej = [int(x) for x in bi]
-        eR = list(Rrel)
-        et = list(trel)
-        es = [1.0] * len(ei)
-        ew = [1.0] * len(ei)
+        # (pre-correction measurements)
+        ei, ej, eR, et, es, ew = _chain_covis_edges(
+            m, kf_ids, m.kf_R, m.kf_t, self.cfg.covis_edge_min_weight)
         # loop edge k <-> match_kf with the verified relative similarity
         Sc_m = Sim3(jnp.asarray(m.kf_R[match_kf]), jnp.asarray(m.kf_t[match_kf]),
                     jnp.asarray(1.0))
@@ -348,70 +333,10 @@ class LoopCloser:
         fixed = np.zeros(K, bool)
         fixed[slot[match_kf]] = True
 
-        # bucket K and E so the pose-graph jit compiles once per bucket
-        Kp = ((K + 15) // 16) * 16
-        Ep = ((len(ei) + 127) // 128) * 128
-        padK = Kp - K
-        padE = Ep - len(ei)
-        R0p = np.concatenate([R0, np.tile(np.eye(3, dtype=np.float32), (padK, 1, 1))])
-        t0p = np.concatenate([t0, np.zeros((padK, 3), np.float32)])
-        s0p = np.concatenate([s0, np.ones(padK, np.float32)])
-        fixedp = np.concatenate([fixed, np.ones(padK, bool)])
-        eip = np.concatenate([ei, np.zeros(padE, np.int64)])
-        ejp = np.concatenate([ej, np.zeros(padE, np.int64)])
-        eRp = np.concatenate([np.stack(eR),
-                              np.tile(np.eye(3, dtype=np.float32), (padE, 1, 1))])
-        etp = np.concatenate([np.stack(et), np.zeros((padE, 3), np.float32)])
-        esp = np.concatenate([es, np.ones(padE, np.float32)])
-        ewp = np.concatenate([ew, np.zeros(padE, np.float32)])
-
-        from ..optim import pose_graph
-        if m.imu_initialized:
-            # metric + gravity-aligned map: optimize yaw and translation only
-            # (reference: OptimizeEssentialGraph4DoF for inertial maps,
-            # LoopClosing.cc:1540)
-            res = pose_graph.optimize_4dof_graph(
-                jnp.asarray(R0p), jnp.asarray(t0p),
-                jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
-                jnp.asarray(eRp), jnp.asarray(etp / np.maximum(
-                    esp[:, None], 1e-9)),
-                jnp.asarray(ewp, jnp.float32),
-                jnp.asarray(fixedp), iters=15)
-        else:
-            res = pose_graph.optimize_sim3_graph(
-                jnp.asarray(R0p), jnp.asarray(t0p), jnp.asarray(s0p),
-                jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
-                jnp.asarray(eRp), jnp.asarray(etp),
-                jnp.asarray(esp, jnp.float32), jnp.asarray(ewp, jnp.float32),
-                jnp.asarray(fixedp), iters=15,
-                fix_scale=self.cfg.fix_scale)
-
-        # apply: correct map points through their reference KF's correction
-        # (reference: CorrectLoop's eigSwc-based point update)
-        R_all, t_all, s_all = jax.device_get((res.R, res.t, res.s))
-        R_new, t_new, s_new = R_all[:K], t_all[:K], s_all[:K]
-        pts = np.where(m.pt_valid)[0]
-        ref = m.pt_ref_kf[pts]
-        # points whose ref KF is not alive are re-anchored to any observer
-        for i, p in enumerate(pts):
-            if ref[i] not in slot:
-                obs = m.point_observers(p)
-                ref[i] = obs[0] if len(obs) else kf_ids[0]
-        ref_slots = np.asarray([slot[int(r)] for r in ref])
-        S_old = Sim3(jnp.asarray(m.kf_R[kf_ids][ref_slots]),
-                     jnp.asarray(m.kf_t[kf_ids][ref_slots]),
-                     jnp.ones(len(pts)))
-        S_new = Sim3(jnp.asarray(R_new[ref_slots]), jnp.asarray(t_new[ref_slots]),
-                     jnp.asarray(s_new[ref_slots]))
-        x_local = S_old.apply(jnp.asarray(m.pt_xyz[pts]))
-        x_corr = S_new.inverse().apply(x_local)
-        m.pt_xyz[pts] = np.asarray(x_corr)
-
-        # write keyframe poses: fold scale into translation (SE3 map store)
-        m.kf_R[kf_ids] = R_new
-        m.kf_t[kf_ids] = t_new / np.maximum(s_new[:, None], 1e-9)
-        m.version += 1
-        m.big_change_idx += 1
+        R_new, t_new, s_new = _solve_essential_graph(
+            R0, t0, s0, fixed, ei, ej, eR, et, es, ew,
+            inertial=m.imu_initialized, fix_scale=self.cfg.fix_scale)
+        _apply_pose_graph(m, kf_ids, slot, R_new, t_new, s_new)
 
         # fuse duplicated points around the loop (reference: SearchAndFuse)
         self._fuse_loop_points(k, match_kf)
@@ -623,6 +548,148 @@ class LoopCloser:
             valid, fidx = jax.device_get((res.valid, res.idx))
             sel = np.where(valid)[0]
             m.fuse_observations(w, ids[sel], fidx[sel])
+
+
+def _chain_covis_edges(m: MapStore, kf_ids, R_src, t_src, min_weight: int):
+    """Essential-graph edge set: strong covisibility (weight >= min_weight)
+    + the sequential chain, with relative-pose measurements Sa ∘ Sb^-1 at
+    unit scale (R = Ra Rb^T, t = ta - R tb) taken from the (R_src, t_src)
+    pose snapshot. Batched host math — per-pair Sim3 composes would be
+    O(K^2) device round-trips. Returns (ei, ej, eR, et, es, ew) lists over
+    slot indices into kf_ids."""
+    K = len(kf_ids)
+    covm = m.covisibility_matrix()
+    ai, bi = np.triu_indices(K, 1)
+    keep = ((covm[kf_ids[ai], kf_ids[bi]] >= min_weight) | (bi == ai + 1))
+    ai, bi = ai[keep], bi[keep]
+    Ra, ta = R_src[kf_ids[ai]], t_src[kf_ids[ai]]
+    Rb, tb = R_src[kf_ids[bi]], t_src[kf_ids[bi]]
+    Rrel = np.einsum("nij,nkj->nik", Ra, Rb)
+    trel = ta - np.einsum("nij,nj->ni", Rrel, tb)
+    return ([int(x) for x in ai], [int(x) for x in bi],
+            list(Rrel), list(trel), [1.0] * len(ai), [1.0] * len(ai))
+
+
+def _solve_essential_graph(R0, t0, s0, fixed, ei, ej, eR, et, es, ew,
+                           inertial: bool, fix_scale: bool, iters: int = 15):
+    """Pad a pose-graph problem to compile buckets and solve it: Sim3 graph
+    for visual maps, 4DoF (yaw + translation) for gravity-aligned inertial
+    maps (reference: OptimizeEssentialGraph / OptimizeEssentialGraph4DoF).
+    Returns optimized (R, t, s) numpy arrays over the K real keyframes."""
+    from ..optim import pose_graph
+    K = len(R0)
+    # bucket K and E so the pose-graph jit compiles once per bucket
+    Kp = ((K + 15) // 16) * 16
+    Ep = ((len(ei) + 127) // 128) * 128
+    padK = Kp - K
+    padE = Ep - len(ei)
+    R0p = np.concatenate([R0, np.tile(np.eye(3, dtype=np.float32), (padK, 1, 1))])
+    t0p = np.concatenate([t0, np.zeros((padK, 3), np.float32)])
+    s0p = np.concatenate([s0, np.ones(padK, np.float32)])
+    fixedp = np.concatenate([fixed, np.ones(padK, bool)])
+    eip = np.concatenate([ei, np.zeros(padE, np.int64)])
+    ejp = np.concatenate([ej, np.zeros(padE, np.int64)])
+    eRp = np.concatenate([np.stack(eR),
+                          np.tile(np.eye(3, dtype=np.float32), (padE, 1, 1))])
+    etp = np.concatenate([np.stack(et), np.zeros((padE, 3), np.float32)])
+    esp = np.concatenate([es, np.ones(padE, np.float32)])
+    ewp = np.concatenate([ew, np.zeros(padE, np.float32)])
+
+    if inertial:
+        # metric + gravity-aligned map: optimize yaw and translation only
+        # (reference: OptimizeEssentialGraph4DoF for inertial maps,
+        # LoopClosing.cc:1540)
+        res = pose_graph.optimize_4dof_graph(
+            jnp.asarray(R0p), jnp.asarray(t0p),
+            jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
+            jnp.asarray(eRp),
+            jnp.asarray(etp / np.maximum(esp[:, None], 1e-9)),
+            jnp.asarray(ewp, jnp.float32),
+            jnp.asarray(fixedp), iters=iters)
+    else:
+        res = pose_graph.optimize_sim3_graph(
+            jnp.asarray(R0p), jnp.asarray(t0p), jnp.asarray(s0p),
+            jnp.asarray(eip, jnp.int32), jnp.asarray(ejp, jnp.int32),
+            jnp.asarray(eRp), jnp.asarray(etp),
+            jnp.asarray(esp, jnp.float32), jnp.asarray(ewp, jnp.float32),
+            jnp.asarray(fixedp), iters=iters, fix_scale=fix_scale)
+    R_all, t_all, s_all = jax.device_get((res.R, res.t, res.s))
+    return R_all[:K], t_all[:K], s_all[:K]
+
+
+def _apply_pose_graph(m: MapStore, kf_ids, slot, R_new, t_new, s_new):
+    """Write optimized keyframe similarities into the SE3 map store (scale
+    folded into translation), propagate points through their reference
+    keyframe's correction (reference: CorrectLoop's eigSwc-based point
+    update), and on inertial maps rotate keyframe velocities with the pose
+    correction (reference: the Rcor * velocity updates in CorrectLoop /
+    OptimizeEssentialGraph4DoF application)."""
+    pts = np.where(m.pt_valid)[0]
+    ref = m.pt_ref_kf[pts]
+    # points whose ref KF is not alive are re-anchored to any observer
+    for i, p in enumerate(pts):
+        if ref[i] not in slot:
+            obs = m.point_observers(p)
+            ref[i] = obs[0] if len(obs) else kf_ids[0]
+    ref_slots = np.asarray([slot[int(r)] for r in ref])
+    S_old = Sim3(jnp.asarray(m.kf_R[kf_ids][ref_slots]),
+                 jnp.asarray(m.kf_t[kf_ids][ref_slots]),
+                 jnp.ones(len(pts)))
+    S_new = Sim3(jnp.asarray(R_new[ref_slots]), jnp.asarray(t_new[ref_slots]),
+                 jnp.asarray(s_new[ref_slots]))
+    x_local = S_old.apply(jnp.asarray(m.pt_xyz[pts]))
+    x_corr = S_new.inverse().apply(x_local)
+    m.pt_xyz[pts] = np.asarray(x_corr)
+
+    if m.imu_initialized:
+        # world-frame velocity follows the world re-labeling of its KF:
+        # v' = R_new^T R_old v (reference Rcor)
+        Rcor = np.einsum("nji,njk->nik", R_new, m.kf_R[kf_ids])
+        m.kf_vel[kf_ids] = np.einsum("nij,nj->ni", Rcor, m.kf_vel[kf_ids])
+
+    # write keyframe poses: fold scale into translation (SE3 map store)
+    m.kf_R[kf_ids] = R_new
+    m.kf_t[kf_ids] = t_new / np.maximum(s_new[:, None], 1e-9)
+    m.version += 1
+    m.big_change_idx += 1
+
+
+def run_merge_essential_graph(m: MapStore, snap_R, snap_t, fixed_ids,
+                              inertial: bool = False, fix_scale: bool = False,
+                              covis_edge_min_weight: int = 100,
+                              iters: int = 15):
+    """Merge-variant essential graph (reference: the OptimizeEssentialGraph
+    merge overload, Optimizer.cc:5667, driven from MergeLocal at
+    LoopClosing.cc:2234): after the weld-window BA has refined the seam,
+    relax the REST of the merged map over covisibility + temporal-chain
+    edges whose measurements come from the pre-BA pose snapshot
+    (snap_R, snap_t), holding `fixed_ids` (the refined weld window + the
+    anchor map's keyframes) at their current poses — so the weld refinement
+    propagates to keyframes and points far from the seam."""
+    kf_ids = m.kf_ids()
+    K = len(kf_ids)
+    if K < 3:
+        return
+    slot = {int(x): i for i, x in enumerate(kf_ids)}
+    fixed = np.zeros(K, bool)
+    for f in fixed_ids:
+        if int(f) in slot:
+            fixed[slot[int(f)]] = True
+    if fixed.all() or not fixed.any():
+        return
+    ei, ej, eR, et, es, ew = _chain_covis_edges(
+        m, kf_ids, snap_R, snap_t, covis_edge_min_weight)
+    if not ei:
+        return
+    R0 = m.kf_R[kf_ids].copy()
+    t0 = m.kf_t[kf_ids].copy()
+    s0 = np.ones(K, np.float32)
+    R_new, t_new, s_new = _solve_essential_graph(
+        R0, t0, s0, fixed, ei, ej, eR, et, es, ew,
+        inertial=inertial, fix_scale=fix_scale, iters=iters)
+    if not np.isfinite(t_new).all():
+        return
+    _apply_pose_graph(m, kf_ids, slot, R_new, t_new, s_new)
 
 
 def _kf_feat(m: MapStore, k: int):

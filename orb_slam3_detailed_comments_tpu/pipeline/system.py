@@ -490,6 +490,8 @@ class System:
                 # (MergeLocal sets mbStopGBA); the merge rewrites the
                 # snapshot the solve was taken from
                 self.loop_closer.abort_gba()
+                act_kfs_before = [int(x) for x in act.kf_ids()]
+                other_inertial = bool(other.imu_initialized)
                 slot_map = self.atlas.merge_map_into_active(mid, S_ao)
                 # index the welded keyframes in the active map's database
                 for old, new in slot_map.items():
@@ -501,10 +503,33 @@ class System:
                 # keyframe (reference: MergeLocal's SearchAndFuse over the
                 # welded window, LoopClosing.cc:1590+ / 2689)
                 self.loop_closer._fuse_loop_points(k, slot_map[int(c)])
-                # weld-region refinement (reference: MergeLocal's local BA)
-                from .local_mapping import run_local_ba
-                window = [k] + list(slot_map.values())[:12]
-                run_local_ba(act, window, fixed=[k], cam=self.cam, iters=6)
+                # pose snapshot: the merge essential graph measures its
+                # edges against the pre-refinement (post-weld) geometry
+                snap_R, snap_t = act.kf_R.copy(), act.kf_t.copy()
+                # weld-region refinement: visual-inertial when both maps
+                # carry initialized IMU state (reference: MergeInertialBA,
+                # LoopClosing.cc:2127), else the visual welding BA
+                window = None
+                if (self.inertial and act.imu_initialized
+                        and other_inertial):
+                    from .inertial import run_merge_inertial_ba
+                    window = run_merge_inertial_ba(
+                        act, self.cam, k, slot_map[int(c)],
+                        self.tracker.imu.calib)
+                if window is None:
+                    from .local_mapping import run_local_ba
+                    window = [k] + list(slot_map.values())[:12]
+                    run_local_ba(act, window, fixed=[k], cam=self.cam,
+                                 iters=6)
+                # merge essential graph: spread the weld refinement to the
+                # rest of the merged map (reference: the merge overload of
+                # OptimizeEssentialGraph, LoopClosing.cc:2234)
+                from .loop_closing import run_merge_essential_graph
+                fixed_ids = set(act_kfs_before) | set(int(w) for w in window)
+                run_merge_essential_graph(
+                    act, snap_R, snap_t, fixed_ids,
+                    inertial=act.imu_initialized,
+                    fix_scale=self.loop_closer.cfg.fix_scale)
                 act.update_point_stats(np.where(act.pt_valid)[0])
                 return
 
