@@ -392,24 +392,40 @@ class MapStore:
             bg0=jnp.asarray(self.kf_pre_bg0[k]),
             ba0=jnp.asarray(self.kf_pre_ba0[k]))
 
-    def resolve_kf_pose(self, slot: int, epoch: int, max_hops: int = 8):
+    def resolve_kf_pose(self, slot: int, epoch: int):
         """World->camera pose of a (possibly culled) keyframe incarnation.
-        Follows tombstone chains; returns (R, t) or None if unresolvable."""
+        Follows tombstone chains of any depth (visited-set cycle guard —
+        long heavily-culled runs chain anchors dozens deep); on success the
+        chain is compressed to point straight at the live anchor, so replay
+        stays O(1) amortized. Returns (R, t) or None if unresolvable."""
+        key0 = (slot, epoch)
         R_acc = np.eye(3, dtype=np.float32)
         t_acc = np.zeros(3, np.float32)
-        for _ in range(max_hops):
+        seen = set()
+        while True:
             if self.kf_valid[slot] and self.kf_epoch[slot] == epoch:
+                if (slot, epoch) != key0 and key0 in self.tombstones:
+                    # path compression: re-anchor the original tombstone
+                    # directly on the live keyframe (equivalent composed
+                    # relative pose; scales correctly under
+                    # apply_scaled_rotation since t_acc is a sum of
+                    # rotated t_rel links, each of which scales)
+                    self.tombstones[key0] = (slot, epoch,
+                                             R_acc.copy(), t_acc.copy())
                 R = R_acc @ self.kf_R[slot]
                 t = R_acc @ self.kf_t[slot] + t_acc
                 return R, t
-            tomb = self.tombstones.get((slot, epoch))
+            key = (slot, epoch)
+            if key in seen:
+                return None
+            seen.add(key)
+            tomb = self.tombstones.get(key)
             if tomb is None:
                 return None
             s, e, R_rel, t_rel = tomb
             t_acc = R_acc @ t_rel + t_acc
             R_acc = R_acc @ R_rel
             slot, epoch = s, e
-        return None
 
     # ---- points ----------------------------------------------------------
 
