@@ -303,3 +303,97 @@ class TestInertialLoopGate:
         # keep gravity-aligned z rows intact up to the pose-graph solve)
         assert np.isfinite(m.kf_R[list(m.kf_ids())]).all()
         assert (m.kf_R != R_before).any()   # a correction was applied
+
+
+class TestPerCandidateConsistency:
+    """The consistency counter is per-REGION (reference mnLoopNumCoincidences,
+    LoopClosing.cc:383-760): a closure needs `consistency_needed` successive
+    geometric verifications of the SAME covisible region. Detections of
+    different places must restart the count — on self-similar scenes three
+    detections of three different walls must never trip a closure."""
+
+    def _closer(self):
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_tpu.lie import Sim3
+        from orb_slam3_detailed_comments_tpu.mapping.mapstore import (
+            MapConfig, MapStore)
+        from orb_slam3_detailed_comments_tpu.pipeline import (
+            loop_closing as lc_mod)
+        m = MapStore(MapConfig(max_kf=32, max_pt=256, n_feat=64))
+        # 12 keyframes with no shared observations: every candidate's
+        # covisible region is just itself, so regions are pairwise disjoint
+        for c in range(12):
+            m.add_keyframe(np.eye(3, dtype=np.float32),
+                           np.array([0.1 * c, 0, 0], np.float32), 0.1 * c, c,
+                           np.zeros((64, 2), np.float32),
+                           np.zeros((64, 2), np.float32),
+                           np.zeros(64, np.int32), np.zeros(64, np.float32),
+                           np.zeros((64, 8), np.uint32), np.zeros(64, bool),
+                           np.full(64, -1, np.int32))
+
+        class _NullDB:
+            def add(self, *a, **k):
+                pass
+
+        closer = lc_mod.LoopCloser(m, CAM, _NullDB())
+        S_id = Sim3(jnp.eye(3), jnp.zeros(3), jnp.asarray(1.0))
+        calls = []
+        closer._correct_loop = lambda k, c, S: calls.append((k, c)) or True
+        return closer, lc_mod, S_id, calls
+
+    def test_three_different_places_never_close(self, monkeypatch):
+        closer, lc_mod, S_id, calls = self._closer()
+        monkeypatch.setattr(lc_mod, "count_projection_matches",
+                            lambda *a, **k: 1000)
+        seq = iter(range(6))  # a different region every keyframe
+        closer._detect = lambda k: (next(seq), S_id)
+        closer._refine_from_last_kf = lambda k: None  # propagation never holds
+        for k in range(6, 12):
+            assert closer.process_keyframe(k) is False
+        assert calls == []
+        assert closer.n_loops_closed == 0
+
+    def test_same_region_verified_thrice_closes(self, monkeypatch):
+        closer, lc_mod, S_id, calls = self._closer()
+        monkeypatch.setattr(lc_mod, "count_projection_matches",
+                            lambda *a, **k: 1000)
+        closer._detect = lambda k: (0, S_id)
+        closer._refine_from_last_kf = lambda k: (0, S_id)
+        out = [closer.process_keyframe(k) for k in (6, 7, 8)]
+        # counts 1 (BoW detect), 2, 3 (propagation) -> closes on the third
+        assert out == [False, False, True]
+        assert len(calls) == 1 and closer.n_loops_closed == 1
+
+    def test_one_propagation_miss_survives(self, monkeypatch):
+        """mnLoopNumNotFoundLoop: the chain tolerates max_not_found-1
+        consecutive propagation misses without restarting the count."""
+        closer, lc_mod, S_id, calls = self._closer()
+        monkeypatch.setattr(lc_mod, "count_projection_matches",
+                            lambda *a, **k: 1000)
+        hits = iter([None, (0, S_id), (0, S_id)])  # miss at the 2nd KF
+        closer._detect = lambda k: (0, S_id)
+        first = [True]
+
+        def refine(k):
+            return next(hits)
+
+        closer._refine_from_last_kf = refine
+        # k=6 seeds via _detect (count 1); k=7 propagation misses AND
+        # _detect re-finds the same region (count 2); k=8, k=9 propagate
+        assert closer.process_keyframe(6) is False
+        assert closer.process_keyframe(7) is False
+        assert closer.process_keyframe(8) is True
+        assert closer.n_loops_closed == 1
+
+    def test_final_projection_gate_rejects(self, monkeypatch):
+        """nProjOptMatches (LoopClosing.cc:752): a fully consistent chain
+        still must explain >=80 guided matches at the refined Sim3."""
+        closer, lc_mod, S_id, calls = self._closer()
+        monkeypatch.setattr(lc_mod, "count_projection_matches",
+                            lambda *a, **k: 10)   # below the 80 gate
+        closer._detect = lambda k: (0, S_id)
+        closer._refine_from_last_kf = lambda k: (0, S_id)
+        for k in (6, 7, 8):
+            assert closer.process_keyframe(k) is False
+        assert calls == []
+        assert closer.n_loops_rejected_projgate == 1
