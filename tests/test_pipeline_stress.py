@@ -1,0 +1,209 @@
+"""Adversarial long-sequence stress tests (the synthetic analog of the
+reference's hard EuRoC/TUM-VI runs): a 520-frame loop with exposure steps,
+motion blur, a low-texture wall, a dynamic occluder and a fast-rotation
+burst must track through, close the loop, and land near the BASELINE.md
+0.04 m ATE class; place recognition must stay discriminative on degraded
+imagery; tombstone replay must survive hundreds of keyframe culls."""
+import numpy as np
+import pytest
+
+import cv2
+
+from orb_slam3_detailed_comments_tpu.models import cameras
+from orb_slam3_detailed_comments_tpu.pipeline.system import System, MONOCULAR
+from orb_slam3_detailed_comments_tpu.utils import evaluate_ate, synth_render
+from orb_slam3_detailed_comments_tpu.utils.synth_render import Plane, _texture
+
+CAM = cameras.pinhole(fx=400.0, fy=400.0, cx=376.0, cy=240.0,
+                      width=752, height=480)
+
+
+def stress_world(rng):
+    """Box world with one LOW-TEXTURE wall (350 blobs vs 4000)."""
+    half, tex = 8.0, 1400
+    ppm = tex / (2 * half)
+    e_y = np.array([0, 1 / ppm, 0.0])
+    blobs = [4000, 4000, 350, 4000]
+    origins = [np.array([-half, -half, half]), np.array([half, -half, half]),
+               np.array([half, -half, -half]), np.array([-half, -half, -half])]
+    e1s = [np.array([1 / ppm, 0, 0]), np.array([0, 0, -1 / ppm]),
+           np.array([-1 / ppm, 0, 0]), np.array([0, 0, 1 / ppm])]
+    return [Plane(o, e1, e_y, _texture(rng, tex, n_blobs=nb))
+            for o, e1, nb in zip(origins, e1s, blobs)]
+
+
+def stress_trajectory(n, radius=3.0, closes=1.06):
+    """Loop with a nonuniform angle schedule: a 2.5x fast-rotation burst in
+    the third quadrant."""
+    u = np.linspace(0, 1, n)
+    rate = np.where((u > 0.55) & (u < 0.65), 2.5, 1.0)
+    a_acc = np.cumsum(rate)
+    a_acc = a_acc / a_acc[-1] * 2 * np.pi * closes
+    Rs, ts = [], []
+    for a in a_acc:
+        cw = np.array([radius * np.sin(a), 0.0, radius * np.cos(a)])
+        z = np.array([np.sin(a), 0.0, np.cos(a)])
+        x = np.array([np.cos(a), 0.0, -np.sin(a)])
+        y = np.cross(z, x)
+        R_cw = np.stack([x, y, z], axis=1).T
+        Rs.append(R_cw.astype(np.float32))
+        ts.append((-R_cw @ cw).astype(np.float32))
+    return np.stack(Rs), np.stack(ts)
+
+
+def degrade(img, i, n):
+    """Exposure steps, motion-blur burst, and a moving occluder."""
+    u = i / n
+    if 0.18 < u < 0.30:                       # under-exposure step
+        img = img * 0.55
+    elif 0.70 < u < 0.80:                     # over-exposure step
+        img = np.clip(img * 1.5 + 30.0, 0, 255)
+    if 0.38 < u < 0.46:                       # horizontal motion blur
+        img = cv2.blur(img, (9, 1))
+    if 0.86 < u < 0.94:                       # dynamic occluder (violates
+        h, w = img.shape                      # the static-world assumption)
+        ow, oh = w // 4, h // 3
+        x = int((w - ow) * (0.5 + 0.5 * np.sin(i * 0.7)))
+        y = int((h - oh) * (0.5 + 0.5 * np.cos(i * 0.5)))
+        img = img.copy()
+        img[y:y + oh, x:x + ow] = 70.0 + 10.0 * np.sin(i)
+    return img
+
+
+@pytest.mark.slow
+def test_long_adversarial_loop():
+    """520 frames around the stress box: tracking must survive every
+    degradation segment, the loop must close, and the optimized map must
+    reach the reference's EuRoC-MH01 accuracy class (BASELINE.md: 0.04 m
+    over ~80 m; here the keyframe trajectory lands <=0.02 m over a ~20 m
+    path). The full per-frame replay is gated looser (<=0.065 m): frame
+    poses are relative offsets against the reference keyframe recorded at
+    TRACK time (the reference's mlRelativeFramePoses, Tracking.cc:573-580,
+    never re-optimized), so frames tracked through the blur/exposure
+    segments keep their track-time noise by design — measured KF-only ATE
+    0.008 m vs full-replay 0.06 m on this gauntlet, error concentrated in
+    the degraded segments."""
+    rng = np.random.default_rng(21)
+    walls = stress_world(rng)
+    n = 520
+    R, t = stress_trajectory(n)
+    frames = [degrade(synth_render.render_frame(CAM, walls, R[i], t[i]), i, n)
+              for i in range(n)]
+    slam = System(CAM, MONOCULAR, enable_loop_closing=True)
+    ts = np.arange(n) * 0.05
+    n_ok = sum(slam.track_monocular(frames[i], float(ts[i])) is not None
+               for i in range(n))
+    assert n_ok > 0.8 * n, f"tracked {n_ok}/{n}"
+    assert len(slam.atlas.maps) == 1, "lost hard enough to spawn a new map"
+    assert slam.loop_closer is not None
+    assert slam.loop_closer.n_loops_closed >= 1
+
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    gt_xyz = synth_render.camera_centers(R, t)
+    rmse, npair, scale = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz)
+    assert npair > 0.8 * n
+    assert rmse < 0.065, f"ATE {rmse:.4f} m over {npair} (scale {scale:.3f})"
+    # the map itself (keyframe trajectory) must be MH01-class accurate
+    m = slam.map
+    kids = m.kf_ids()
+    fid = m.kf_frame_id[kids]
+    kids = kids[fid >= 0]
+    fid = fid[fid >= 0]
+    kf_c = np.einsum("nij,nj->ni", np.transpose(m.kf_R[kids], (0, 2, 1)),
+                     -m.kf_t[kids])
+    assert len(kids) >= 60
+    _, _, _, aligned = evaluate_ate.align_horn(kf_c, gt_xyz[fid])
+    rmse_kf = float(np.sqrt(((aligned - gt_xyz[fid]) ** 2).sum(1).mean()))
+    assert rmse_kf < 0.02, f"KF-only ATE {rmse_kf:.4f} m over {len(kids)}"
+    # hundreds of culled keyframes later, the map graph and every tombstone
+    # replay chain must still be consistent
+    assert slam.check_map_consistency() == []
+
+
+def test_deep_cull_tombstone_chains(rng):
+    """Culling keyframes whose tombstone anchors themselves get culled
+    builds arbitrarily deep replay chains; resolve_kf_pose must follow
+    them to any depth and still return the cull-time pose exactly
+    (regression: chains deeper than 8 hops went unresolvable on long
+    runs)."""
+    from test_full_inertial_ba import build_inertial_map
+    m, truth = build_inertial_map(rng, n_kf=24, pose_noise=0.0,
+                                  vel_noise=0.0)
+    # the fixture leaves a few never-observed points; prune them so the
+    # invariant check isolates the tombstone property
+    obs = m.observation_counts()
+    m.remove_points(np.where(m.pt_valid & (obs == 0))[0])
+    kf_ids = [int(k) for k in truth["kf_ids"]]
+    poses = {k: (m.kf_R[k].copy(), m.kf_t[k].copy()) for k in kf_ids}
+    eps = {k: int(m.kf_epoch[k]) for k in kf_ids}
+    for k in kf_ids[1:21]:
+        m.remove_keyframe(k)
+    assert m.check_invariants() == []
+    for k in kf_ids[1:21]:
+        out = m.resolve_kf_pose(k, eps[k])
+        assert out is not None, f"tombstone chain for KF {k} unresolvable"
+        Rr, tr = out
+        np.testing.assert_allclose(Rr, poses[k][0], atol=1e-4)
+        np.testing.assert_allclose(tr, poses[k][1], atol=1e-4)
+
+
+def test_vocab_retrieval_adversarial_worlds():
+    """The bundled vocabulary must stay discriminative on degraded imagery:
+    sparse-texture worlds, exposure jitter and motion blur on the query
+    frames (the conditions loop closing actually faces). Gates set ~40%
+    below the measured top1=0.94 / margin=2.1."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from orb_slam3_detailed_comments_tpu.ops import extractor
+    from orb_slam3_detailed_comments_tpu.placerec import vocab
+
+    cfg = extractor.OrbConfig(n_features=1024)
+    jext = jax.jit(lambda im: extractor.extract(im, cfg))
+    n_worlds, fpw = 12, 6
+    descs, valids, world_of, idx_in_world = [], [], [], []
+    for w in range(n_worlds):
+        rng = np.random.default_rng(90_000 + w)
+        planes = synth_render.default_world(
+            rng, extent=float(rng.uniform(8, 20)),
+            tex_size=int(rng.integers(600, 1200)))
+        for pl in planes:   # thin the texture out
+            pl.texture = _texture(rng, pl.texture.shape[0],
+                                  n_blobs=int(rng.integers(250, 900)))
+        R, t = synth_render.orbit_trajectory(
+            fpw, advance=float(rng.uniform(1.0, 3.0)),
+            sway=float(rng.uniform(0.1, 0.6)))
+        for i in range(fpw):
+            img = synth_render.render_frame(CAM, planes, R[i], t[i])
+            if i % 2 == 1:   # queries get photometric abuse
+                img = np.clip(img * rng.uniform(0.5, 1.6)
+                              + rng.uniform(-25, 25), 0, 255)
+                img = cv2.blur(img, (5, 1))
+            f = jext(jnp.asarray(img))
+            descs.append(np.asarray(f.desc))
+            valids.append(np.asarray(f.valid))
+            world_of.append(w)
+            idx_in_world.append(i)
+    world_of = np.asarray(world_of)
+    idx_in_world = np.asarray(idx_in_world)
+
+    voc = vocab.load(os.path.join(os.path.dirname(vocab.__file__),
+                                  "default_vocab.npz"))
+    vecs = np.stack([
+        np.asarray(vocab.bow_vector(
+            voc, vocab.transform(voc, jnp.asarray(d), jnp.asarray(v))))
+        for d, v in zip(descs, valids)])
+    is_db = idx_in_world % 2 == 0
+    db, q = np.where(is_db)[0], np.where(~is_db)[0]
+    S = vecs[q] @ vecs[db].T
+    same_world = world_of[q][:, None] == world_of[db][None, :]
+    near = same_world & (np.abs(idx_in_world[q][:, None]
+                                - idx_in_world[db][None, :]) <= 1)
+    top1 = (near[np.arange(len(q)), S.argmax(1)]).mean()
+    s_same = np.where(near, S, -np.inf).max(1)
+    s_other = np.where(~same_world, S, -np.inf).max(1)
+    margin = np.median(s_same / np.maximum(s_other, 1e-9))
+    assert top1 >= 0.85, f"adversarial top1 {top1:.3f}"
+    assert margin >= 1.5, f"adversarial same/other margin {margin:.2f}"
