@@ -125,7 +125,7 @@ def main():
             SE3(R0, t0), prep, ids1_d, ang1_d,
             dp["xyz"], dp["desc"], dp["normal"], dp["min_dist"],
             dp["max_dist"], dp["valid"],
-            ko["feat_point"], ko["valid"], ko["covis"],
+            ko["feat_point"], ko["valid"], ko["covis"], ko["point_bits"],
             r1, r2, tk.inv_sigma2, **statics)
         return (res.T_cw_t.sum() + res.T_cw_R[0, 0]
                 + res.n1.astype(jnp.float32)

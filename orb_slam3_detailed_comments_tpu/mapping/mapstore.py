@@ -228,10 +228,26 @@ class MapStore:
         self._dev_pts_v = self.version
         return self._dev_pts
 
+    def _pack_point_bits(self, fp_rows: np.ndarray) -> np.ndarray:
+        """[R, N] feature->point rows -> [R, max_pt/32] membership bitsets
+        (bit p&31 of word p>>5 set iff point p is observed by the row's KF).
+        The fused tracking step ANDs/ORs these on-chip instead of scattering
+        or gathering K*N point ids (scatter/gather of 262k ids serialized to
+        ~2 ms each per frame on TPU; the bitset forms are ~0)."""
+        R, _ = fp_rows.shape
+        W = self.cfg.max_pt // 32
+        bits = np.zeros((R, W), np.uint32)
+        r, c = np.nonzero(fp_rows >= 0)
+        p = fp_rows[r, c]
+        np.bitwise_or.at(bits, (r, p >> 5),
+                         (np.uint32(1) << (p & 31).astype(np.uint32)))
+        return bits
+
     def device_kf_obs(self):
         """Device copies of the observation structure needed for on-chip
         local-keyframe selection (the fused tracking step): kf_feat_point
-        [K, N], kf_valid [K], and the covisibility matrix [K, K]. Cached per
+        [K, N], the point-membership bitsets point_bits [K, max_pt/32],
+        kf_valid [K], and the covisibility matrix [K, K]. Cached per
         map version like device_points; kf rows are delta-uploaded (a
         keyframe event touches the new KF's row plus the handful of fuse-
         modified neighbors, not the whole 1 MB array)."""
@@ -244,6 +260,8 @@ class MapStore:
         if snap is None or snap.shape != self.kf_feat_point.shape:
             self._dev_kf = {
                 "feat_point": jnp.asarray(self.kf_feat_point),
+                "point_bits": jnp.asarray(
+                    self._pack_point_bits(self.kf_feat_point)),
                 "valid": jnp.asarray(self.kf_valid),
                 "covis": jnp.asarray(covis),
             }
@@ -253,17 +271,25 @@ class MapStore:
                     "covis": jnp.asarray(covis)}
             if len(rows) > 0.5 * K:
                 base["feat_point"] = jnp.asarray(self.kf_feat_point)
+                base["point_bits"] = jnp.asarray(
+                    self._pack_point_bits(self.kf_feat_point))
             elif len(rows):
                 B = 8 * int(np.ceil(len(rows) / 8))
                 rows_p = np.concatenate(
                     [rows, np.full(B - len(rows), rows[0], rows.dtype)])
-                base["feat_point"] = _delta_update(
-                    {"feat_point": self._dev_kf["feat_point"]},
+                upd = _delta_update(
+                    {"feat_point": self._dev_kf["feat_point"],
+                     "point_bits": self._dev_kf["point_bits"]},
                     jnp.asarray(rows_p, jnp.int32),
-                    {"feat_point": jnp.asarray(self.kf_feat_point[rows_p])},
-                )["feat_point"]
+                    {"feat_point": jnp.asarray(self.kf_feat_point[rows_p]),
+                     "point_bits": jnp.asarray(self._pack_point_bits(
+                         self.kf_feat_point[rows_p]))},
+                )
+                base["feat_point"] = upd["feat_point"]
+                base["point_bits"] = upd["point_bits"]
             else:
                 base["feat_point"] = self._dev_kf["feat_point"]
+                base["point_bits"] = self._dev_kf["point_bits"]
             self._dev_kf = base
         self._dev_kf_snap = self.kf_feat_point.copy()
         self._dev_kf_v = self.version

@@ -189,10 +189,32 @@ def search_by_projection(proj_xy: jnp.ndarray, proj_valid: jnp.ndarray,
     proj_*: per-map-point projected pixel, predicted level, descriptor.
     feat: FrameFeatures of the current frame. radius: scalar or [P] px at
     level 0 (already scaled by the caller). taken: [N] bool keypoints to skip.
+
+    On TPU (and with ORB_TPU_PALLAS=1 elsewhere) this runs the fused Pallas
+    windowed kernel — distance + window/level gates + best-2 never leave
+    VMEM. The XLA fallback materializes [Q, K] distance and gate matrices;
+    on the steady-state frame program the fallback costs ~4 ms of the 5 ms
+    frame, the kernel well under 1 ms (measured, TPU v5e).
     """
+    kp_ok = feat.valid if taken is None else (feat.valid & ~taken)
+    Q = proj_xy.shape[0]
+    K = feat.desc.shape[0]
+    if _use_pallas():
+        from . import pallas_hamming
+        if pallas_hamming.available(Q, K):
+            r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (Q,))
+            lo = jnp.broadcast_to(jnp.asarray(level_lo, jnp.int32), (Q,))
+            hi = jnp.broadcast_to(jnp.asarray(level_hi, jnp.int32), (Q,))
+            interp = jax.default_backend() != "tpu"
+            d1, i1, d2 = pallas_hamming.hamming_best2_windowed(
+                proj_desc, proj_xy, proj_level, r, lo, hi, proj_valid,
+                feat.desc, feat.xy, feat.level, kp_ok, interpret=interp)
+            ok = ((d1 <= max_dist)
+                  & (d1.astype(jnp.float32)
+                     <= ratio * d2.astype(jnp.float32)))
+            return MatchResult(idx=i1, dist=d1, valid=ok)
     wmask = window_mask(proj_xy, feat.xy, radius)
     lmask = level_mask(proj_level, feat.level, level_lo, level_hi)
-    kp_ok = feat.valid if taken is None else (feat.valid & ~taken)
     return match_nn(proj_desc, proj_valid, feat.desc, kp_ok,
                     max_dist=max_dist, ratio=ratio, mutual=False,
                     extra_mask=wmask & lmask)

@@ -722,6 +722,7 @@ class Tracker:
                   dp["xyz"], dp["desc"], dp["normal"], dp["min_dist"],
                   dp["max_dist"], dp["valid"],
                   ko["feat_point"], ko["valid"], ko["covis"],
+                  ko["point_bits"],
                   self.cfg.motion_radius * self.radius_scale,
                   radius2 * self.radius_scale,
                   self.inv_sigma2)
