@@ -144,19 +144,25 @@ def main():
     ms_ba_iter = None
     mfu_ba = ba_flops_per_s = None
     if built is not None:
-        prob, _ = built
+        prob, bmeta = built
         kf_R0 = prob.kf_R
+        ba_iters = 9                      # LocalMappingConfig.ba_iters
 
-        def ba_iter(kf_R):
-            res = ba.ba_solve(prob._replace(kf_R=kf_R), tk.cam, iters=1)
+        def ba_kf(kf_R):
+            """The exact local-BA solve a keyframe event pays (deployed
+            iters, early-exit LM, outlier re-gate phases — not an
+            extrapolated per-iteration figure)."""
+            res = ba.ba_solve(prob._replace(kf_R=kf_R), tk.cam,
+                              iters=ba_iters,
+                              table_depth=bmeta["table_depth"])
             return res.kf_t.sum() + res.cost
 
-        ms_ba_iter = device_ms(ba_iter, kf_R0, reps_hi=33, reps_lo=3)
-        ms_kf = 5 * ms_ba_iter            # run_local_ba default-ish iters
+        ms_kf = device_ms(ba_kf, kf_R0, reps_hi=17, reps_lo=3)
+        ms_ba_iter = ms_kf / ba_iters     # amortized per LM iteration
         fps_amort = 1000.0 / (ms_frame + ms_kf * kf_per_frame)
-        fl = _flops_of(ba_iter, kf_R0)
+        fl = _flops_of(ba_kf, kf_R0)
         if fl:
-            ba_flops_per_s = fl / (ms_ba_iter * 1e-3)
+            ba_flops_per_s = fl / (ms_kf * 1e-3)
 
     # ---- roofline / MFU accounting ---------------------------------------
     kind = jax.devices()[0].device_kind
@@ -180,6 +186,7 @@ def main():
     }
     if fps_amort is not None:
         out["fps_kf_amortized"] = round(fps_amort, 2)
+        out["ba_kf_ms"] = round(ms_kf, 3)
         out["ba_iter_ms"] = round(ms_ba_iter, 3)
     if ba_flops_per_s:
         out["ba_gflops_per_s"] = round(ba_flops_per_s / 1e9, 1)

@@ -161,20 +161,24 @@ _PCG_C_MIN = 128
 
 
 def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
-                     delta2: float, lm_lambda0: float) -> BAResult:
-    """LM-BA with observations re-laid-out as a dense [P, d=C] table.
+                     delta2: float, lm_lambda0: float,
+                     table_depth: int = 0) -> BAResult:
+    """LM-BA with observations re-laid-out as a dense [P, d] table.
 
     XLA scatter-adds (the COO path's U/V/W assembly) cost ~5 ms/iteration
     at local-BA sizes on TPU; in table layout every per-iteration reduction
     is a dense einsum (points on rows, observing cameras on a padded depth
     axis, per-camera aggregation through a precomputed one-hot) — no
     scatters or gathers inside the LM loop at all. A point is observed at
-    most once per camera, so depth d = C loses nothing.
+    most once per camera so d = C is always safe; callers that know the
+    true max observations per point pass it as table_depth (typically 4-8
+    vs C=16-48: every [P, d, ...] tensor and both residual sweeps shrink
+    by the same factor).
     """
     C = prob.kf_R.shape[0]
     P = prob.points.shape[0]
     O = prob.obs_pt.shape[0]
-    d = C
+    d = min(table_depth, C) if table_depth > 0 else C
 
     # ---- one-time table construction (the only scatter in the solve) ----
     pt = jnp.where(prob.obs_valid, prob.obs_pt, P)     # invalid -> dump row
@@ -306,15 +310,24 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     return BAResult(kf_R, kf_t, points, inlier, cost)
 
 
-@partial(jax.jit, static_argnames=("cam", "iters", "max_points_dense"))
+@partial(jax.jit, static_argnames=("cam", "iters", "max_points_dense",
+                                   "table_depth"))
 def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
              delta2: float = reproj.CHI2_MONO, lm_lambda0: float = 1e-4,
-             max_points_dense: int = 0) -> BAResult:
-    """Run LM-BA; returns updated poses/points and the final inlier mask."""
+             max_points_dense: int = 0, table_depth: int = 0) -> BAResult:
+    """Run LM-BA; returns updated poses/points and the final inlier mask.
+
+    table_depth: static depth of the dense observation table (0 = C). The
+    caller can pass the true max-observations-per-point (bucketed, see
+    build_ba_problem) to shrink every per-iteration tensor by C/d — points
+    observed by more than table_depth cameras would have the excess
+    observations silently dropped, so callers must bucket >= the true max.
+    """
     C = prob.kf_R.shape[0]
     P = prob.points.shape[0]
     if C <= _TABLE_C_MAX:
-        return _ba_solve_tables(prob, cam, iters, delta2, lm_lambda0)
+        return _ba_solve_tables(prob, cam, iters, delta2, lm_lambda0,
+                                table_depth)
     if C > _PCG_C_MIN:
         from . import schur_pcg  # local import: schur_pcg imports this module
         return schur_pcg.ba_solve_pcg(prob, cam, iters, delta2, lm_lambda0)

@@ -341,7 +341,8 @@ def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
     if built is None:
         return
     prob, meta = built
-    res = ba.ba_solve(prob, cam, iters=iters)
+    res = ba.ba_solve(prob, cam, iters=iters,
+                      table_depth=meta["table_depth"])
     apply_ba_result(m, meta, res)
 
 
@@ -423,9 +424,14 @@ def build_ba_problem(m: MapStore, window: list, fixed,
             [np.ones(len(keep), bool), np.zeros(pad, bool)])),
         fixed_cam=jnp.asarray(fixed_mask),
         point_valid=jnp.asarray(pt_mask))
+    # true max observations per point, bucketed to a power of two: the
+    # static depth of ba_solve's dense observation table (d << C shrinks
+    # every per-iteration tensor by the same factor)
+    d_max = int(np.bincount(np.asarray(op)[keep], minlength=1).max())
+    table_depth = 1 << max(int(np.ceil(np.log2(max(d_max, 4)))), 2)
     meta = dict(cams=cams, n_real=n_real, pt_ids=pt_ids, keep=keep,
                 oc=np.asarray(oc)[keep], op=np.asarray(op)[keep],
-                cam_slot=cam_slot, pt_slot=pt_slot)
+                cam_slot=cam_slot, pt_slot=pt_slot, table_depth=table_depth)
     return prob, meta
 
 

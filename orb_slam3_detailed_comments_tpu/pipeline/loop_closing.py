@@ -481,10 +481,12 @@ class LoopCloser:
                     done += 1
                 if not self._gba_abort.is_set():
                     # single-device polish pass also produces the inlier gate
-                    res = ba.ba_solve(prob, self.cam, iters=1)
+                    res = ba.ba_solve(prob, self.cam, iters=1,
+                                      table_depth=meta.get("table_depth", 0))
         else:
             while done < self.cfg.gba_iters and not self._gba_abort.is_set():
-                res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk)
+                res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk,
+                                  table_depth=meta.get("table_depth", 0))
                 prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
                                      points=res.points)
                 done += self.cfg.gba_chunk
