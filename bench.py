@@ -31,33 +31,34 @@ import json
 
 import numpy as np
 
-# chip bf16 peak FLOP/s by device_kind substring (public TPU specs)
-_PEAK_BF16 = [
-    ("v6", 918e12),
-    ("v5p", 459e12),
-    ("v5", 197e12),     # v5e / v5 lite
-    ("v4", 275e12),
+# chip peaks by device_kind substring (public TPU specs): bf16 FLOP/s, HBM B/s
+_PEAKS = [
+    ("v6", 918e12, 1640e9),
+    ("v5p", 459e12, 2765e9),
+    ("v5", 197e12, 819e9),     # v5e / v5 lite
+    ("v4", 275e12, 1228e9),
 ]
 
 
-def _peak_flops(kind: str):
+def _peaks(kind: str):
     k = kind.lower()
-    for tag, peak in _PEAK_BF16:
+    for tag, fl, bw in _PEAKS:
         if tag in k:
-            return peak
-    return None
+            return fl, bw
+    return None, None
 
 
-def _flops_of(fn, *args):
-    """XLA's own FLOP estimate for the exact compiled program."""
+def _cost_of(fn, *args):
+    """XLA's own FLOP + bytes-accessed estimate for the compiled program."""
     import jax
     try:
         ca = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
+        return (float(ca.get("flops", 0.0)) or None,
+                float(ca.get("bytes accessed", 0.0)) or None)
     except Exception:
-        return None
+        return None, None
 
 
 def main():
@@ -142,7 +143,7 @@ def main():
     built = build_ba_problem(m, window, fixed=None)
     fps_amort = None
     ms_ba_iter = None
-    mfu_ba = ba_flops_per_s = None
+    mfu_ba = ba_flops_per_s = ba_bytes_per_s = None
     if built is not None:
         prob, bmeta = built
         kf_R0 = prob.kf_R
@@ -160,21 +161,30 @@ def main():
         ms_kf = device_ms(ba_kf, kf_R0, reps_hi=17, reps_lo=3)
         ms_ba_iter = ms_kf / ba_iters     # amortized per LM iteration
         fps_amort = 1000.0 / (ms_frame + ms_kf * kf_per_frame)
-        fl = _flops_of(ba_kf, kf_R0)
+        fl, by = _cost_of(ba_kf, kf_R0)
         if fl:
             ba_flops_per_s = fl / (ms_kf * 1e-3)
+        if by:
+            ba_bytes_per_s = by / (ms_kf * 1e-3)
 
-    # ---- roofline / MFU accounting ---------------------------------------
+    # ---- roofline accounting: achieved FLOP/s vs bf16 peak AND achieved
+    # bytes/s vs HBM peak — whichever fraction is higher names the bound
+    # side. Local BA has ~50 MFLOP per solve, so it can only be memory/
+    # latency-bound; the frame program carries the real FLOPs.
     kind = jax.devices()[0].device_kind
-    peak = _peak_flops(kind)
-    mfu_frame = None
-    fl_frame = _flops_of(frame_step, img0)
+    peak, hbm_peak = _peaks(kind)
+    mfu_frame = bw_frame = bw_ba = None
+    fl_frame, by_frame = _cost_of(frame_step, img0)
     if fl_frame:
         frame_flops_per_s = fl_frame / (ms_frame * 1e-3)
         if peak:
             mfu_frame = frame_flops_per_s / peak
+    if by_frame and hbm_peak:
+        bw_frame = (by_frame / (ms_frame * 1e-3)) / hbm_peak
     if ba_flops_per_s and peak:
         mfu_ba = ba_flops_per_s / peak
+    if ba_bytes_per_s and hbm_peak:
+        bw_ba = ba_bytes_per_s / hbm_peak
 
     out = {
         "metric": "mono_tracking_fps_per_chip",
@@ -194,6 +204,10 @@ def main():
         out["mfu_ba_vs_bf16_peak"] = round(mfu_ba, 4)
     if mfu_frame is not None:
         out["mfu_frame_vs_bf16_peak"] = round(mfu_frame, 4)
+    if bw_ba is not None:
+        out["bw_ba_vs_hbm_peak"] = round(bw_ba, 4)
+    if bw_frame is not None:
+        out["bw_frame_vs_hbm_peak"] = round(bw_frame, 4)
     print(json.dumps(out))
 
 
