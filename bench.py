@@ -138,7 +138,7 @@ def main():
     # ---- keyframe-cadence amortization: local-BA device time -------------
     from orb_slam3_detailed_comments_tpu.optim import ba
     from orb_slam3_detailed_comments_tpu.pipeline.local_mapping import (
-        build_ba_problem)
+        LocalMappingConfig, build_ba_problem)
     window = [int(k) for k in m.kf_ids()[-8:]]
     built = build_ba_problem(m, window, fixed=None)
     fps_amort = None
@@ -147,7 +147,7 @@ def main():
     if built is not None:
         prob, bmeta = built
         kf_R0 = prob.kf_R
-        ba_iters = 9                      # LocalMappingConfig.ba_iters
+        ba_iters = LocalMappingConfig.ba_iters   # the deployed iteration count
 
         def ba_kf(kf_R):
             """The exact local-BA solve a keyframe event pays (deployed

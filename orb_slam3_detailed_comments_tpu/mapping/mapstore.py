@@ -41,6 +41,21 @@ def _delta_update(dev: dict, idx, new_rows: dict) -> dict:
     return _DELTA_FN(dev, idx, new_rows)
 
 
+def pack_point_bits(fp_rows: np.ndarray, max_pt: int) -> np.ndarray:
+    """[R, N] feature->point rows -> [R, max_pt/32] membership bitsets
+    (bit p&31 of word p>>5 set iff point p is observed by the row's KF).
+    The fused tracking step ANDs/ORs these on-chip instead of scattering
+    or gathering K*N point ids (scatter/gather of 262k ids serialized to
+    ~2 ms each per frame on TPU; the bitset forms are ~0)."""
+    R, _ = fp_rows.shape
+    bits = np.zeros((R, max_pt // 32), np.uint32)
+    r, c = np.nonzero(fp_rows >= 0)
+    p = fp_rows[r, c]
+    np.bitwise_or.at(bits, (r, p >> 5),
+                     (np.uint32(1) << (p & 31).astype(np.uint32)))
+    return bits
+
+
 @dataclass
 class MapConfig:
     max_kf: int = 256
@@ -48,6 +63,11 @@ class MapConfig:
     n_feat: int = 1024        # per-KF feature capacity (extractor budget)
     n_levels: int = 8
     scale: float = 1.2
+
+    def __post_init__(self):
+        # the point-membership bitsets (_pack_point_bits, kernels' P//32
+        # reshapes) require a whole number of 32-bit words; round up
+        self.max_pt = (self.max_pt + 31) & ~31
 
 
 class MapStore:
@@ -229,19 +249,7 @@ class MapStore:
         return self._dev_pts
 
     def _pack_point_bits(self, fp_rows: np.ndarray) -> np.ndarray:
-        """[R, N] feature->point rows -> [R, max_pt/32] membership bitsets
-        (bit p&31 of word p>>5 set iff point p is observed by the row's KF).
-        The fused tracking step ANDs/ORs these on-chip instead of scattering
-        or gathering K*N point ids (scatter/gather of 262k ids serialized to
-        ~2 ms each per frame on TPU; the bitset forms are ~0)."""
-        R, _ = fp_rows.shape
-        W = self.cfg.max_pt // 32
-        bits = np.zeros((R, W), np.uint32)
-        r, c = np.nonzero(fp_rows >= 0)
-        p = fp_rows[r, c]
-        np.bitwise_or.at(bits, (r, p >> 5),
-                         (np.uint32(1) << (p & 31).astype(np.uint32)))
-        return bits
+        return pack_point_bits(fp_rows, self.cfg.max_pt)
 
     def device_kf_obs(self):
         """Device copies of the observation structure needed for on-chip
@@ -257,7 +265,8 @@ class MapStore:
         K = self.cfg.max_kf
         snap = getattr(self, "_dev_kf_snap", None)
         covis = self.covisibility_matrix()
-        if snap is None or snap.shape != self.kf_feat_point.shape:
+        if (snap is None or snap.shape != self.kf_feat_point.shape
+                or self._dev_kf["point_bits"].shape[1] != self.cfg.max_pt // 32):
             self._dev_kf = {
                 "feat_point": jnp.asarray(self.kf_feat_point),
                 "point_bits": jnp.asarray(

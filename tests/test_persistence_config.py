@@ -86,6 +86,38 @@ class TestSerialization:
         ids = m.alloc_points(m.cfg.max_pt)   # forces a point grow too
         assert len(ids) == m.cfg.max_pt // 2
 
+    def test_device_kf_obs_survives_point_growth(self, rng):
+        """Regression: the device_kf_obs cache held a [K, max_pt_old/32]
+        point_bits array across a point-capacity grow (grow_pt leaves
+        kf_feat_point's shape unchanged, so the full-rebuild guard never
+        fired) and the next delta upload crashed with a shape mismatch."""
+        m = tiny_map(rng)
+        d0 = m.device_kf_obs()
+        assert d0["point_bits"].shape[1] == m.cfg.max_pt // 32
+        old_P = m.cfg.max_pt
+        m.alloc_points(m.cfg.max_pt)          # forces grow(grow_pt=True)
+        assert m.cfg.max_pt == 2 * old_P
+        # dirty one KF row so the delta path (not the trivial no-change
+        # path) runs against the grown width
+        m.kf_feat_point[0, 21] = 21
+        m.version += 1
+        d1 = m.device_kf_obs()
+        assert d1["point_bits"].shape[1] == m.cfg.max_pt // 32
+        bits = np.asarray(d1["point_bits"][0])
+        assert bits[21 >> 5] & np.uint32(1 << (21 & 31))
+
+    def test_max_pt_rounds_to_word_multiple(self):
+        """max_pt not divisible by 32 is rounded up (the point-membership
+        bitsets need a whole number of 32-bit words)."""
+        cfg = MapConfig(max_kf=8, max_pt=100, n_feat=32)
+        assert cfg.max_pt == 128
+        m = MapStore(cfg)
+        fp = np.full((1, 32), -1, np.int32)
+        fp[0, 0] = 99                          # would IndexError pre-fix
+        bits = m._pack_point_bits(fp)
+        assert bits.shape == (1, 4)
+        assert bits[0, 99 >> 5] & np.uint32(1 << (99 & 31))
+
     def test_checksum_guard(self, rng, tmp_path):
         a = Atlas(CFG)
         a.maps = [tiny_map(rng)]
