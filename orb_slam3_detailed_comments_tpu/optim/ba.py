@@ -112,10 +112,15 @@ def _schur_lm_solve(U, b_c, V, b_p, Wd, lam, fixed_cam, point_valid):
     # The P-contraction runs as one flat [6C, 3P] x [3P, 6C] matmul — the
     # cidj einsum form lowers to padded small-axis loops.
     P = Wd.shape[0]
-    Y = jax.lax.dot_general(                       # [P, C*6, 3]
-        Wd.reshape(P, C * 6, 3), Vinv, (((2,), (1,)), ((0,), (0,))))
+    A = Wd.reshape(P, C * 6, 3)
+    # Y = A @ Vinv per point, unrolled over the 3x3: a P-batched [C6,3]x[3,3]
+    # dot_general lowers to P tiny MXU matmuls whose per-batch latency alone
+    # costs ~0.3 ms at P=4096 (measured); the 9-term elementwise form fuses
+    # into one VPU pass.
+    Y = jnp.stack([sum(A[:, :, z] * Vinv[:, z, x, None] for z in range(3))
+                   for x in range(3)], -1)         # [P, C*6, 3]
     Yf = Y.transpose(1, 0, 2).reshape(C * 6, P * 3)
-    Wf = Wd.reshape(P, C * 6, 3).transpose(1, 0, 2).reshape(C * 6, P * 3)
+    Wf = A.transpose(1, 0, 2).reshape(C * 6, P * 3)
     S = (-(Yf @ Wf.T)).reshape(C, 6, C, 6)
     S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Ud)
     rhs = b_c - (Yf @ b_p.reshape(P * 3)).reshape(C, 6)
@@ -191,6 +196,13 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
         jnp.minimum(pt_s, P), jnp.clip(rank, 0, d)].set(order)
     tab = tab[:P, :d]                                  # [P, d] obs id or -1
     tvalid = tab >= 0
+    # inverse mapping obs id -> flat table slot (P*d = "not in table"):
+    # built once here so the final inlier classification is a gather in
+    # O-order instead of a [P*d] scatter whose shared dump row serializes
+    in_tab = (pt_s < P) & (rank < d)
+    flat_slot = jnp.minimum(pt_s, P - 1) * d + jnp.clip(rank, 0, d - 1)
+    pos = jnp.full(O, P * d, jnp.int32).at[order].set(
+        jnp.where(in_tab, flat_slot, P * d).astype(jnp.int32))
     idx = jnp.maximum(tab, 0)
     cam_t = jnp.where(tvalid, prob.obs_cam[idx], 0)
     uv_t = prob.obs_uv[idx]
@@ -250,16 +262,22 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
         bc_o = JcW[:, 0, :] * rf[:, 0, None] + JcW[:, 1, :] * rf[:, 1, None]
         b_c = oh2.T @ bc_o
 
+        # V/b_p/Wd: the natural P-batched dot_generals ([3,2d]x[2d,3] etc.)
+        # lower to P tiny MXU matmuls — per-batch latency alone costs
+        # ~0.7 ms/iteration at P=4096 (measured); unrolled elementwise
+        # multiply+reduce forms fuse into a few VPU passes (3x whole-step).
         JpW = (Jp * w[..., None, None]).reshape(P, 2 * d, 3)
         E = Jp.reshape(P, 2 * d, 3)
-        V = jax.lax.dot_general(JpW, E, (((1,), (1,)), ((0,), (0,))))
-        b_p = jax.lax.dot_general(
-            JpW, r.reshape(P, 2 * d), (((1,), (1,)), ((0,), (0,))))
+        rfp = r.reshape(P, 2 * d)
+        V = jnp.stack([jnp.stack([(JpW[:, :, x] * E[:, :, y]).sum(1)
+                                  for y in range(3)], -1)
+                       for x in range(3)], -2)           # [P, 3, 3]
+        b_p = jnp.stack([(JpW[:, :, x] * rfp).sum(1) for x in range(3)], -1)
 
         Hm = (JcW[:, 0, :, None] * Jpf[:, 0, None, :]
               + JcW[:, 1, :, None] * Jpf[:, 1, None, :]).reshape(P, d, 18)
-        Wd = jax.lax.dot_general(
-            onehot, Hm, (((1,), (1,)), ((0,), (0,)))).reshape(P, C, 6, 3)
+        Wd = jnp.stack([(onehot * Hm[:, :, i, None]).sum(1)
+                        for i in range(18)], -1).reshape(P, C, 6, 3)
 
         dc, dp = _schur_lm_solve(U, b_c, V, b_p, Wd, lam,
                                  prob.fixed_cam, prob.point_valid)
@@ -304,9 +322,9 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     r, _, _, depth_ok = residuals(kf_R, kf_t, points)
     chi2 = jnp.sum(r * r, axis=-1) * w_t0
     ok_t = tvalid & depth_ok & (chi2 <= delta2) & (w_t0 > 0)
-    scatter_idx = jnp.where(tvalid, tab, O)
-    inlier = jnp.zeros(O + 1, bool).at[scatter_idx].set(ok_t)[:O]
-    inlier = inlier & prob.obs_valid
+    ok_flat = jnp.concatenate([ok_t.reshape(P * d),
+                               jnp.zeros(1, bool)])    # [P*d + 1]
+    inlier = ok_flat[pos] & prob.obs_valid
     return BAResult(kf_R, kf_t, points, inlier, cost)
 
 
@@ -339,18 +357,23 @@ def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
         chi2 = jnp.sum(r * r, axis=-1) * prob.obs_w
         w = prob.obs_w * reproj.huber_weight(chi2, delta2) * ok
 
-        # weighted blocks per observation
+        # weighted blocks per observation — explicit 2-term broadcasts; the
+        # einsum form is an O-batched tiny dot_general paying per-batch MXU
+        # latency (see the table path / DESIGN.md)
         JcW = Jc * w[:, None, None]
-        U = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
-            jnp.einsum("oki,okj->oij", JcW, Jc))
-        b_c = jnp.zeros((C, 6)).at[prob.obs_cam].add(
-            jnp.einsum("oki,ok->oi", JcW, r))
         JpW = Jp * w[:, None, None]
+        U = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
+            JcW[:, 0, :, None] * Jc[:, 0, None, :]
+            + JcW[:, 1, :, None] * Jc[:, 1, None, :])
+        b_c = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+            JcW[:, 0, :] * r[:, 0, None] + JcW[:, 1, :] * r[:, 1, None])
         V = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
-            jnp.einsum("oki,okj->oij", JpW, Jp))
+            JpW[:, 0, :, None] * Jp[:, 0, None, :]
+            + JpW[:, 1, :, None] * Jp[:, 1, None, :])
         b_p = jnp.zeros((P, 3)).at[prob.obs_pt].add(
-            jnp.einsum("oki,ok->oi", JpW, r))
-        Wo = jnp.einsum("oki,okj->oij", JcW, Jp)      # [O, 6, 3]
+            JpW[:, 0, :] * r[:, 0, None] + JpW[:, 1, :] * r[:, 1, None])
+        Wo = (JcW[:, 0, :, None] * Jp[:, 0, None, :]
+              + JcW[:, 1, :, None] * Jp[:, 1, None, :])     # [O, 6, 3]
         Wd = jnp.zeros((P, C, 6, 3)).at[prob.obs_pt, prob.obs_cam].add(Wo)
 
         dc, dp = _schur_lm_solve(U, b_c, V, b_p, Wd, lam,

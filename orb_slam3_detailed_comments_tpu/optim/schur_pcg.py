@@ -122,9 +122,13 @@ def _block_jacobi(Ud, Vinv, Jc, Jp, w, obs_cam, obs_pt, free, axis=None):
     JcW = Jc * w[:, None, None]
     K = (JcW[:, 0, :, None] * Jp[:, 0, None, :]
          + JcW[:, 1, :, None] * Jp[:, 1, None, :])
-    KV = jnp.einsum("oix,oxy->oiy", K, Vinv[obs_pt])
-    D = _psum(jax.ops.segment_sum(jnp.einsum("oix,ojx->oij", KV, K),
-                                  obs_cam, num_segments=C), axis)
+    # unrolled over the tiny axes: the einsum forms are O-batched [6,3]x[3,3]
+    # / [6,3]x[3,6] dot_generals paying per-batch MXU latency (see optim/ba.py)
+    Vo = Vinv[obs_pt]
+    KV = jnp.stack([sum(K[:, :, z] * Vo[:, z, y, None] for z in range(3))
+                    for y in range(3)], -1)               # [O, 6, 3]
+    KVKt = sum(KV[:, :, None, x] * K[:, None, :, x] for x in range(3))
+    D = _psum(jax.ops.segment_sum(KVKt, obs_cam, num_segments=C), axis)
     M = Ud - D
     M = (M * free[:, None, None]
          + jnp.eye(6) * (1.0 - free)[:, None, None])

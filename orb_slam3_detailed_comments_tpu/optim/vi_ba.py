@@ -226,11 +226,15 @@ def _solve_impl(prob: VIBAProblem, cam: cameras.CameraParams,
         Vinv = ba_mod._inv3x3(Vd)
         Vinv = jnp.where(pr.point_valid[:, None, None] & (~jnp.asarray(fix_points)),
                          Vinv, 0.0)
-        # flat-matmul Schur contraction (see ba._schur_lm_solve)
-        Y = jax.lax.dot_general(                             # [P, C*6, 3]
-            Wd.reshape(P, C * 6, 3), Vinv, (((2,), (1,)), ((0,), (0,))))
+        # flat-matmul Schur contraction (see ba._schur_lm_solve). Y = A@Vinv
+        # per point is unrolled over the 3x3: the P-batched [C6,3]x[3,3]
+        # dot_general lowers to P tiny MXU matmuls whose per-batch latency
+        # dominates (measured in optim/ba.py); the 9-term form is one VPU pass.
+        A = Wd.reshape(P, C * 6, 3)
+        Y = jnp.stack([sum(A[:, :, z] * Vinv[:, z, x, None]
+                           for z in range(3)) for x in range(3)], -1)
         Yf = Y.transpose(1, 0, 2).reshape(C * 6, P * 3)
-        Wf = Wd.reshape(P, C * 6, 3).transpose(1, 0, 2).reshape(C * 6, P * 3)
+        Wf = A.transpose(1, 0, 2).reshape(C * 6, P * 3)
         S6 = (-(Yf @ Wf.T)).reshape(C, 6, C, 6)              # [C,6,C,6]
         rhs6 = b6 - (Yf @ b_p.reshape(P * 3)).reshape(C, 6)
 

@@ -39,11 +39,21 @@ def _partial_normal_eqs(kf_R, kf_t, points, obs_cam, obs_pt, obs_uv, obs_w,
     w = obs_w * reproj.huber_weight(chi2, delta2) * ok
     JcW = Jc * w[:, None, None]
     JpW = Jp * w[:, None, None]
-    U = jnp.zeros((C, 6, 6)).at[obs_cam].add(jnp.einsum("oki,okj->oij", JcW, Jc))
-    b_c = jnp.zeros((C, 6)).at[obs_cam].add(jnp.einsum("oki,ok->oi", JcW, r))
-    V = jnp.zeros((Pn, 3, 3)).at[obs_pt].add(jnp.einsum("oki,okj->oij", JpW, Jp))
-    b_p = jnp.zeros((Pn, 3)).at[obs_pt].add(jnp.einsum("oki,ok->oi", JpW, r))
-    Wo = jnp.einsum("oki,okj->oij", JcW, Jp)
+    # per-obs outer products as explicit 2-term broadcasts: the einsum form
+    # ("oki,okj->oij") is an O-batched [6,2]x[2,6] dot_general that pays
+    # per-batch MXU latency (see optim/ba.py table path, measured ~3x)
+    GU = (JcW[:, 0, :, None] * Jc[:, 0, None, :]
+          + JcW[:, 1, :, None] * Jc[:, 1, None, :])
+    U = jnp.zeros((C, 6, 6)).at[obs_cam].add(GU)
+    b_c = jnp.zeros((C, 6)).at[obs_cam].add(
+        JcW[:, 0, :] * r[:, 0, None] + JcW[:, 1, :] * r[:, 1, None])
+    GV = (JpW[:, 0, :, None] * Jp[:, 0, None, :]
+          + JpW[:, 1, :, None] * Jp[:, 1, None, :])
+    V = jnp.zeros((Pn, 3, 3)).at[obs_pt].add(GV)
+    b_p = jnp.zeros((Pn, 3)).at[obs_pt].add(
+        JpW[:, 0, :] * r[:, 0, None] + JpW[:, 1, :] * r[:, 1, None])
+    Wo = (JcW[:, 0, :, None] * Jp[:, 0, None, :]
+          + JcW[:, 1, :, None] * Jp[:, 1, None, :])
     Wd = jnp.zeros((Pn, C, 6, 3)).at[obs_pt, obs_cam].add(Wo)
     return U, b_c, V, b_p, Wd
 
@@ -75,10 +85,18 @@ def make_dist_ba_step(mesh: Mesh, cam: cameras.CameraParams,
             jnp.einsum("pii->p", V), 1e-3)[:, None, None] / 3.0
         Vinv = ba_mod._inv3x3(Vd)
         Vinv = jnp.where(point_valid[:, None, None], Vinv, 0.0)
-        Y = jnp.einsum("pcix,pxy->pciy", Wd, Vinv)
-        S = -jnp.einsum("pciy,pdjy->cidj", Y, Wd)
+        # Y = W@Vinv per point unrolled over the 3x3 (a P-batched tiny
+        # dot_general pays per-batch MXU latency, see optim/ba.py), then the
+        # P-contraction for S as ONE flat [6C, 3P] x [3P, 6C] matmul
+        Pn_ = Wd.shape[0]
+        A = Wd.reshape(Pn_, C * 6, 3)
+        Y = jnp.stack([sum(A[:, :, z] * Vinv[:, z, x, None]
+                           for z in range(3)) for x in range(3)], -1)
+        Yf = Y.transpose(1, 0, 2).reshape(C * 6, Pn_ * 3)
+        Wf = A.transpose(1, 0, 2).reshape(C * 6, Pn_ * 3)
+        S = (-(Yf @ Wf.T)).reshape(C, 6, C, 6)
         S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Ud)
-        rhs = b_c - jnp.einsum("pciy,py->ci", Y, b_p)
+        rhs = b_c - (Yf @ b_p.reshape(Pn_ * 3)).reshape(C, 6)
         free = ~fixed_cam
         fmask = free[:, None].astype(S.dtype)
         S = S * fmask[:, :, None, None] * fmask[None, None, :, :]
