@@ -167,9 +167,13 @@ def main():
         if by:
             ba_bytes_per_s = by / (ms_kf * 1e-3)
 
-    # ---- roofline accounting: achieved FLOP/s vs bf16 peak AND achieved
-    # bytes/s vs HBM peak — whichever fraction is higher names the bound
-    # side. Local BA has ~50 MFLOP per solve, so it can only be memory/
+    # ---- roofline accounting: achieved FLOP/s vs bf16 peak AND the
+    # bytes-accessed ESTIMATE vs HBM peak. XLA's cost analysis sums operand
+    # bytes per instruction, which counts fusion-internal VMEM-resident
+    # reuse as if it hit HBM — so bw_* are upper bounds on pressure, and
+    # values >1.0 mean the program re-uses VMEM-resident data faster than
+    # HBM could stream it (op-latency-bound, not bandwidth-starved).
+    # Local BA has ~50 MFLOP per solve, so it can only be memory/
     # latency-bound; the frame program carries the real FLOPs.
     kind = jax.devices()[0].device_kind
     peak, hbm_peak = _peaks(kind)
@@ -204,10 +208,12 @@ def main():
         out["mfu_ba_vs_bf16_peak"] = round(mfu_ba, 4)
     if mfu_frame is not None:
         out["mfu_frame_vs_bf16_peak"] = round(mfu_frame, 4)
+    # bytes-accessed estimate over device time vs HBM peak; >1.0 = the
+    # fused program re-uses VMEM-resident data (upper bound, see above)
     if bw_ba is not None:
-        out["bw_ba_vs_hbm_peak"] = round(bw_ba, 4)
+        out["bw_est_ba_vs_hbm_peak"] = round(bw_ba, 4)
     if bw_frame is not None:
-        out["bw_frame_vs_hbm_peak"] = round(bw_frame, 4)
+        out["bw_est_frame_vs_hbm_peak"] = round(bw_frame, 4)
     print(json.dumps(out))
 
 

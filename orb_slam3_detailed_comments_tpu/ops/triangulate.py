@@ -35,8 +35,11 @@ def triangulate(T1: SE3, xn1: jnp.ndarray, T2: SE3, xn2: jnp.ndarray):
     """
     a0, a1 = _proj_rows(T1, xn1)
     a2, a3 = _proj_rows(T2, xn2)
-    A = jnp.stack([a0, a1, a2, a3], axis=-2)                  # [N, 4, 4]
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    rows = (a0, a1, a2, a3)
+    # A^T A unrolled over the 4 rows: the einsum form is an N-batched [4,4]
+    # tiny dot_general paying per-batch MXU latency (see optim/ba.py); the
+    # 4-term outer-product sum fuses into one VPU pass
+    AtA = sum(r[..., :, None] * r[..., None, :] for r in rows)
     xh = _null4(AtA)
     wh = xh[..., 3]
     ok = jnp.abs(wh) > 1e-8
