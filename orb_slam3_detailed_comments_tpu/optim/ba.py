@@ -165,6 +165,56 @@ _TABLE_C_MAX = 48
 _PCG_C_MIN = 128
 
 
+class ObsTable(NamedTuple):
+    """Dense [P, d] observation-table layout (see _ba_solve_tables).
+
+    tab: [P, d] obs id or -1; tvalid: [P, d]; cam_t: [P, d] camera per slot;
+    uv_t: [P, d, 2]; w_t: [P, d] (0 on padding / invalid points);
+    onehot: [P, d, C] camera one-hot (0 rows on padding); inval: [P, d]
+    float 1.0 on padding; pos: [O] flat table slot per obs (P*d = absent).
+    """
+    tab: jnp.ndarray
+    tvalid: jnp.ndarray
+    cam_t: jnp.ndarray
+    uv_t: jnp.ndarray
+    w_t: jnp.ndarray
+    onehot: jnp.ndarray
+    inval: jnp.ndarray
+    pos: jnp.ndarray
+
+
+def build_obs_table(obs_pt, obs_cam, obs_uv, obs_w, obs_valid, point_valid,
+                    P: int, C: int, d: int) -> ObsTable:
+    """Re-lay observations as a dense [P, d] table (one scatter, done once;
+    the per-iteration assembly then has no scatters or gathers at all)."""
+    O = obs_pt.shape[0]
+    pt = jnp.where(obs_valid, obs_pt, P)               # invalid -> dump row
+    order = jnp.argsort(pt)
+    pt_s = pt[order]
+    starts = jnp.searchsorted(pt_s, jnp.arange(P))
+    rank = jnp.arange(O, dtype=jnp.int32) - starts[jnp.clip(pt_s, 0, P - 1)]
+    rank = jnp.where(pt_s < P, rank, d)                # invalid -> dump col
+    tab = jnp.full((P + 1, d + 1), -1, jnp.int32).at[
+        jnp.minimum(pt_s, P), jnp.clip(rank, 0, d)].set(order)
+    tab = tab[:P, :d]                                  # [P, d] obs id or -1
+    tvalid = tab >= 0
+    # inverse mapping obs id -> flat table slot (P*d = "not in table"):
+    # built once here so inlier classification is a gather in O-order
+    # instead of a [P*d] scatter whose shared dump row serializes
+    in_tab = (pt_s < P) & (rank < d)
+    flat_slot = jnp.minimum(pt_s, P - 1) * d + jnp.clip(rank, 0, d - 1)
+    pos = jnp.full(O, P * d, jnp.int32).at[order].set(
+        jnp.where(in_tab, flat_slot, P * d).astype(jnp.int32))
+    idx = jnp.maximum(tab, 0)
+    cam_t = jnp.where(tvalid, obs_cam[idx], 0)
+    uv_t = obs_uv[idx]
+    w_t = jnp.where(tvalid & point_valid[:, None], obs_w[idx], 0.0)
+    onehot = (jax.nn.one_hot(cam_t, C, dtype=jnp.float32)
+              * tvalid[..., None].astype(jnp.float32))  # [P, d, C]
+    inval = (~tvalid).astype(jnp.float32)
+    return ObsTable(tab, tvalid, cam_t, uv_t, w_t, onehot, inval, pos)
+
+
 def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
                      delta2: float, lm_lambda0: float,
                      table_depth: int = 0) -> BAResult:
@@ -186,30 +236,10 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     d = min(table_depth, C) if table_depth > 0 else C
 
     # ---- one-time table construction (the only scatter in the solve) ----
-    pt = jnp.where(prob.obs_valid, prob.obs_pt, P)     # invalid -> dump row
-    order = jnp.argsort(pt)
-    pt_s = pt[order]
-    starts = jnp.searchsorted(pt_s, jnp.arange(P))
-    rank = jnp.arange(O, dtype=jnp.int32) - starts[jnp.clip(pt_s, 0, P - 1)]
-    rank = jnp.where(pt_s < P, rank, d)                # invalid -> dump col
-    tab = jnp.full((P + 1, d + 1), -1, jnp.int32).at[
-        jnp.minimum(pt_s, P), jnp.clip(rank, 0, d)].set(order)
-    tab = tab[:P, :d]                                  # [P, d] obs id or -1
-    tvalid = tab >= 0
-    # inverse mapping obs id -> flat table slot (P*d = "not in table"):
-    # built once here so the final inlier classification is a gather in
-    # O-order instead of a [P*d] scatter whose shared dump row serializes
-    in_tab = (pt_s < P) & (rank < d)
-    flat_slot = jnp.minimum(pt_s, P - 1) * d + jnp.clip(rank, 0, d - 1)
-    pos = jnp.full(O, P * d, jnp.int32).at[order].set(
-        jnp.where(in_tab, flat_slot, P * d).astype(jnp.int32))
-    idx = jnp.maximum(tab, 0)
-    cam_t = jnp.where(tvalid, prob.obs_cam[idx], 0)
-    uv_t = prob.obs_uv[idx]
-    w_t0 = jnp.where(tvalid & prob.point_valid[:, None], prob.obs_w[idx], 0.0)
-    onehot = (jax.nn.one_hot(cam_t, C, dtype=jnp.float32)
-              * tvalid[..., None].astype(jnp.float32))  # [P, d, C]
-    inval = (~tvalid).astype(jnp.float32)
+    TL = build_obs_table(prob.obs_pt, prob.obs_cam, prob.obs_uv, prob.obs_w,
+                         prob.obs_valid, prob.point_valid, P, C, d)
+    tab, tvalid, uv_t, w_t0 = TL.tab, TL.tvalid, TL.uv_t, TL.w_t
+    onehot, inval, pos = TL.onehot, TL.inval, TL.pos
 
     def residuals(kf_R, kf_t, points):
         # per-entry poses via one-hot einsum (exact: single nonzero per row);

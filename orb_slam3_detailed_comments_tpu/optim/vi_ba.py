@@ -80,14 +80,20 @@ def _camera_from_body(R_wb, p_w, R_cb, t_cb):
 
 def _visual_terms(prob: VIBAProblem, cam, R_cb, t_cb, delta2):
     """Residuals + Jacobians wrt body-pose perturbation and point."""
-    R_wb = prob.R_wb[prob.obs_cam]
-    p = prob.p_w[prob.obs_cam]
-    X = prob.points[prob.obs_pt]
+    return _visual_terms_at(prob.R_wb[prob.obs_cam], prob.p_w[prob.obs_cam],
+                            prob.points[prob.obs_pt], prob.obs_uv,
+                            cam, R_cb, t_cb)
+
+
+def _visual_terms_at(R_wb, p, X, uv, cam, R_cb, t_cb):
+    """Core visual linearization at explicit per-entry (body pose, point,
+    measurement) tuples — shared by the O-order path and the [P, d]
+    observation-table path."""
     R_bw = jnp.swapaxes(R_wb, -1, -2)
     x_b = jnp.einsum("oij,oj->oi", R_bw, X - p)
     x_c = jnp.einsum("ij,oj->oi", R_cb, x_b) + t_cb
     pred = cameras.project(cam, x_c)
-    r = prob.obs_uv - pred
+    r = uv - pred
     Jproj = cameras.project_jac(cam, x_c)                      # [O, 2, 3]
     # all small-axis matmul chains unrolled (batched [..,2,3]@[..,3,x]
     # lowers to per-entry tiny matmuls, 4x slower in composition; see
@@ -123,8 +129,7 @@ def _inertial_terms(prob: VIBAProblem, gravity):
         z = jnp.zeros(24)
         r = edge_res(z, i, j, pre_e)
         J = jax.jacfwd(edge_res)(z, i, j, pre_e)                # [9, 24]
-        info = factors.information_9(pre_e)
-        return r, J, info
+        return r, J
 
     return jax.vmap(one)(jnp.arange(prob.edge_i.shape[0]))
 
@@ -156,6 +161,42 @@ def _solve_impl(prob: VIBAProblem, cam: cameras.CameraParams,
     P = prob.points.shape[0]
     E = prob.edge_i.shape[0]
 
+    # ---- loop-invariant edge quantities, hoisted out of the LM loop ----
+    # The 9x9 / 6x6 information inverses depend only on the preintegration
+    # covariances, and the H/g placement structure only on edge_i/edge_j —
+    # recomputing them per iteration cost ~0.3 ms (batched small inverses)
+    # and the 12 tiny scatter-adds they fed another ~1 ms (each scatter op
+    # pays fixed TPU overhead regardless of row count; measured).
+    info_e = jax.vmap(lambda e: factors.information_9(
+        jax.tree.map(lambda x: x[e], prob.edge_pre)))(jnp.arange(E))
+    infb_e = jax.vmap(lambda e: factors.bias_walk_information(
+        jax.tree.map(lambda x: x[e], prob.edge_pre)))(jnp.arange(E))
+    oh_i = jax.nn.one_hot(prob.edge_i, C, dtype=jnp.float32)   # [E, C]
+    oh_j = jax.nn.one_hot(prob.edge_j, C, dtype=jnp.float32)
+    # pair-state placement Q [E, 24, C*D]: dims 0:15 live at camera i,
+    # dims 15:24 at camera j's (dp, dphi, dv) block; H += sum_e Q^T Hee Q
+    # and g += sum_e Q^T ge become two flat matmuls instead of scatters
+    Q = jnp.concatenate([
+        oh_i[:, None, :, None] * jnp.eye(15, D)[None, :, None, :],
+        oh_j[:, None, :, None] * jnp.eye(9, D)[None, :, None, :],
+    ], axis=1).reshape(E, 24, C * D)
+    # bias random-walk Jacobian [E, 6, C*D]: +I6 at j's bias block (9:15),
+    # -I6 at i's (rb = bias_j - bias_i)
+    E6 = jnp.eye(D)[9:15]                                      # [6, D]
+    J_rw = ((oh_j - oh_i)[:, None, :, None]
+            * E6[None, :, None, :]).reshape(E, 6, C * D)
+    # visual observations re-laid as a dense [P, d=C] table (one scatter,
+    # here, once): the per-iteration V/b_p/Wd scatter-adds cost ~0.7 ms at
+    # O=8k (see optim/ba.py — same machinery, shared helper). d = C is
+    # always safe: a point is observed at most once per camera.
+    dT = C
+    TL = ba_mod.build_obs_table(prob.obs_pt, prob.obs_cam, prob.obs_uv,
+                                prob.obs_w, prob.obs_valid, prob.point_valid,
+                                P, C, dT)
+    oh2 = TL.onehot.reshape(P * dT, C)
+    uv_f = TL.uv_t.reshape(P * dT, 2)
+    inval_f = TL.inval.reshape(P * dT)
+
     def cost_fn(pr):
         R_cw, t_cw = _camera_from_body(pr.R_wb[pr.obs_cam], pr.p_w[pr.obs_cam],
                                        R_cb, t_cb)
@@ -176,8 +217,7 @@ def _solve_impl(prob: VIBAProblem, cam: cameras.CameraParams,
             r = factors.inertial_residual(
                 pr.R_wb[i], pr.p_w[i], pr.v_w[i], pr.R_wb[j], pr.p_w[j],
                 pr.v_w[j], pr.bg[i], pr.ba[i], pre_e, gravity)
-            info = factors.information_9(pre_e)
-            c = r @ info @ r
+            c = r @ info_e[e] @ r
             c = jnp.where(c <= huber_imu2, c,
                           2.0 * jnp.sqrt(huber_imu2 * jnp.maximum(c, 0.0)) - huber_imu2)
             return jnp.where(pr.edge_valid[e], c, 0.0)
@@ -189,30 +229,39 @@ def _solve_impl(prob: VIBAProblem, cam: cameras.CameraParams,
     def lm_step(state):
         pr, lam, cost = state
         # ---- visual part with Schur elimination -----------------------
-        r, Jc, Jp, depth_ok = _visual_terms(pr, cam, R_cb, t_cb, delta2)
-        ok = pr.obs_valid & depth_ok & pr.point_valid[pr.obs_pt]
-        chi2 = jnp.sum(r * r, -1) * pr.obs_w
-        w = pr.obs_w * reproj.huber_weight(chi2, delta2) * ok
-        JcW = Jc * w[:, None, None]
-        JpW = Jp * w[:, None, None]
-        # pose block occupies state dims 0:6 of each KF. Camera-indexed
-        # sums ride an [O, C] one-hot matmul (MXU) instead of scatter-adds
-        # (see optim/ba.py table path); point-indexed sums stay scatters
-        # here (P is large, O modest for inertial windows).
-        oh = jax.nn.one_hot(pr.obs_cam, C, dtype=jnp.float32)   # [O, C]
-        G = (JcW[:, 0, :, None] * Jc[:, 0, None, :]
-             + JcW[:, 1, :, None] * Jc[:, 1, None, :]).reshape(-1, 36)
-        U6 = (oh.T @ G).reshape(C, 6, 6)
-        bc_o = JcW[:, 0, :] * r[:, 0, None] + JcW[:, 1, :] * r[:, 1, None]
-        b6 = oh.T @ bc_o
-        V = jnp.zeros((P, 3, 3)).at[pr.obs_pt].add(
-            JpW[:, 0, :, None] * Jp[:, 0, None, :]
-            + JpW[:, 1, :, None] * Jp[:, 1, None, :])
-        b_p = jnp.zeros((P, 3)).at[pr.obs_pt].add(
-            JpW[:, 0, :] * r[:, 0, None] + JpW[:, 1, :] * r[:, 1, None])
-        Wo = (JcW[:, 0, :, None] * Jp[:, 0, None, :]
-              + JcW[:, 1, :, None] * Jp[:, 1, None, :])
-        Wd = jnp.zeros((P, C, 6, 3)).at[pr.obs_pt, pr.obs_cam].add(Wo)
+        # table-order linearization: per-slot body poses via flat one-hot
+        # matmuls, then every reduction is a flat matmul or an unrolled
+        # elementwise sum — NO scatters or gathers in the loop (optim/ba.py
+        # table path, same forms)
+        R_wb_e = ((oh2 @ pr.R_wb.reshape(C, 9)).reshape(P * dT, 3, 3)
+                  + jnp.eye(3) * inval_f[:, None, None])
+        p_e = (oh2 @ pr.p_w).reshape(P * dT, 3)
+        X_e = jnp.broadcast_to(pr.points[:, None, :],
+                               (P, dT, 3)).reshape(P * dT, 3)
+        r_f, Jc_f, Jp_f, dok_f = _visual_terms_at(
+            R_wb_e, p_e, X_e, uv_f, cam, R_cb, t_cb)
+        r_t = r_f.reshape(P, dT, 2)
+        chi2 = jnp.sum(r_t * r_t, -1) * TL.w_t
+        w = TL.w_t * reproj.huber_weight(chi2, delta2) * dok_f.reshape(P, dT)
+        wf = w.reshape(P * dT)
+        JcW = Jc_f * wf[:, None, None]                     # [P*d, 2, 6]
+        G = (JcW[:, 0, :, None] * Jc_f[:, 0, None, :]
+             + JcW[:, 1, :, None] * Jc_f[:, 1, None, :]).reshape(P * dT, 36)
+        U6 = (oh2.T @ G).reshape(C, 6, 6)
+        bc_o = JcW[:, 0, :] * r_f[:, 0, None] + JcW[:, 1, :] * r_f[:, 1, None]
+        b6 = oh2.T @ bc_o
+        Jp_t = Jp_f.reshape(P, dT, 2, 3)
+        JpW = (Jp_t * w[..., None, None]).reshape(P, 2 * dT, 3)
+        Ef = Jp_t.reshape(P, 2 * dT, 3)
+        rfp = r_t.reshape(P, 2 * dT)
+        V = jnp.stack([jnp.stack([(JpW[:, :, x] * Ef[:, :, y]).sum(1)
+                                  for y in range(3)], -1)
+                       for x in range(3)], -2)             # [P, 3, 3]
+        b_p = jnp.stack([(JpW[:, :, x] * rfp).sum(1) for x in range(3)], -1)
+        Hm_w = (JcW[:, 0, :, None] * Jp_f[:, 0, None, :]
+                + JcW[:, 1, :, None] * Jp_f[:, 1, None, :]).reshape(P, dT, 18)
+        Wd = jnp.stack([(TL.onehot * Hm_w[:, :, i, None]).sum(1)
+                        for i in range(18)], -1).reshape(P, C, 6, 3)
         if axis is not None:
             # reduce the visual partials over the observation shards (ICI)
             U6 = jax.lax.psum(U6, axis)
@@ -239,66 +288,60 @@ def _solve_impl(prob: VIBAProblem, cam: cameras.CameraParams,
         rhs6 = b6 - (Yf @ b_p.reshape(P * 3)).reshape(C, 6)
 
         # ---- assemble the [C*D, C*D] reduced system -------------------
+        # block-diag / edge placements ride precomputed one-hot structures
+        # (eyeC broadcasts + the Q/J_rw matmuls) — each .at[] scatter-add
+        # pays fixed TPU overhead, and the 12 of them cost ~1 ms/iteration
+        eyeC = jnp.eye(C)[:, None, :, None]                  # [C,1,C,1]
         H = jnp.zeros((C, D, C, D))
         H = H.at[:, 0:6, :, 0:6].set(S6)
-        H = H.at[jnp.arange(C), 0:6, jnp.arange(C), 0:6].add(U6)
+        U6p = jnp.pad(U6, ((0, 0), (0, D - 6), (0, D - 6)))
+        H = H + U6p[:, :, None, :] * eyeC
         g = jnp.zeros((C, D))
         g = g.at[:, 0:6].set(rhs6)
 
-        # inertial edges
-        re, Je, info = _inertial_terms(pr, gravity)          # [E,9],[E,9,24],[E,9,9]
-        chi_i = jnp.einsum("ei,eij,ej->e", re, info, re)
+        # inertial edges: H += sum_e Q^T Hee Q, g += sum_e Q^T ge
+        re, Je = _inertial_terms(pr, gravity)                # [E,9],[E,9,24]
+        chi_i = jnp.einsum("ei,eij,ej->e", re, info_e, re)
         w_imu = reproj.huber_weight(chi_i, huber_imu2) * pr.edge_valid
-        JtW = jnp.einsum("eki,ekl->eil", Je, info) * w_imu[:, None, None]
+        JtW = jnp.einsum("eki,ekl->eil", Je, info_e) * w_imu[:, None, None]
         Hee = jnp.einsum("eil,elj->eij", JtW, Je)            # [E,24,24]
         ge = -jnp.einsum("eil,el->ei", JtW, re)              # note: e = residual
-        # scatter: pair layout [i(0:15), j(15:24 -> dp,dphi,v of j)]
-        ii, jj = pr.edge_i, pr.edge_j
-        H = H.at[ii, :, ii, :].add(Hee[:, 0:15, 0:15])
-        H = H.at[jj, 0:9, jj, 0:9].add(Hee[:, 15:24, 15:24])
-        H = H.at[ii, :, jj, 0:9].add(Hee[:, 0:15, 15:24])
-        H = H.at[jj, 0:9, ii, :].add(Hee[:, 15:24, 0:15])
-        g = g.at[ii, :].add(ge[:, 0:15])
-        g = g.at[jj, 0:9].add(ge[:, 15:24])
+        R1 = jax.lax.dot_general(Hee, Q, (((2,), (1,)), ((0,), (0,))))
+        H = H + jax.lax.dot_general(
+            Q, R1, (((0, 1), (0, 1)), ((), ()))).reshape(C, D, C, D)
+        g = g + (ge.reshape(1, E * 24) @ Q.reshape(E * 24, C * D)
+                 ).reshape(C, D)
 
-        # bias random-walk edges between consecutive KFs
-        def rw_terms(e):
-            i, j = pr.edge_i[e], pr.edge_j[e]
-            rb = jnp.concatenate([pr.bg[j] - pr.bg[i], pr.ba[j] - pr.ba[i]])
-            infb = factors.bias_walk_information(
-                jax.tree.map(lambda x: x[e], pr.edge_pre))
-            return rb, infb
-        rb, infb = jax.vmap(rw_terms)(jnp.arange(E))
-        # J: d rb / d (bias_i) = -I6, d/d(bias_j) = +I6
-        WB = infb * pr.edge_valid[:, None, None]
-        H = H.at[ii, 9:15, ii, 9:15].add(WB)
-        H = H.at[jj, 9:15, jj, 9:15].add(WB)
-        H = H.at[ii, 9:15, jj, 9:15].add(-WB)
-        H = H.at[jj, 9:15, ii, 9:15].add(-WB)
-        g = g.at[ii, 9:15].add(jnp.einsum("eij,ej->ei", WB, rb))
-        g = g.at[jj, 9:15].add(-jnp.einsum("eij,ej->ei", WB, rb))
+        # bias random-walk edges between consecutive KFs (J_rw = +-I6 at
+        # the two bias blocks, precomputed): H += J^T W J, g += -J^T W rb
+        rb = jnp.concatenate([pr.bg[pr.edge_j] - pr.bg[pr.edge_i],
+                              pr.ba[pr.edge_j] - pr.ba[pr.edge_i]], axis=1)
+        WB = infb_e * pr.edge_valid[:, None, None]
+        R2 = jax.lax.dot_general(WB, J_rw, (((2,), (1,)), ((0,), (0,))))
+        H = H + jax.lax.dot_general(
+            J_rw, R2, (((0, 1), (0, 1)), ((), ()))).reshape(C, D, C, D)
+        WBrb = jnp.einsum("eij,ej->ei", WB, rb)
+        g = g - (WBrb.reshape(1, E * 6) @ J_rw.reshape(E * 6, C * D)
+                 ).reshape(C, D)
 
         # bias priors
         Hp = jnp.zeros((D, D))
         Hp = Hp.at[9:12, 9:12].set(prior_gyro * jnp.eye(3))
         Hp = Hp.at[12:15, 12:15].set(prior_acc * jnp.eye(3))
-        H = H.at[jnp.arange(C), :, jnp.arange(C), :].add(Hp)
+        H = H + Hp[None, :, None, :] * eyeC
         g = g.at[:, 9:12].add(-prior_gyro * pr.bg)
         g = g.at[:, 12:15].add(-prior_acc * pr.ba)
 
         # damping + fixed cameras
-        diagH = jnp.einsum("cdcd->cd", H)
-        H = H.at[jnp.arange(C)[:, None], jnp.arange(D)[None, :],
-                 jnp.arange(C)[:, None], jnp.arange(D)[None, :]].add(
-            lam * jnp.maximum(diagH, 1e-3))
         free = ~pr.fixed_cam
         fmask = free.astype(H.dtype)
         H = H * fmask[:, None, None, None] * fmask[None, None, :, None]
-        H = H.at[jnp.arange(C), :, jnp.arange(C), :].add(
-            jnp.eye(D) * (~free)[:, None, None].astype(H.dtype))
         g = g * fmask[:, None]
-
         Hm = H.reshape(C * D, C * D)
+        diagH = jnp.diag(Hm)
+        Hm = Hm + jnp.diag(lam * jnp.maximum(diagH, 1e-3)
+                           + (~free)[:, None].astype(H.dtype)
+                           .repeat(D, 1).reshape(-1))
         # Jacobi equilibration: IMU information (~1e9) and visual weights
         # (~1) coexist in one f32 system — without symmetric scaling the
         # Cholesky loses every digit. Solve (E H E) y = E g, dx = E y.
