@@ -8,6 +8,18 @@ pathDatasetEuroc="${EUROC_PATH:-/Datasets/EuRoC}"
 gtDir="${GT_DIR:-evaluation/Ground_truth/EuRoC_left_cam}"
 outDir="${OUT_DIR:-results_euroc}"
 cfg=examples/config/EuRoC.yaml
+if [ ! -d "$gtDir" ]; then
+  echo "error: ground-truth dir '$gtDir' not found." >&2
+  echo "EuRoC ground truth is not bundled (the reference ships it under" >&2
+  echo "evaluation/Ground_truth/). Export GT_DIR to a directory of" >&2
+  echo "<SEQ>_GT.txt files in TUM format (t x y z qx qy qz qw), e.g. the" >&2
+  echo "EuRoC state_groundtruth_estimate0 exports." >&2
+  exit 1
+fi
+if [ ! -d "$pathDatasetEuroc" ]; then
+  echo "error: dataset dir '$pathDatasetEuroc' not found; set EUROC_PATH." >&2
+  exit 1
+fi
 mkdir -p "$outDir"
 
 for s in MH01 V102; do

@@ -49,7 +49,9 @@ def pack_point_bits(fp_rows: np.ndarray, max_pt: int) -> np.ndarray:
     ~2 ms each per frame on TPU; the bitset forms are ~0)."""
     R, _ = fp_rows.shape
     bits = np.zeros((R, max_pt // 32), np.uint32)
-    r, c = np.nonzero(fp_rows >= 0)
+    # mask both ends: a corrupted observation table (entry >= max_pt) must
+    # degrade to "point not in bitset", not crash the host upload path
+    r, c = np.nonzero((fp_rows >= 0) & (fp_rows < max_pt))
     p = fp_rows[r, c]
     np.bitwise_or.at(bits, (r, p >> 5),
                      (np.uint32(1) << (p & 31).astype(np.uint32)))

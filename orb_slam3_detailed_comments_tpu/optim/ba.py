@@ -352,8 +352,12 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     r, _, _, depth_ok = residuals(kf_R, kf_t, points)
     chi2 = jnp.sum(r * r, axis=-1) * w_t0
     ok_t = tvalid & depth_ok & (chi2 <= delta2) & (w_t0 > 0)
+    # pad slot P*d is True: a VALID observation that overflowed the static
+    # table depth (rank >= d) was never solved against, so an under-sized
+    # table_depth degrades to a weaker solve — NOT to silently detaching
+    # (and potentially killing) the overflow observations as outliers
     ok_flat = jnp.concatenate([ok_t.reshape(P * d),
-                               jnp.zeros(1, bool)])    # [P*d + 1]
+                               jnp.ones(1, bool)])     # [P*d + 1]
     inlier = ok_flat[pos] & prob.obs_valid
     return BAResult(kf_R, kf_t, points, inlier, cost)
 

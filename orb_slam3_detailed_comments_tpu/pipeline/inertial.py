@@ -468,9 +468,11 @@ def run_merge_inertial_ba(m: MapStore, cam, k: int, c: int,
         fix_k = [win_k.pop()]
         if not win_k:
             return None
-    # merge-side window: c, Nd/2 predecessors, then successors up to 2*Nd
-    # total, anchored likewise (reference steps 2.1-2.5)
-    win_c = back_chain(c, nd // 2 + 1)
+    # merge-side window: c, Nd/2-1 predecessors (reference 2.2's loop runs
+    # i=1..Nd/2-1), then successors until the COMBINED optimizable set
+    # reaches 2*Nd (reference 2.5 bounds vpOptimizableKFs — both windows
+    # together — at 2*Nd), anchored likewise (reference steps 2.1-2.5)
+    win_c = back_chain(c, nd // 2)
     p = int(m.kf_prev[win_c[-1]])
     if p >= 0 and m.kf_valid[p]:
         fix_c = [p]
@@ -479,7 +481,7 @@ def run_merge_inertial_ba(m: MapStore, cam, k: int, c: int,
         if not win_c:
             return None
     nxt = next_of.get(int(c), -1)
-    while len(win_c) < 2 * nd and nxt >= 0 and nxt not in win_k:
+    while len(win_c) + len(win_k) < 2 * nd and nxt >= 0 and nxt not in win_k:
         win_c.append(int(nxt))
         nxt = next_of.get(int(nxt), -1)
 

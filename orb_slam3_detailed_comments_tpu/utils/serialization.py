@@ -52,7 +52,19 @@ def _map_from_npz_bytes(data: bytes, cfg: MapConfig) -> MapStore:
                          max_pt=len(z["pt_valid"])))
     for k in _MAP_ARRAYS:
         if k in z.files:        # older checkpoints lack the inertial block
-            getattr(m, k)[...] = z[k]
+            dst, a = getattr(m, k), z[k]
+            if dst.shape == a.shape:
+                dst[...] = a
+            else:
+                # MapConfig.__post_init__ rounds max_pt up to a 32-word
+                # multiple; checkpoints written before that rounding (or at
+                # a non-multiple capacity) load into the rounded store with
+                # the tail rows left at their defaults (invalid/empty)
+                if any(sa > sd for sa, sd in zip(a.shape, dst.shape)):
+                    raise ValueError(
+                        f"checkpoint array {k} {a.shape} exceeds "
+                        f"store capacity {dst.shape}")
+                dst[tuple(slice(0, s) for s in a.shape)] = a
     if "imu_flags" in z.files:
         m.imu_initialized, m.imu_ba1, m.imu_ba2 = (bool(x)
                                                    for x in z["imu_flags"])
