@@ -24,6 +24,68 @@ def _texture(rng, size=1200, n_blobs=4000):
     return np.clip(img, 0, 255)
 
 
+def texture_natural(rng, size=1200, alpha=1.2, contrast=55.0):
+    """1/f^alpha-spectrum texture: the power-law amplitude statistics of
+    natural imagery (vs _texture's piecewise-constant blobs). Corner
+    detectors fire on a much broader, denser response distribution here —
+    the domain-shift probe for the vocabulary (VERDICT r3: the bundled
+    vocab is trained and evaluated on blob statistics only)."""
+    f = np.fft.fftfreq(size)
+    fr = np.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
+    fr[0, 0] = fr[0, 1]
+    amp = 1.0 / fr ** alpha
+    phase = rng.uniform(0, 2 * np.pi, (size, size))
+    spec = amp * np.exp(1j * phase)
+    img = np.real(np.fft.ifft2(spec))
+    img = (img - img.mean()) / (img.std() + 1e-9)
+    return np.clip(120.0 + contrast * img, 0, 255).astype(np.float32)
+
+
+def texture_lit(rng, size=1200, n_blobs=2000):
+    """Blob texture under strong low-frequency lighting: a smooth
+    illumination field (gradient + a few gaussian 'lamps', x0.4-1.6) over
+    the base — breaks any brightness-constancy assumption in descriptors."""
+    base = _texture(rng, size, n_blobs)
+    yy, xx = np.meshgrid(np.linspace(0, 1, size), np.linspace(0, 1, size),
+                         indexing="ij")
+    gdir = rng.uniform(0, 2 * np.pi)
+    field = 0.35 * (np.cos(gdir) * xx + np.sin(gdir) * yy)
+    for _ in range(int(rng.integers(2, 5))):
+        cy, cx = rng.uniform(0, 1, 2)
+        sig = rng.uniform(0.08, 0.3)
+        field += rng.uniform(0.2, 0.6) * np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig ** 2))
+    field = 0.4 + 1.2 * (field - field.min()) / (np.ptp(field) + 1e-9)
+    return np.clip(base * field, 0, 255).astype(np.float32)
+
+
+def texture_specular(rng, size=1200, n_blobs=1800, n_spots=14):
+    """Blob texture with saturated specular spots: bright elliptical
+    highlights that clip to white (a glossy plane under point lights) —
+    saturation plateaus kill gradient information locally."""
+    base = _texture(rng, size, n_blobs)
+    yy, xx = np.meshgrid(np.arange(size, dtype=np.float32),
+                         np.arange(size, dtype=np.float32), indexing="ij")
+    for _ in range(n_spots):
+        cy, cx = rng.uniform(0, size, 2)
+        sy, sx = rng.uniform(8, 60, 2)
+        th = rng.uniform(0, np.pi)
+        dy, dx = yy - cy, xx - cx
+        u = np.cos(th) * dx + np.sin(th) * dy
+        v = -np.sin(th) * dx + np.cos(th) * dy
+        base += 400.0 * np.exp(-(u ** 2 / (2 * sx ** 2)
+                                 + v ** 2 / (2 * sy ** 2)))
+    return np.clip(base, 0, 255).astype(np.float32)
+
+
+TEXTURE_DOMAINS = {
+    "blob": lambda rng, size: _texture(rng, size),
+    "natural_1f": lambda rng, size: texture_natural(rng, size),
+    "lit": lambda rng, size: texture_lit(rng, size),
+    "specular": lambda rng, size: texture_specular(rng, size),
+}
+
+
 @dataclass
 class Plane:
     origin: np.ndarray      # [3] world point of texture (0,0)
@@ -203,6 +265,91 @@ def inertial_trajectory(n_frames, imu_per_frame=20, dt=0.005,
     t_cw = -np.einsum("tij,tj->ti", R_cw, p_w).astype(np.float32)
     ts = np.arange(n_frames) * imu_per_frame * dt
     windows = [None]  # frame 0 has no preceding window
+    for i in range(1, n_frames):
+        s0, s1 = (i - 1) * imu_per_frame, i * imu_per_frame
+        windows.append((accs[s0:s1], gyros[s0:s1], t_meas[s0:s1]))
+    return dict(R_cw=R_cw, t_cw=t_cw, ts=ts, windows=windows,
+                gravity=g, centers=p_w.astype(np.float32))
+
+
+def inertial_loop_trajectory(n_frames, imu_per_frame=10, dt=0.005,
+                             radius=3.0, closes=1.06,
+                             gravity=np.array([0.0, 9.81, 0.0]),
+                             true_bg=np.zeros(3), true_ba=np.zeros(3),
+                             wobble=0.05, yaw_burst=None):
+    """Ground-truth loop around the inside of box_world + exact IMU.
+
+    The body circles at `radius` facing radially outward (loop_trajectory's
+    geometry) for `closes` revolutions, with a small body-rate/acceleration
+    wobble so all IMU axes are excited. Exactly like inertial_trajectory,
+    the trajectory IS the first-order integration of the emitted IMU stream
+    (camera == body, gravity +y = image down), so preintegration sees a
+    noise-free instrument; the returned frame poses come from the same
+    integration.
+
+    Returns the inertial_trajectory dict (R_cw, t_cw, ts, windows, gravity,
+    centers).
+    """
+    def rodrigues(w):
+        # host-side SO(3) exp: 5k+ per-step device round-trips through
+        # lie.so3 dominate generation time otherwise
+        th = np.linalg.norm(w)
+        if th < 1e-12:
+            return np.eye(3)
+        k = w / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+    n_steps = n_frames * imu_per_frame
+    total_t = n_steps * dt
+    omega = 2 * np.pi * closes / total_t          # mean yaw rate (rad/s)
+    # start of loop_trajectory at a=0: R_wb = I, c = [0,0,r], v tangent +x
+    R = np.eye(3)
+    p = np.array([0.0, 0.0, radius])
+    v = np.array([radius * omega, 0.0, 0.0])
+    g = np.asarray(gravity, np.float64)
+    Rs_f, ps_f = [R.copy()], [p.copy()]
+    accs, gyros, t_meas = [], [], []
+    for k in range(n_steps):
+        t = k * dt
+        # yaw about the body y axis (= world y on this flat loop) plus a
+        # small wobble on all axes; tangential accel wobble modulates speed
+        w_b = np.array([wobble * 0.3 * np.sin(2 * np.pi * 0.45 * t + 1.0),
+                        omega + wobble * np.sin(2 * np.pi * 0.3 * t),
+                        wobble * 0.25 * np.sin(2 * np.pi * 0.6 * t + 2.0)])
+        if yaw_burst is not None:
+            # pure-rotation burst (yaw rate scaled, translation unchanged):
+            # a motion-model-violating fast pan, still exactly
+            # IMU-consistent. Antisymmetric (xfac then x(2-fac)) so the
+            # net extra yaw cancels and the camera returns to facing
+            # radially outward — the loop-closure views stay comparable.
+            u0, u1, fac = yaw_burst
+            u = k / n_steps
+            if u0 < u < u1:
+                w_b[1] *= fac if u < (u0 + u1) / 2 else 2.0 - fac
+        # centripetal acceleration for the CURRENT state: the body center
+        # moves on a circle of radius |p_xz|; a_w = -omega^2 * p_xz keeps
+        # it there (exact for the ideal circle, near-exact under wobble)
+        a_w = -omega * omega * np.array([p[0], 0.0, p[2]])
+        a_w[1] = wobble * 0.5 * np.sin(2 * np.pi * 0.5 * t + 0.7)
+        a_b = R.T @ (a_w - g)
+        accs.append(a_b + true_ba)
+        gyros.append(w_b + true_bg)
+        t_meas.append((k + 1) * dt)
+        p = p + v * dt + 0.5 * (R @ a_b + g) * dt * dt
+        v = v + (R @ a_b + g) * dt
+        R = R @ rodrigues(w_b * dt)
+        if (k + 1) % imu_per_frame == 0:
+            Rs_f.append(R.copy())
+            ps_f.append(p.copy())
+    accs = np.stack(accs).astype(np.float32)
+    gyros = np.stack(gyros).astype(np.float32)
+    t_meas = np.asarray(t_meas)
+    R_wb = np.stack(Rs_f)[:n_frames]
+    p_w = np.stack(ps_f)[:n_frames]
+    R_cw = np.transpose(R_wb, (0, 2, 1)).astype(np.float32)
+    t_cw = -np.einsum("tij,tj->ti", R_cw, p_w).astype(np.float32)
+    ts = np.arange(n_frames) * imu_per_frame * dt
+    windows = [None]
     for i in range(1, n_frames):
         s0, s1 = (i - 1) * imu_per_frame, i * imu_per_frame
         windows.append((accs[s0:s1], gyros[s0:s1], t_meas[s0:s1]))

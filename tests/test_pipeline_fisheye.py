@@ -47,6 +47,59 @@ def test_fisheye_mono_end_to_end(sequence):
     assert rmse < 0.06, f"fisheye ATE {rmse:.4f} m over {n} (scale {scale:.3f})"
 
 
+@pytest.mark.slow
+def test_fisheye_stereo_inertial_end_to_end():
+    """The TUM-VI flagship configuration (reference:
+    Examples/Stereo-Inertial/stereo_inertial_tum_vi.cc driven by
+    tum_vi_examples.sh:27-35): a NON-rectified KB8 fisheye pair
+    (KannalaBrandt8.cpp:327 epipolar matching) + IMU. Must initialize the
+    IMU on a metric stereo map (fixed scale), estimate the gyro bias, and
+    track at true metric scale through the whole sequence."""
+    from orb_slam3_detailed_comments_tpu.pipeline.system import IMU_STEREO
+    rng = np.random.default_rng(23)
+    planes = synth_render.default_world(rng)
+    n = 45
+    true_bg = np.array([-0.002, 0.003, 0.001], np.float32)
+    traj = synth_render.inertial_trajectory(n, true_bg=true_bg)
+    BASE = 0.11
+    T_c1c2 = np.eye(4, dtype=np.float32)
+    T_c1c2[0, 3] = BASE
+    lefts, rights = [], []
+    for i in range(n):
+        R, t = traj["R_cw"][i], traj["t_cw"][i]
+        lefts.append(synth_render.render_frame_raycast(CAM, planes, R, t))
+        c_r = -R.T @ t + R.T @ np.array([BASE, 0.0, 0.0])
+        rights.append(synth_render.render_frame_raycast(
+            CAM, planes, R, (-R @ c_r).astype(np.float32)))
+
+    slam = System(CAM, IMU_STEREO, camera2=CAM, T_c1c2=T_c1c2,
+                  enable_loop_closing=False)
+    n_ok = 0
+    for i in range(n):
+        T = slam.track_stereo(lefts[i], rights[i], float(traj["ts"][i]),
+                              imu=traj["windows"][i])
+        if T is not None:
+            n_ok += 1
+    assert n_ok > 0.8 * n, f"tracked {n_ok}/{n}"
+    assert slam.map.imu_initialized, "IMU init never ran on the KB8 pair"
+
+    chain = slam.map.temporal_chain()
+    bg_est = slam.map.kf_bg[chain[-1]]
+    assert np.abs(bg_est - true_bg).max() < 8e-3, bg_est
+
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    # metric gates: rigid-only ATE, and the Horn scale must sit at 1
+    rmse, npair, _ = evaluate_ate.ate_rmse(
+        traj["ts"], traj["centers"], est_ts, est_xyz, with_scale=False)
+    assert npair > 0.7 * n
+    assert rmse < 0.05, f"KB8 stereo-inertial metric ATE {rmse:.4f} over {npair}"
+    _, _, scale = evaluate_ate.ate_rmse(
+        traj["ts"], traj["centers"], est_ts, est_xyz, with_scale=True)
+    assert abs(scale - 1.0) < 0.02, f"metric scale drifted: {scale:.4f}"
+
+
 def test_fisheye_stereo_end_to_end(sequence):
     """Non-rectified fisheye stereo: epipolar-gated matching + triangulation
     gives metric depth; the map must come out at true scale
