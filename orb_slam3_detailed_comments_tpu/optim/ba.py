@@ -256,6 +256,20 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
         return (r.reshape(P, d, 2), Jc.reshape(P, d, 2, 6),
                 Jp.reshape(P, d, 2, 3), depth_ok.reshape(P, d))
 
+    def chi2_sweep(kf_R, kf_t, points):
+        """Forward-only per-entry chi2 + depth gate (NO Jacobians): the two
+        out-of-loop outlier gates only classify, and the jacfwd-bearing
+        residuals() sweep costs ~470 us vs ~60 us for this on the device
+        trace (scripts/profile_ba_trace.py)."""
+        R_e = (jnp.einsum("pdc,cij->pdij", onehot, kf_R)
+               + jnp.eye(3) * inval[..., None, None])
+        t_e = (jnp.einsum("pdc,ci->pdi", onehot, kf_t)
+               + jnp.array([0.0, 0.0, 1.0]) * inval[..., None])
+        pc = jnp.einsum("pdij,pj->pdi", R_e, points) + t_e
+        pred = cameras.project(cam, pc.reshape(-1, 3)).reshape(P, d, 2)
+        r = uv_t - pred
+        return jnp.sum(r * r, axis=-1), pc[..., 2] > 0.05
+
     def robust_cost(kf_R, kf_t, points, w_t):
         R_e = (jnp.einsum("pdc,cij->pdij", onehot, kf_R)
                + jnp.eye(3) * inval[..., None, None])
@@ -296,13 +310,16 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
         # lower to P tiny MXU matmuls — per-batch latency alone costs
         # ~0.7 ms/iteration at P=4096 (measured); unrolled elementwise
         # multiply+reduce forms fuse into a few VPU passes (3x whole-step).
-        JpW = (Jp * w[..., None, None]).reshape(P, 2 * d, 3)
-        E = Jp.reshape(P, 2 * d, 3)
-        rfp = r.reshape(P, 2 * d)
-        V = jnp.stack([jnp.stack([(JpW[:, :, x] * E[:, :, y]).sum(1)
+        # Reductions stay in the native [P, d, 2, .] layout: merging (d, 2)
+        # into one axis forced a physical copy+reshape of every [P*d, 2, 3]
+        # operand inside the LM body (~130 us/iteration of pure data
+        # movement on the device trace; see scripts/profile_ba_trace.py).
+        JpW4 = Jp * w[..., None, None]                   # [P, d, 2, 3]
+        V = jnp.stack([jnp.stack([(JpW4[..., x] * Jp[..., y]).sum((1, 2))
                                   for y in range(3)], -1)
                        for x in range(3)], -2)           # [P, 3, 3]
-        b_p = jnp.stack([(JpW[:, :, x] * rfp).sum(1) for x in range(3)], -1)
+        b_p = jnp.stack([(JpW4[..., x] * r).sum((1, 2)) for x in range(3)],
+                        -1)
 
         Hm = (JcW[:, 0, :, None] * Jpf[:, 0, None, :]
               + JcW[:, 1, :, None] * Jpf[:, 1, None, :]).reshape(P, d, 18)
@@ -339,8 +356,8 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     # drop gross outliers at the chi2 gate, then phase 2 on survivors.
     n1 = max(iters // 3, 2)
     kf_R, kf_t, points, _ = run(prob.kf_R, prob.kf_t, prob.points, w_t0, n1)
-    r, _, _, depth_ok = residuals(kf_R, kf_t, points)
-    chi2 = jnp.sum(r * r, axis=-1) * w_t0
+    err2, depth_ok = chi2_sweep(kf_R, kf_t, points)
+    chi2 = err2 * w_t0
     w_t = jnp.where(depth_ok & (chi2 <= 2.0 * delta2), w_t0, 0.0)
     kf_R, kf_t, points, cost = run(kf_R, kf_t, points, w_t,
                                    max(iters - n1, 1))
@@ -349,8 +366,8 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     # chi2 threshold after LocalBundleAdjustment, Optimizer.cc:2040-2100)
     Tn = SE3(kf_R, kf_t).normalized()
     kf_R = Tn.R
-    r, _, _, depth_ok = residuals(kf_R, kf_t, points)
-    chi2 = jnp.sum(r * r, axis=-1) * w_t0
+    err2, depth_ok = chi2_sweep(kf_R, kf_t, points)
+    chi2 = err2 * w_t0
     ok_t = tvalid & depth_ok & (chi2 <= delta2) & (w_t0 > 0)
     # pad slot P*d is True: a VALID observation that overflowed the static
     # table depth (rank >= d) was never solved against, so an under-sized

@@ -68,7 +68,7 @@ def kind_of(name):
     for k in ("copy", "convolution", "dot", "scatter", "gather", "while",
               "dynamic-update-slice", "dynamic-slice", "reduce", "sort",
               "iota", "broadcast", "transpose", "select", "concatenate",
-              "bitcast", "custom-call", "all-reduce", "rng"):
+              "reshape", "bitcast", "custom-call", "all-reduce", "rng"):
         if k in n:
             return k
     if "fusion" in n:
