@@ -327,6 +327,19 @@ def _kf_features(m: MapStore, k: int):
         valid=jnp.asarray(m.kf_feat_valid[k]))
 
 
+def full_obs_cap(m: MapStore) -> int:
+    """Observation capacity covering the map's FULL observation set,
+    bucketed to a power of two (>=32768) for compile reuse. Full-map
+    solves (global BA, FullInertialBA) must not silently subsample the
+    observation graph: a fixed 32768 cap dropped ~25% of a long sequence's
+    observations and cost ~1 cm of final KF ATE (measured, r4)."""
+    n_obs = int((m.kf_feat_point[m.kf_valid] >= 0).sum())
+    cap = 32768
+    while cap < n_obs:
+        cap *= 2
+    return cap
+
+
 def run_local_ba(m: MapStore, window: list, fixed, cam, iters: int = 10,
                  max_points: int = 4096, max_obs: int = 16384):
     """Build a BAProblem from a keyframe window and write results back

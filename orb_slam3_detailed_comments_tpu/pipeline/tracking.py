@@ -273,17 +273,27 @@ class Tracker:
         from ..utils import timing
         self._update_last_frame_pose()
         ok = False
-        use_imu_pred = (self.imu is not None and self.map.imu_initialized
-                        and self.imu.pre_last_frame is not None
-                        and self.state == OK and self.last is not None)
+        imu_ready = (self.imu is not None and self.map.imu_initialized
+                     and self.imu.pre_last_frame is not None
+                     and self.last is not None)
+        use_imu_pred = imu_ready and self.state == OK
+        # RECENTLY_LOST visual re-acquisition: the reference predicts the
+        # pose from the IMU and then runs TrackLocalMap on it
+        # (Tracking.cc:2203-2240 -> 3067) — matching the local map at the
+        # dead-reckoned pose is what ends a blackout. Stage-1 candidates
+        # come from the recent observation-bearing keyframes
+        # (seed_from_kfs) because the last frames carry no matches.
+        imu_rescue = imu_ready and self.state == RECENTLY_LOST
         fused = False
         with timing.span("pose prediction"):
-            if use_imu_pred or (self.velocity is not None and self.state == OK):
+            if use_imu_pred or imu_rescue or (self.velocity is not None
+                                              and self.state == OK):
                 # the fused one-dispatch step covers BOTH the motion-model
                 # and local-map stages; "fail1" falls through to the
                 # reference's fallback chain (Tracking.cc:2120)
-                r = self._track_steady_fused(prep, ts, fid,
-                                             use_imu=use_imu_pred)
+                r = self._track_steady_fused(
+                    prep, ts, fid, use_imu=use_imu_pred or imu_rescue,
+                    seed_from_kfs=imu_rescue)
                 if r != "fail1":
                     fused = True
                     ok = r == "ok"
@@ -302,13 +312,27 @@ class Tracker:
             with timing.span("track local map"):
                 ok = self._track_local_map()
         if ok:
+            was_lost = self.state in (RECENTLY_LOST, LOST)
             self.state = OK
             self.lost_count = 0
             # velocity update (reference: Tracking.cc:2512-2520)
             if self.last is not None:
                 self.velocity = _compose_np(self.cur_T,
                                             _inverse_np(self.last.T_cw))
-                if self.imu is not None and self.map.imu_initialized:
+                if was_lost:
+                    # the frame-to-frame deltas below would absorb the
+                    # re-acquisition pose CORRECTION (visual fix minus
+                    # dead-reckoned prediction) as phantom motion — a
+                    # 5 cm correction at 20 fps reads as 1 m/s of velocity
+                    # error and throws the next IMU prediction off the map
+                    # (measured: re-lost on the very next frame). Keep the
+                    # IMU-propagated velocity instead; the motion model
+                    # restarts clean.
+                    self.velocity = None
+                    if (self.imu is not None
+                            and getattr(self, "_v_pred", None) is not None):
+                        self.imu.v_w = np.asarray(self._v_pred, np.float32)
+                elif self.imu is not None and self.map.imu_initialized:
                     dt = ts - self.last.ts
                     if dt > 1e-6:
                         from .inertial import _extr, body_from_camera
@@ -675,12 +699,19 @@ class Tracker:
                         else jnp.asarray(proj_angle, jnp.float32)))
         return res
 
-    def _track_steady_fused(self, prep, ts, fid, use_imu=False) -> str:
+    def _track_steady_fused(self, prep, ts, fid, use_imu=False,
+                            seed_from_kfs=False) -> str:
         """The steady-state frame as ONE device dispatch + ONE packed fetch:
         motion-model tracking, on-chip local-keyframe selection, and
         local-map tracking fused into kernels.track_step_visual. Replaces
         the _track_with_motion_model -> _track_local_map pair (two serialized
         device round trips) on the OK-state path.
+
+        seed_from_kfs: RECENTLY_LOST re-acquisition — the last frames carry
+        no matches (blackout), so stage-1 candidates come from the most
+        recent observation-bearing keyframes of the temporal chain instead,
+        at widened radii (the reference's PredictStateIMU + TrackLocalMap
+        recovery, Tracking.cc:2203-2240).
 
         Returns "ok", "fail1" (motion-model short: run the reference's
         fallback chain, Tracking.cc:2120), or "fail2" (local-map short:
@@ -692,28 +723,54 @@ class Tracker:
             self._v_pred = v_pred
         else:
             T_pred = _compose_np(self.velocity, self.last.T_cw)
-        last_pts = np.unique(self.last.match_pt[self.last.match_pt >= 0])
+        cap = self.map.cfg.n_feat
+        ang_of_pt = np.zeros(self.map.pt_valid.shape[0], np.float32)
+        if seed_from_kfs:
+            # walk the keyframe chain back from the newest, collecting
+            # observed points (blackout-cadence KFs are featureless and
+            # contribute nothing)
+            # a long blackout leaves MANY featureless cadence keyframes at
+            # the chain head — walk as deep as needed to reach
+            # observation-bearing ones (bounded only by the chain itself)
+            pts_l, k, hops = [], self.last_kf_id, 0
+            n_got = 0
+            while (k >= 0 and self.map.kf_valid[k] and hops < 64
+                   and n_got < cap):
+                fp = self.map.kf_feat_point[k]
+                s = fp >= 0
+                if s.any():
+                    pts_l.append(fp[s])
+                    ang_of_pt[fp[s]] = self.map.kf_feat_angle[k][s]
+                    n_got += int(s.sum())
+                k = int(self.map.kf_prev[k])
+                hops += 1
+            last_pts = (np.unique(np.concatenate(pts_l)) if pts_l
+                        else np.zeros(0, np.int64))
+        else:
+            last_pts = np.unique(self.last.match_pt[self.last.match_pt >= 0])
         last_pts = last_pts[self.map.pt_valid[last_pts]]
+        self._dbg_seed_n = len(last_pts)
         if len(last_pts) < 10:
             return "fail1"
         # stage-1 candidates: last frame's matched points, padded to the
         # feature capacity (they are <= one frame's features by construction)
-        cap = self.map.cfg.n_feat
         last_pts = last_pts[:cap]
         ids1 = np.full(cap, -1, np.int64)
         ids1[:len(last_pts)] = last_pts
         safe1 = np.where(ids1 >= 0, ids1, 0)
-        # rotation-consistency reference angles (ORBmatcher.cc:1950)
-        lm = self.last.match_pt
-        sel = lm >= 0
-        last_ang = (self.last.angles if self.last.angles is not None
-                    else np.asarray(self.last.prepared.feat.angle))
-        ang_of_pt = np.zeros(self.map.pt_valid.shape[0], np.float32)
-        ang_of_pt[lm[sel]] = last_ang[sel]
+        if not seed_from_kfs:
+            # rotation-consistency reference angles (ORBmatcher.cc:1950)
+            lm = self.last.match_pt
+            sel = lm >= 0
+            last_ang = (self.last.angles if self.last.angles is not None
+                        else np.asarray(self.last.prepared.feat.angle))
+            ang_of_pt[lm[sel]] = last_ang[sel]
         # local-map radius, widened right after relocalization
-        # (reference: Tracking.cc:4039-4062)
+        # (reference: Tracking.cc:4039-4062); re-acquisition widens both
+        # stages the same way
         radius2 = self.cfg.local_radius
-        if self.frame_id <= getattr(self, "last_reloc_fid", -999) + 2:
+        if (seed_from_kfs
+                or self.frame_id <= getattr(self, "last_reloc_fid", -999) + 2):
             radius2 = 3.0 * radius2
         dp = self.map.device_points()
         ko = self.map.device_kf_obs()
@@ -723,7 +780,8 @@ class Tracker:
                   dp["max_dist"], dp["valid"],
                   ko["feat_point"], ko["valid"], ko["covis"],
                   ko["point_bits"],
-                  self.cfg.motion_radius * self.radius_scale,
+                  (3.0 if seed_from_kfs else 1.0)
+                  * self.cfg.motion_radius * self.radius_scale,
                   radius2 * self.radius_scale,
                   self.inv_sigma2)
         statics = dict(cam=self.cam, scale=self.orb_cfg.scale,
@@ -784,14 +842,19 @@ class Tracker:
         self._cur_cache_prep = prep
         self._cur_angles = cur_ang
         self._cur_valid = cur_valid
-        if int(n1) < self.cfg.min_inliers_mm:
+        self._dbg_n1 = int(n1)
+        # RECENTLY_LOST re-acquisition accepts with >10 inliers (reference:
+        # TrackLocalMap's RECENTLY_LOST clause, Tracking.cc:3581)
+        min1 = 11 if seed_from_kfs else self.cfg.min_inliers_mm
+        if int(n1) < min1:
             return "fail1"
         self.ref_kf = int(ref_kf)
         vis_ids = ids2[visible2 & (ids2 >= 0)]
         self.map.pt_visible[vis_ids] += 1
         self.cur_T = SE3(R_cw, t_cw)
         self.cur_match = match
-        if int((match >= 0).sum()) < self.cfg.min_inliers_local:
+        min2 = 11 if seed_from_kfs else self.cfg.min_inliers_local
+        if int((match >= 0).sum()) < min2:
             return "fail2"
         if refine:
             ni, inl_i, v_w, Ri_cw, ti_cw = got[9:14]

@@ -311,10 +311,26 @@ def inertial_loop_trajectory(n_frames, imu_per_frame=10, dt=0.005,
     accs, gyros, t_meas = [], [], []
     for k in range(n_steps):
         t = k * dt
-        # yaw about the body y axis (= world y on this flat loop) plus a
-        # small wobble on all axes; tangential accel wobble modulates speed
+        # SPEED MODULATION is essential for mono-inertial scale
+        # observability: constant-speed circular motion has a CONSTANT
+        # body-frame acceleration (centripetal always along -z_body),
+        # which is degenerate with gravity + accel bias — the IMU then
+        # cannot anchor metric scale (measured: Horn scale ~4.5 without
+        # this). A ±30% tangential speed swing breaks the degeneracy.
+        r_cur = max(np.hypot(p[0], p[2]), 1e-6)
+        s_cur = np.hypot(v[0], v[2])              # current tangential speed
+        # amplitudes sized for ~2-3 m/s^2 peak tangential+vertical accel:
+        # handheld/TUM-VI-class dynamics — the scale-observability floor is
+        # proportional to IMU noise / accel excitation, and at <1 m/s^2 the
+        # mono-inertial scale cannot be pinned below ~10% (measured)
+        s_des = radius * omega * (1.0 + 0.30 * np.sin(2 * np.pi * 0.20 * t)
+                                  + 0.35 * np.sin(2 * np.pi * 0.53 * t + 1.2)
+                                  + 0.20 * np.sin(2 * np.pi * 0.97 * t + 0.5))
+        # yaw rate tracks the actual orbital rate so the camera keeps
+        # facing radially outward at any speed
+        w_yaw = s_cur / r_cur
         w_b = np.array([wobble * 0.3 * np.sin(2 * np.pi * 0.45 * t + 1.0),
-                        omega + wobble * np.sin(2 * np.pi * 0.3 * t),
+                        w_yaw + wobble * np.sin(2 * np.pi * 0.3 * t),
                         wobble * 0.25 * np.sin(2 * np.pi * 0.6 * t + 2.0)])
         if yaw_burst is not None:
             # pure-rotation burst (yaw rate scaled, translation unchanged):
@@ -326,11 +342,16 @@ def inertial_loop_trajectory(n_frames, imu_per_frame=10, dt=0.005,
             u = k / n_steps
             if u0 < u < u1:
                 w_b[1] *= fac if u < (u0 + u1) / 2 else 2.0 - fac
-        # centripetal acceleration for the CURRENT state: the body center
-        # moves on a circle of radius |p_xz|; a_w = -omega^2 * p_xz keeps
-        # it there (exact for the ideal circle, near-exact under wobble)
-        a_w = -omega * omega * np.array([p[0], 0.0, p[2]])
-        a_w[1] = wobble * 0.5 * np.sin(2 * np.pi * 0.5 * t + 0.7)
+        # world acceleration from the current state: centripetal for the
+        # CURRENT speed/radius (keeps the near-circular orbit exact at any
+        # speed) + tangential tracking of the desired speed profile +
+        # a vertical bob
+        p_hat = np.array([p[0], 0.0, p[2]]) / r_cur
+        v_hat = (np.array([v[0], 0.0, v[2]]) / s_cur if s_cur > 1e-9
+                 else np.array([1.0, 0.0, 0.0]))
+        a_w = (-(s_cur * s_cur / r_cur) * p_hat
+               + (8.0 * (s_des - s_cur)) * v_hat)    # ~1/8 s tracking const
+        a_w[1] = 0.8 * np.sin(2 * np.pi * 0.45 * t + 0.7)   # vertical bob
         a_b = R.T @ (a_w - g)
         accs.append(a_b + true_ba)
         gyros.append(w_b + true_bg)
