@@ -127,7 +127,7 @@ def main():
             dp["xyz"], dp["desc"], dp["normal"], dp["min_dist"],
             dp["max_dist"], dp["valid"],
             ko["feat_point"], ko["valid"], ko["covis"], ko["point_bits"],
-            r1, r2, tk.inv_sigma2, **statics)
+            r1, r2, tk.inv_sigma2, pt_proj8=dp.get("proj8"), **statics)
         return (res.T_cw_t.sum() + res.T_cw_R[0, 0]
                 + res.n1.astype(jnp.float32)
                 + (res.match_pt >= 0).sum().astype(jnp.float32))
@@ -148,24 +148,40 @@ def main():
         prob, bmeta = built
         kf_R0 = prob.kf_R
         ba_iters = LocalMappingConfig.ba_iters   # the deployed iteration count
+        td = bmeta["table_depth"]
+        d = ba.table_depth_of(prob, td)
+        TL = ba.prepare_table(prob, td)
+
+        # deployment runs build and solve as TWO device programs (the jit
+        # split keeps the sort's layouts out of the LM loop — optim/ba.py
+        # prepare_table); measure each the same way and sum
+        def ba_build(obs_uv):
+            T2 = ba.build_obs_table(prob.obs_pt, prob.obs_cam, obs_uv,
+                                    prob.obs_w, prob.obs_valid,
+                                    prob.point_valid,
+                                    int(prob.points.shape[0]),
+                                    int(prob.kf_R.shape[0]), d)
+            return (T2.uv_t.sum() + T2.w_t.sum()
+                    + T2.pos.sum().astype(jnp.float32))
 
         def ba_kf(kf_R):
             """The exact local-BA solve a keyframe event pays (deployed
             iters, early-exit LM, outlier re-gate phases — not an
             extrapolated per-iteration figure)."""
-            res = ba.ba_solve(prob._replace(kf_R=kf_R), tk.cam,
-                              iters=ba_iters,
-                              table_depth=bmeta["table_depth"])
+            res = ba._ba_solve_tables(prob._replace(kf_R=kf_R), tk.cam,
+                                      ba_iters, 5.991, 1e-4, td, table=TL)
             return res.kf_t.sum() + res.cost
 
-        ms_kf = device_ms(ba_kf, kf_R0, reps_hi=17, reps_lo=3)
-        ms_ba_iter = ms_kf / ba_iters     # amortized per LM iteration
+        ms_build = device_ms(ba_build, prob.obs_uv, reps_hi=17, reps_lo=3)
+        ms_solve = device_ms(ba_kf, kf_R0, reps_hi=17, reps_lo=3)
+        ms_kf = ms_build + ms_solve
+        ms_ba_iter = ms_solve / ba_iters  # amortized per LM iteration
         fps_amort = 1000.0 / (ms_frame + ms_kf * kf_per_frame)
         fl, by = _cost_of(ba_kf, kf_R0)
         if fl:
-            ba_flops_per_s = fl / (ms_kf * 1e-3)
+            ba_flops_per_s = fl / (ms_solve * 1e-3)
         if by:
-            ba_bytes_per_s = by / (ms_kf * 1e-3)
+            ba_bytes_per_s = by / (ms_solve * 1e-3)
 
     # ---- roofline accounting: achieved FLOP/s vs bf16 peak AND the
     # bytes-accessed ESTIMATE vs HBM peak. XLA's cost analysis sums operand
@@ -201,6 +217,7 @@ def main():
     if fps_amort is not None:
         out["fps_kf_amortized"] = round(fps_amort, 2)
         out["ba_kf_ms"] = round(ms_kf, 3)
+        out["ba_build_ms"] = round(ms_build, 3)
         out["ba_iter_ms"] = round(ms_ba_iter, 3)
     if ba_flops_per_s:
         out["ba_gflops_per_s"] = round(ba_flops_per_s / 1e9, 1)

@@ -215,9 +215,41 @@ def build_obs_table(obs_pt, obs_cam, obs_uv, obs_w, obs_valid, point_valid,
     return ObsTable(tab, tvalid, cam_t, uv_t, w_t, onehot, inval, pos)
 
 
+@partial(jax.jit, static_argnames=("P", "C", "d"))
+def _build_obs_table_jit(obs_pt, obs_cam, obs_uv, obs_w, obs_valid,
+                         point_valid, P: int, C: int, d: int) -> ObsTable:
+    return build_obs_table(obs_pt, obs_cam, obs_uv, obs_w, obs_valid,
+                           point_valid, P, C, d)
+
+
+def table_depth_of(prob: BAProblem, table_depth: int = 0) -> int:
+    C = int(prob.kf_R.shape[0])
+    return min(table_depth, C) if table_depth > 0 else C
+
+
+def prepare_table(prob: BAProblem, table_depth: int = 0) -> ObsTable:
+    """Build the dense observation table as its OWN device program.
+
+    Two reasons (both measured, scripts/profile_ba_trace.py):
+    - the argsort + binary-search construction costs ~1.3 ms and depends
+      only on the problem STRUCTURE — loops that re-solve the same problem
+      (chunked/2-round GBA) reuse it instead of rebuilding every call;
+    - fused into the solve program, the sort's layout choices propagate
+      into the LM loop and poison every downstream op (the same
+      residual+product sweep measures ~46 us standalone vs ~470 us inside
+      the fused program). A jit boundary resets layouts to defaults.
+    """
+    C = int(prob.kf_R.shape[0])
+    P = int(prob.points.shape[0])
+    d = table_depth_of(prob, table_depth)
+    return _build_obs_table_jit(prob.obs_pt, prob.obs_cam, prob.obs_uv,
+                                prob.obs_w, prob.obs_valid, prob.point_valid,
+                                P=P, C=C, d=d)
+
+
 def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
                      delta2: float, lm_lambda0: float,
-                     table_depth: int = 0) -> BAResult:
+                     table_depth: int = 0, table: ObsTable = None) -> BAResult:
     """LM-BA with observations re-laid-out as a dense [P, d] table.
 
     XLA scatter-adds (the COO path's U/V/W assembly) cost ~5 ms/iteration
@@ -235,9 +267,11 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     O = prob.obs_pt.shape[0]
     d = min(table_depth, C) if table_depth > 0 else C
 
-    # ---- one-time table construction (the only scatter in the solve) ----
-    TL = build_obs_table(prob.obs_pt, prob.obs_cam, prob.obs_uv, prob.obs_w,
-                         prob.obs_valid, prob.point_valid, P, C, d)
+    # ---- one-time table construction (see prepare_table; vi_ba passes
+    # none and builds inline) ----
+    TL = table if table is not None else build_obs_table(
+        prob.obs_pt, prob.obs_cam, prob.obs_uv, prob.obs_w,
+        prob.obs_valid, prob.point_valid, P, C, d)
     tab, tvalid, uv_t, w_t0 = TL.tab, TL.tvalid, TL.uv_t, TL.w_t
     onehot, inval, pos = TL.onehot, TL.inval, TL.pos
 
@@ -379,11 +413,19 @@ def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     return BAResult(kf_R, kf_t, points, inlier, cost)
 
 
-@partial(jax.jit, static_argnames=("cam", "iters", "max_points_dense",
-                                   "table_depth"))
+@partial(jax.jit, static_argnames=("cam", "iters", "table_depth"))
+def _ba_solve_tables_jit(prob: BAProblem, table: ObsTable,
+                         cam: cameras.CameraParams, iters: int,
+                         delta2: float, lm_lambda0: float,
+                         table_depth: int) -> BAResult:
+    return _ba_solve_tables(prob, cam, iters, delta2, lm_lambda0,
+                            table_depth, table=table)
+
+
 def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
              delta2: float = reproj.CHI2_MONO, lm_lambda0: float = 1e-4,
-             max_points_dense: int = 0, table_depth: int = 0) -> BAResult:
+             max_points_dense: int = 0, table_depth: int = 0,
+             table: ObsTable = None) -> BAResult:
     """Run LM-BA; returns updated poses/points and the final inlier mask.
 
     table_depth: static depth of the dense observation table (0 = C). The
@@ -391,15 +433,33 @@ def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
     build_ba_problem) to shrink every per-iteration tensor by C/d — points
     observed by more than table_depth cameras would have the excess
     observations silently dropped, so callers must bucket >= the true max.
+
+    table: optional prebuilt observation table (prepare_table). It depends
+    only on the problem STRUCTURE, so callers that re-solve with updated
+    states (GBA rounds/chunks) pass it once; when absent, the build runs
+    as its own program anyway — the jit boundary keeps the sort's layout
+    choices out of the LM loop (see prepare_table).
     """
-    C = prob.kf_R.shape[0]
-    P = prob.points.shape[0]
+    C = int(prob.kf_R.shape[0])
     if C <= _TABLE_C_MAX:
-        return _ba_solve_tables(prob, cam, iters, delta2, lm_lambda0,
-                                table_depth)
+        if table is None:
+            table = prepare_table(prob, table_depth)
+        return _ba_solve_tables_jit(
+            prob, table, cam, iters, delta2, lm_lambda0,
+            table_depth_of(prob, table_depth))
     if C > _PCG_C_MIN:
         from . import schur_pcg  # local import: schur_pcg imports this module
         return schur_pcg.ba_solve_pcg(prob, cam, iters, delta2, lm_lambda0)
+    return _ba_solve_coo(prob, cam, iters, delta2, lm_lambda0)
+
+
+@partial(jax.jit, static_argnames=("cam", "iters"))
+def _ba_solve_coo(prob: BAProblem, cam: cameras.CameraParams, iters: int,
+                  delta2: float, lm_lambda0: float) -> BAResult:
+    """COO scatter-add fallback for mid-size C (table too wide, PCG not
+    yet warranted)."""
+    C = prob.kf_R.shape[0]
+    P = prob.points.shape[0]
 
     def lm_step(state):
         prob, lam, cost = state

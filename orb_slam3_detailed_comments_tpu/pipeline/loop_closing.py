@@ -499,9 +499,14 @@ class LoopCloser:
                     res = ba.ba_solve(prob, self.cam, iters=1,
                                       table_depth=meta.get("table_depth", 0))
         else:
+            # the chunks re-solve the SAME problem structure — build the
+            # observation table once (ba.prepare_table) and reuse it
+            td = meta.get("table_depth", 0)
+            tab = (ba.prepare_table(prob, td)
+                   if int(prob.kf_R.shape[0]) <= ba._TABLE_C_MAX else None)
             while done < self.cfg.gba_iters and not self._gba_abort.is_set():
                 res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk,
-                                  table_depth=meta.get("table_depth", 0))
+                                  table_depth=td, table=tab)
                 prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
                                      points=res.points)
                 done += self.cfg.gba_chunk

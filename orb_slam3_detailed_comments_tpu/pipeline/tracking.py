@@ -808,7 +808,8 @@ class Tracker:
                 res = kernels.track_step_inertial_lf(
                     *common, jnp.asarray(self.imu.v_w), self._imu_prior,
                     self.imu.pre_last_frame, jnp.asarray(g),
-                    jnp.asarray(R_cb), jnp.asarray(t_cb), **statics)
+                    jnp.asarray(R_cb), jnp.asarray(t_cb),
+                    pt_proj8=dp.get("proj8"), **statics)
             else:
                 k = self.last_kf_id
                 R_wb_a, p_a = body_from_camera(m.kf_R[k], m.kf_t[k],
@@ -820,9 +821,11 @@ class Tracker:
                     jnp.asarray(m.kf_vel[k]), jnp.asarray(m.kf_bg[k]),
                     jnp.asarray(m.kf_ba[k]), self.imu.pre_since_kf,
                     jnp.asarray(g), jnp.asarray(R_cb), jnp.asarray(t_cb),
-                    **statics)
+                    pt_proj8=dp.get("proj8"), **statics)
         else:
-            res = kernels.track_step_visual(*common, **statics)
+            res = kernels.track_step_visual(*common,
+                                            pt_proj8=dp.get("proj8"),
+                                            **statics)
         # the single packed transfer of the whole frame: visual + refine
         # leaves together (the marginalization prior stays on device), plus
         # the device depth deferral, exactly as the staged path does

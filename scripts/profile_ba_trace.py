@@ -206,7 +206,7 @@ def main():
             dp["xyz"], dp["desc"], dp["normal"], dp["min_dist"],
             dp["max_dist"], dp["valid"],
             ko["feat_point"], ko["valid"], ko["covis"], ko["point_bits"],
-            r1, r2, tk.inv_sigma2, **statics)
+            r1, r2, tk.inv_sigma2, pt_proj8=dp.get("proj8"), **statics)
         return (res.T_cw_t.sum() + res.T_cw_R[0, 0]
                 + res.n1.astype(jnp.float32)
                 + (res.match_pt >= 0).sum().astype(jnp.float32))
