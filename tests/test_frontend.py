@@ -295,3 +295,35 @@ class TestPallasFrontend:
         assert wrap.max() < 1e-3
         same = (np.asarray(fx.desc)[v] == np.asarray(fp.desc)[v]).all(axis=1)
         assert same.mean() > 0.97   # only angle-bin boundary flips may differ
+
+
+def test_packed_proj8_gather_matches_unpacked(rng):
+    """gather_and_project's packed [P, 8] row-gather path must match the
+    four-array path exactly (the packed rows carry the same float32
+    values; only the gather count changes)."""
+    import jax.numpy as jnp
+    from orb_slam3_detailed_comments_tpu.lie import SE3
+    from orb_slam3_detailed_comments_tpu.pipeline import kernels
+    from synthetic import CAM
+    P, C = 512, 128
+    xyz = rng.normal(0, 2, (P, 3)).astype(np.float32) + [0, 0, 5]
+    nrm = rng.normal(0, 1, (P, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    mn = rng.uniform(0.1, 1, P).astype(np.float32)
+    mx = rng.uniform(2, 50, P).astype(np.float32)
+    valid = rng.random(P) < 0.9
+    ids = rng.integers(-1, P, C).astype(np.int32)
+    proj8 = jnp.asarray(np.concatenate(
+        [xyz, nrm, mn[:, None], mx[:, None]], axis=1))
+    T = SE3(jnp.eye(3), jnp.zeros(3))
+    a = kernels.gather_and_project(
+        T, jnp.asarray(ids), jnp.asarray(xyz), jnp.asarray(nrm),
+        jnp.asarray(mn), jnp.asarray(mx), jnp.asarray(valid), CAM)
+    b = kernels.gather_and_project(
+        T, jnp.asarray(ids), jnp.asarray(xyz), jnp.asarray(nrm),
+        jnp.asarray(mn), jnp.asarray(mx), jnp.asarray(valid), CAM,
+        pt_proj8=proj8)
+    np.testing.assert_array_equal(np.asarray(a.uv), np.asarray(b.uv))
+    np.testing.assert_array_equal(np.asarray(a.level), np.asarray(b.level))
+    np.testing.assert_array_equal(np.asarray(a.visible),
+                                  np.asarray(b.visible))

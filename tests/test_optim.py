@@ -114,6 +114,22 @@ class TestBA:
         assert np.median(perr) < 0.02
         assert np.asarray(res.obs_inlier).mean() > 0.9
 
+    def test_prebuilt_table_matches_internal_build(self, rng):
+        """ba.prepare_table + ba_solve(table=...) must be numerically
+        identical to the internal build (the GBA chunk loops reuse one
+        table across solves; the math may not drift)."""
+        sc = make_scene(rng, n_points=200, n_cams=6, noise_px=0.3)
+        prob = scene_to_ba_problem(sc, rng=rng)
+        res_a = ba.ba_solve(prob, CAM, iters=6, table_depth=8)
+        TL = ba.prepare_table(prob, table_depth=8)
+        res_b = ba.ba_solve(prob, CAM, iters=6, table_depth=8, table=TL)
+        np.testing.assert_array_equal(np.asarray(res_a.kf_t),
+                                      np.asarray(res_b.kf_t))
+        np.testing.assert_array_equal(np.asarray(res_a.points),
+                                      np.asarray(res_b.points))
+        np.testing.assert_array_equal(np.asarray(res_a.obs_inlier),
+                                      np.asarray(res_b.obs_inlier))
+
     def test_robust_to_outlier_observations(self, rng):
         sc = make_scene(rng, n_points=150, n_cams=5, noise_px=0.3)
         prob = scene_to_ba_problem(sc, rng=rng)
