@@ -408,9 +408,29 @@ class LoopCloser:
         if built is None:
             return
         prob, meta = built
+        tab, done0 = None, 0
+        ndev = jax.device_count()
+        O = int(prob.obs_cam.shape[0])
+        single = not (self.cfg.dist_gba and ndev > 1 and O % ndev == 0)
+        if single and int(prob.kf_R.shape[0]) <= ba._TABLE_C_MAX:
+            # run the FIRST chunk on this thread before spawning: the
+            # worker's first call would otherwise COMPILE the chunk program
+            # while tracking and the mapping worker execute concurrently —
+            # XLA:CPU aborts under that compile/execute race (observed in
+            # the async gauntlet), and a compile-bound worker loses its
+            # head start anyway. Subsequent chunks are warm cache hits.
+            td = meta.get("table_depth", 0)
+            tab = ba.prepare_table(prob, td)
+            res0 = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk,
+                               table_depth=td, table=tab)
+            prob = prob._replace(kf_R=res0.kf_R, kf_t=res0.kf_t,
+                                 points=res0.points)
+            done0 = self.cfg.gba_chunk
         self._gba_abort = threading.Event()
         self._gba_thread = threading.Thread(
-            target=self._gba_worker, args=(m, prob, meta), daemon=True)
+            target=self._gba_worker,
+            args=(m, prob, meta, tab, done0,
+                  res0 if done0 else None), daemon=True)
         self._gba_thread.start()
 
     def _gba_worker_inertial(self, m: MapStore, prob, meta):
@@ -456,13 +476,16 @@ class LoopCloser:
         finally:
             self.map_lock.release()
 
-    def _gba_worker(self, m: MapStore, prob, meta):
+    def _gba_worker(self, m: MapStore, prob, meta, tab=None, done0=0,
+                    res0=None):
         """Chunked LM solve with an abort check between chunks (the jit'd
         chunk is the abort granularity — a traced program can't be stopped
         mid-flight, so the reference's per-iteration mbStopGBA check becomes
-        a per-chunk one)."""
-        res = None
-        done = 0
+        a per-chunk one). `tab`/`done0`/`res0`: the launch pre-warmed the
+        chunk program and already ran the first chunk on the caller
+        thread."""
+        res = res0
+        done = done0
         ndev = jax.device_count()
         O = int(prob.obs_cam.shape[0])
         if self.cfg.dist_gba and ndev > 1 and O % ndev == 0:
@@ -499,11 +522,11 @@ class LoopCloser:
                     res = ba.ba_solve(prob, self.cam, iters=1,
                                       table_depth=meta.get("table_depth", 0))
         else:
-            # the chunks re-solve the SAME problem structure — build the
-            # observation table once (ba.prepare_table) and reuse it
+            # the chunks re-solve the SAME problem structure — reuse the
+            # launch-built observation table (ba.prepare_table)
             td = meta.get("table_depth", 0)
-            tab = (ba.prepare_table(prob, td)
-                   if int(prob.kf_R.shape[0]) <= ba._TABLE_C_MAX else None)
+            if tab is None and int(prob.kf_R.shape[0]) <= ba._TABLE_C_MAX:
+                tab = ba.prepare_table(prob, td)
             while done < self.cfg.gba_iters and not self._gba_abort.is_set():
                 res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk,
                                   table_depth=td, table=tab)
