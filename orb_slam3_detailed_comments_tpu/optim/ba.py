@@ -422,6 +422,30 @@ def _ba_solve_tables_jit(prob: BAProblem, table: ObsTable,
                             table_depth, table=table)
 
 
+@partial(jax.jit, static_argnames=("cam", "iters", "table_depth"))
+def ba_solve_fused(prob: BAProblem, cam: cameras.CameraParams,
+                   iters: int = 10, delta2: float = reproj.CHI2_MONO,
+                   lm_lambda0: float = 1e-4,
+                   table_depth: int = 0) -> BAResult:
+    """Build + solve as ONE program (the pre-split form), same routing as
+    ba_solve. The racing async-GBA worker uses this: one dispatch per
+    chunk from the background thread. The split form's extra dispatches
+    from a non-main thread made XLA:CPU's concurrency abort reproducible
+    (three threads executing/dispatching; see LoopCloser._gba_worker) —
+    the fused single-dispatch form ran stably that way for two rounds.
+    Main-thread callers should prefer ba_solve (the jit split keeps the
+    table build's layouts out of the LM loop and reuses tables across
+    rounds)."""
+    C = prob.kf_R.shape[0]
+    if C <= _TABLE_C_MAX:
+        return _ba_solve_tables(prob, cam, iters, delta2, lm_lambda0,
+                                table_depth)
+    if C > _PCG_C_MIN:
+        from . import schur_pcg
+        return schur_pcg.ba_solve_pcg(prob, cam, iters, delta2, lm_lambda0)
+    return _ba_solve_coo(prob, cam, iters, delta2, lm_lambda0)
+
+
 def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
              delta2: float = reproj.CHI2_MONO, lm_lambda0: float = 1e-4,
              max_points_dense: int = 0, table_depth: int = 0,

@@ -412,20 +412,21 @@ class LoopCloser:
         ndev = jax.device_count()
         O = int(prob.obs_cam.shape[0])
         single = not (self.cfg.dist_gba and ndev > 1 and O % ndev == 0)
+        td = meta.get("table_depth", 0)
         if single:
             # run the FIRST chunk on this thread before spawning: the
             # worker's first call would otherwise COMPILE the chunk program
-            # (whichever solver tier ba_solve routes to at this C) while
-            # tracking and the mapping worker execute concurrently —
-            # XLA:CPU aborts under that compile/execute race (observed in
-            # the async gauntlet at both the table tier and the COO tier),
-            # and a compile-bound worker loses its head start anyway.
-            # Subsequent chunks are warm cache hits.
-            td = meta.get("table_depth", 0)
-            tab = (ba.prepare_table(prob, td)
-                   if int(prob.kf_R.shape[0]) <= ba._TABLE_C_MAX else None)
-            res0 = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk,
-                               table_depth=td, table=tab)
+            # (whichever solver tier it routes to at this C) while tracking
+            # and the mapping worker execute concurrently — XLA:CPU aborts
+            # under that compile/execute race (observed in the async
+            # gauntlet at both the table tier and the COO tier), and a
+            # compile-bound worker loses its head start anyway. The worker
+            # then runs the FUSED single-dispatch form (ba_solve_fused):
+            # the split form's extra per-chunk dispatches from a
+            # background thread re-trip the abort even warm.
+            res0 = ba.ba_solve_fused(prob, self.cam,
+                                     iters=self.cfg.gba_chunk,
+                                     table_depth=td)
             prob = prob._replace(kf_R=res0.kf_R, kf_t=res0.kf_t,
                                  points=res0.points)
             done0 = self.cfg.gba_chunk
@@ -433,10 +434,7 @@ class LoopCloser:
             # the sharded-step branch ends with a single-device polish
             # solve (iters=1, below) — warm THAT program here too, for the
             # same compile/execute-race reason
-            td = meta.get("table_depth", 0)
-            tab = (ba.prepare_table(prob, td)
-                   if int(prob.kf_R.shape[0]) <= ba._TABLE_C_MAX else None)
-            ba.ba_solve(prob, self.cam, iters=1, table_depth=td, table=tab)
+            ba.ba_solve_fused(prob, self.cam, iters=1, table_depth=td)
         self._gba_abort = threading.Event()
         self._gba_thread = threading.Thread(
             target=self._gba_worker,
@@ -530,19 +528,19 @@ class LoopCloser:
                     done += 1
                 if not self._gba_abort.is_set():
                     # single-device polish pass also produces the inlier
-                    # gate (program pre-warmed by the launch; table reused)
-                    res = ba.ba_solve(prob, self.cam, iters=1,
-                                      table_depth=meta.get("table_depth", 0),
-                                      table=tab)
+                    # gate (program pre-warmed by the launch)
+                    res = ba.ba_solve_fused(
+                        prob, self.cam, iters=1,
+                        table_depth=meta.get("table_depth", 0))
         else:
-            # the chunks re-solve the SAME problem structure — reuse the
-            # launch-built observation table (ba.prepare_table)
+            # ONE dispatch per chunk (fused build+solve, pre-warmed by the
+            # launch): the minimum device traffic a background thread can
+            # generate per abort-checkable chunk
             td = meta.get("table_depth", 0)
-            if tab is None and int(prob.kf_R.shape[0]) <= ba._TABLE_C_MAX:
-                tab = ba.prepare_table(prob, td)
             while done < self.cfg.gba_iters and not self._gba_abort.is_set():
-                res = ba.ba_solve(prob, self.cam, iters=self.cfg.gba_chunk,
-                                  table_depth=td, table=tab)
+                res = ba.ba_solve_fused(prob, self.cam,
+                                        iters=self.cfg.gba_chunk,
+                                        table_depth=td)
                 prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
                                      points=res.points)
                 done += self.cfg.gba_chunk
