@@ -18,6 +18,7 @@ for DBoW2's sparse L1 score.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -127,18 +128,28 @@ def train(descriptors: np.ndarray, k: int = 10, levels: int = 3,
     return voc._replace(idf=jnp.asarray(idf, jnp.float32))
 
 
-def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """[N, 8] uint32 -> word ids [N] int32 (level-wise vectorized descent,
-    replacing TemplatedVocabulary::transform's per-descriptor walk)."""
+@partial(jax.jit, static_argnames=("k", "levels"))
+def _transform_jit(cents, desc, valid, k: int, levels: int) -> jnp.ndarray:
     node = jnp.zeros(desc.shape[0], jnp.int32)
-    for l in range(voc.levels):
-        cents = voc.centroids[l]                       # [k^(l+1), 8]
-        child0 = node * voc.k
-        cand = child0[:, None] + jnp.arange(voc.k)[None, :]   # [N, k]
-        cc = cents[cand]                               # [N, k, 8]
+    for l in range(levels):
+        child0 = node * k
+        cand = child0[:, None] + jnp.arange(k)[None, :]       # [N, k]
+        cc = cents[l][cand]                            # [N, k, 8]
         d = jnp.sum(jax.lax.population_count(desc[:, None, :] ^ cc), axis=-1)
         node = (child0 + jnp.argmin(d, axis=-1)).astype(jnp.int32)
     return jnp.where(valid, node, -1)
+
+
+def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] uint32 -> word ids [N] int32 (level-wise vectorized descent,
+    replacing TemplatedVocabulary::transform's per-descriptor walk).
+
+    One jitted program, NOT eager level-by-level ops: the keyframe
+    database calls this from the mapping worker thread, and eager
+    primitive dispatch racing the async-GBA thread's program execution
+    aborts XLA:CPU (every observed crash had this exact pair)."""
+    return _transform_jit(tuple(voc.centroids), desc, valid,
+                          k=voc.k, levels=voc.levels)
 
 
 def bow_vector(voc: Vocabulary, words: jnp.ndarray) -> jnp.ndarray:
