@@ -25,9 +25,21 @@ tunnel). MFU = achieved FLOP/s (XLA cost analysis of the exact compiled
 program / measured device time) over the chip's bf16 peak — the
 BASELINE.md "roofline-bound" north star for the BA iteration.
 
+Resilience (VERDICT r4 weak #1: one backend hiccup forfeited the round's
+whole perf record): backend bring-up is probed in a SUBPROCESS with a hard
+timeout (the axon tunnel failure mode is a >120 s hang inside
+jax.devices(), which would otherwise wedge this process) and retried with
+backoff; each stage appends to one output dict, and any failure emits a
+stage-labeled partial JSON (stage_failed: backend-init | warmup |
+measure-frame | measure-ba | roofline) instead of dying with rc!=0.
+
 Prints exactly one JSON line.
 """
 import json
+import os
+import subprocess
+import sys
+import time
 
 import numpy as np
 
@@ -61,177 +73,223 @@ def _cost_of(fn, *args):
         return None, None
 
 
+def _probe_backend(timeout_s: float) -> str:
+    """Ask a SUBPROCESS whether the JAX backend initializes (and which
+    device kind it sees). The axon-tunnel failure mode is an indefinite
+    hang inside jax.devices() — a subprocess with a hard timeout converts
+    that into a retryable failure instead of wedging the bench."""
+    code = ("import jax,sys; d=jax.devices(); "
+            "sys.stdout.write(d[0].device_kind)")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=timeout_s, text=True)
+    if r.returncode != 0:
+        raise RuntimeError((r.stderr or "backend probe failed")[-400:])
+    return r.stdout.strip()
+
+
+def _init_backend(out: dict, attempts: int = 5):
+    """Bounded retry/backoff around backend bring-up. Raises only after
+    every attempt failed; records the probed device kind on success."""
+    delays = [0, 10, 20, 40, 60]
+    last = None
+    for i in range(attempts):
+        if delays[min(i, len(delays) - 1)]:
+            time.sleep(delays[min(i, len(delays) - 1)])
+        try:
+            kind = _probe_backend(timeout_s=150)
+            out["device_kind"] = kind
+            out["backend_attempts"] = i + 1
+            return
+        except (subprocess.TimeoutExpired, RuntimeError, OSError) as e:
+            last = e
+    raise RuntimeError(f"backend unavailable after {attempts} probes: "
+                       f"{type(last).__name__}: {str(last)[:300]}")
+
+
 def main():
-    import jax
-    import jax.numpy as jnp
-    from scripts.devtime import device_ms
-    from orb_slam3_detailed_comments_tpu.lie import SE3
-    from orb_slam3_detailed_comments_tpu.models import cameras
-    from orb_slam3_detailed_comments_tpu.pipeline import kernels
-    from orb_slam3_detailed_comments_tpu.pipeline.system import (
-        MONOCULAR, System)
-    from orb_slam3_detailed_comments_tpu.utils import synth_render
-
-    # ---- drive a real System to steady state on a synthetic sequence ----
-    cam = cameras.pinhole(fx=458.0, fy=457.0, cx=376.0, cy=240.0,
-                          width=752, height=480)
-    rng = np.random.default_rng(3)
-    planes = synth_render.default_world(rng)
-    n_warm = 45
-    R, t = synth_render.orbit_trajectory(n_warm)
-    slam = System(cam, MONOCULAR, enable_loop_closing=False)
-    n_tracked = 0
-    for i in range(n_warm):
-        img = synth_render.render_frame(cam, planes, R[i], t[i])
-        if slam.track_monocular(img, i * 0.05) is not None:
-            n_tracked += 1
-    tk = slam.tracker
-    m = slam.map
-    assert tk.last is not None and n_tracked > 0.6 * n_warm, \
-        f"warm-up failed to reach steady state ({n_tracked}/{n_warm})"
-    kf_per_frame = m.n_kf / max(n_tracked, 1)
-
-    # ---- the exact per-frame program inputs, from the tracker's state ----
-    last = tk.last
-    last_pts = np.unique(last.match_pt[last.match_pt >= 0])
-    last_pts = last_pts[m.pt_valid[last_pts]]
-    cap = m.cfg.n_feat
-    ids1 = np.full(cap, -1, np.int64)
-    ids1[: len(last_pts[:cap])] = last_pts[:cap]
-    safe1 = np.where(ids1 >= 0, ids1, 0)
-    lm_ = last.match_pt
-    sel = lm_ >= 0
-    last_ang = (last.angles if last.angles is not None
-                else np.asarray(last.prepared.feat.angle))
-    ang_of_pt = np.zeros(m.pt_valid.shape[0], np.float32)
-    ang_of_pt[lm_[sel]] = last_ang[sel]
-    dp = m.device_points()
-    ko = m.device_kf_obs()
-    r1 = tk.cfg.motion_radius * tk.radius_scale
-    r2 = tk.cfg.local_radius * tk.radius_scale
-    statics = dict(cam=tk.cam, scale=tk.orb_cfg.scale,
-                   n_levels=tk.orb_cfg.n_levels,
-                   local_cap=tk.cfg.local_pts_cap)
-    ids1_d = jnp.asarray(ids1, jnp.int32)
-    ang1_d = jnp.asarray(ang_of_pt[safe1])
-    R0 = jnp.asarray(tk.last.T_cw.R)
-    t0 = jnp.asarray(tk.last.T_cw.t)
-    img0 = jnp.asarray(
-        synth_render.render_frame(cam, planes, R[-1], t[-1]), jnp.float32)
-
-    def frame_step(img):
-        """prepare_frame -> track_step_visual: the whole steady frame."""
-        prep = kernels.prepare_frame(img, cam, tk.orb_cfg)
-        res = kernels.track_step_visual(
-            SE3(R0, t0), prep, ids1_d, ang1_d,
-            dp["xyz"], dp["desc"], dp["normal"], dp["min_dist"],
-            dp["max_dist"], dp["valid"],
-            ko["feat_point"], ko["valid"], ko["covis"], ko["point_bits"],
-            r1, r2, tk.inv_sigma2, pt_proj8=dp.get("proj8"), **statics)
-        return (res.T_cw_t.sum() + res.T_cw_R[0, 0]
-                + res.n1.astype(jnp.float32)
-                + (res.match_pt >= 0).sum().astype(jnp.float32))
-
-    ms_frame = device_ms(frame_step, img0)
-    fps = 1000.0 / ms_frame
-
-    # ---- keyframe-cadence amortization: local-BA device time -------------
-    from orb_slam3_detailed_comments_tpu.optim import ba
-    from orb_slam3_detailed_comments_tpu.pipeline.local_mapping import (
-        LocalMappingConfig, build_ba_problem)
-    window = [int(k) for k in m.kf_ids()[-8:]]
-    built = build_ba_problem(m, window, fixed=None)
-    fps_amort = None
-    ms_ba_iter = None
-    mfu_ba = ba_flops_per_s = ba_bytes_per_s = None
-    if built is not None:
-        prob, bmeta = built
-        kf_R0 = prob.kf_R
-        ba_iters = LocalMappingConfig.ba_iters   # the deployed iteration count
-        td = bmeta["table_depth"]
-        d = ba.table_depth_of(prob, td)
-        TL = ba.prepare_table(prob, td)
-
-        # deployment runs build and solve as TWO device programs (the jit
-        # split keeps the sort's layouts out of the LM loop — optim/ba.py
-        # prepare_table); measure each the same way and sum
-        def ba_build(obs_uv):
-            T2 = ba.build_obs_table(prob.obs_pt, prob.obs_cam, obs_uv,
-                                    prob.obs_w, prob.obs_valid,
-                                    prob.point_valid,
-                                    int(prob.points.shape[0]),
-                                    int(prob.kf_R.shape[0]), d)
-            return (T2.uv_t.sum() + T2.w_t.sum()
-                    + T2.pos.sum().astype(jnp.float32))
-
-        def ba_kf(kf_R):
-            """The exact local-BA solve a keyframe event pays (deployed
-            iters, early-exit LM, outlier re-gate phases — not an
-            extrapolated per-iteration figure)."""
-            res = ba._ba_solve_tables(prob._replace(kf_R=kf_R), tk.cam,
-                                      ba_iters, 5.991, 1e-4, td, table=TL)
-            return res.kf_t.sum() + res.cost
-
-        ms_build = device_ms(ba_build, prob.obs_uv, reps_hi=17, reps_lo=3)
-        ms_solve = device_ms(ba_kf, kf_R0, reps_hi=17, reps_lo=3)
-        ms_kf = ms_build + ms_solve
-        ms_ba_iter = ms_solve / ba_iters  # amortized per LM iteration
-        fps_amort = 1000.0 / (ms_frame + ms_kf * kf_per_frame)
-        fl, by = _cost_of(ba_kf, kf_R0)
-        if fl:
-            ba_flops_per_s = fl / (ms_solve * 1e-3)
-        if by:
-            ba_bytes_per_s = by / (ms_solve * 1e-3)
-
-    # ---- roofline accounting: achieved FLOP/s vs bf16 peak AND the
-    # bytes-accessed ESTIMATE vs HBM peak. XLA's cost analysis sums operand
-    # bytes per instruction, which counts fusion-internal VMEM-resident
-    # reuse as if it hit HBM — so bw_* are upper bounds on pressure, and
-    # values >1.0 mean the program re-uses VMEM-resident data faster than
-    # HBM could stream it (op-latency-bound, not bandwidth-starved).
-    # Local BA has ~50 MFLOP per solve, so it can only be memory/
-    # latency-bound; the frame program carries the real FLOPs.
-    kind = jax.devices()[0].device_kind
-    peak, hbm_peak = _peaks(kind)
-    mfu_frame = bw_frame = bw_ba = None
-    fl_frame, by_frame = _cost_of(frame_step, img0)
-    if fl_frame:
-        frame_flops_per_s = fl_frame / (ms_frame * 1e-3)
-        if peak:
-            mfu_frame = frame_flops_per_s / peak
-    if by_frame and hbm_peak:
-        bw_frame = (by_frame / (ms_frame * 1e-3)) / hbm_peak
-    if ba_flops_per_s and peak:
-        mfu_ba = ba_flops_per_s / peak
-    if ba_bytes_per_s and hbm_peak:
-        bw_ba = ba_bytes_per_s / hbm_peak
-
     out = {
         "metric": "mono_tracking_fps_per_chip",
-        "value": round(fps, 2),
+        "value": None,
         "unit": "frames/s",
-        "vs_baseline": round(fps / 20.0, 3),
-        "full_path_ms": round(ms_frame, 3),
-        "device_kind": kind,
+        "vs_baseline": None,
     }
-    if fps_amort is not None:
-        out["fps_kf_amortized"] = round(fps_amort, 2)
-        out["ba_kf_ms"] = round(ms_kf, 3)
-        out["ba_build_ms"] = round(ms_build, 3)
-        out["ba_iter_ms"] = round(ms_ba_iter, 3)
-    if ba_flops_per_s:
-        out["ba_gflops_per_s"] = round(ba_flops_per_s / 1e9, 1)
-    if mfu_ba is not None:
-        out["mfu_ba_vs_bf16_peak"] = round(mfu_ba, 4)
-    if mfu_frame is not None:
-        out["mfu_frame_vs_bf16_peak"] = round(mfu_frame, 4)
-    # bytes-accessed estimate over device time vs HBM peak; >1.0 = the
-    # fused program re-uses VMEM-resident data (upper bound, see above)
-    if bw_ba is not None:
-        out["bw_est_ba_vs_hbm_peak"] = round(bw_ba, 4)
-    if bw_frame is not None:
-        out["bw_est_frame_vs_hbm_peak"] = round(bw_frame, 4)
+    stage = "backend-init"
+    try:
+        _init_backend(out)
+
+        import jax
+        import jax.numpy as jnp
+        from scripts.devtime import device_ms
+        from orb_slam3_detailed_comments_tpu.lie import SE3
+        from orb_slam3_detailed_comments_tpu.models import cameras
+        from orb_slam3_detailed_comments_tpu.pipeline import kernels
+        from orb_slam3_detailed_comments_tpu.pipeline.system import (
+            MONOCULAR, System)
+        from orb_slam3_detailed_comments_tpu.utils import synth_render
+
+        stage = "warmup"
+        # ---- drive a real System to steady state on a synthetic sequence --
+        cam = cameras.pinhole(fx=458.0, fy=457.0, cx=376.0, cy=240.0,
+                              width=752, height=480)
+        rng = np.random.default_rng(3)
+        planes = synth_render.default_world(rng)
+        n_warm = 45
+        R, t = synth_render.orbit_trajectory(n_warm)
+        slam = System(cam, MONOCULAR, enable_loop_closing=False)
+        n_tracked = 0
+        for i in range(n_warm):
+            img = synth_render.render_frame(cam, planes, R[i], t[i])
+            if slam.track_monocular(img, i * 0.05) is not None:
+                n_tracked += 1
+        tk = slam.tracker
+        m = slam.map
+        assert tk.last is not None and n_tracked > 0.6 * n_warm, \
+            f"warm-up failed to reach steady state ({n_tracked}/{n_warm})"
+        kf_per_frame = m.n_kf / max(n_tracked, 1)
+
+        # ---- the exact per-frame program inputs, from the tracker's state --
+        last = tk.last
+        last_pts = np.unique(last.match_pt[last.match_pt >= 0])
+        last_pts = last_pts[m.pt_valid[last_pts]]
+        cap = m.cfg.n_feat
+        ids1 = np.full(cap, -1, np.int64)
+        ids1[: len(last_pts[:cap])] = last_pts[:cap]
+        safe1 = np.where(ids1 >= 0, ids1, 0)
+        lm_ = last.match_pt
+        sel = lm_ >= 0
+        last_ang = (last.angles if last.angles is not None
+                    else np.asarray(last.prepared.feat.angle))
+        ang_of_pt = np.zeros(m.pt_valid.shape[0], np.float32)
+        ang_of_pt[lm_[sel]] = last_ang[sel]
+        dp = m.device_points()
+        ko = m.device_kf_obs()
+        r1 = tk.cfg.motion_radius * tk.radius_scale
+        r2 = tk.cfg.local_radius * tk.radius_scale
+        statics = dict(cam=tk.cam, scale=tk.orb_cfg.scale,
+                       n_levels=tk.orb_cfg.n_levels,
+                       local_cap=tk.cfg.local_pts_cap)
+        ids1_d = jnp.asarray(ids1, jnp.int32)
+        ang1_d = jnp.asarray(ang_of_pt[safe1])
+        R0 = jnp.asarray(tk.last.T_cw.R)
+        t0 = jnp.asarray(tk.last.T_cw.t)
+        img0 = jnp.asarray(
+            synth_render.render_frame(cam, planes, R[-1], t[-1]), jnp.float32)
+
+        def frame_step(img):
+            """prepare_frame -> track_step_visual: the whole steady frame."""
+            prep = kernels.prepare_frame(img, cam, tk.orb_cfg)
+            res = kernels.track_step_visual(
+                SE3(R0, t0), prep, ids1_d, ang1_d,
+                dp["xyz"], dp["desc"], dp["normal"], dp["min_dist"],
+                dp["max_dist"], dp["valid"],
+                ko["feat_point"], ko["valid"], ko["covis"], ko["point_bits"],
+                r1, r2, tk.inv_sigma2, pt_proj8=dp.get("proj8"), **statics)
+            return (res.T_cw_t.sum() + res.T_cw_R[0, 0]
+                    + res.n1.astype(jnp.float32)
+                    + (res.match_pt >= 0).sum().astype(jnp.float32))
+
+        stage = "measure-frame"
+        ms_frame = device_ms(frame_step, img0)
+        fps = 1000.0 / ms_frame
+        out["value"] = round(fps, 2)
+        out["vs_baseline"] = round(fps / 20.0, 3)
+        out["full_path_ms"] = round(ms_frame, 3)
+
+        stage = "measure-ba"
+        # ---- keyframe-cadence amortization: local-BA device time ----------
+        from orb_slam3_detailed_comments_tpu.optim import ba
+        from orb_slam3_detailed_comments_tpu.pipeline.local_mapping import (
+            LocalMappingConfig, build_ba_problem)
+        window = [int(k) for k in m.kf_ids()[-8:]]
+        built = build_ba_problem(m, window, fixed=None)
+        fps_amort = None
+        ms_ba_iter = None
+        mfu_ba = ba_flops_per_s = ba_bytes_per_s = None
+        ba_kf = kf_R0 = None
+        if built is not None:
+            prob, bmeta = built
+            kf_R0 = prob.kf_R
+            ba_iters = LocalMappingConfig.ba_iters  # deployed iteration count
+            td = bmeta["table_depth"]
+            d = ba.table_depth_of(prob, td)
+            TL = ba.prepare_table(prob, td)
+            P = int(prob.points.shape[0])
+            C = int(prob.kf_R.shape[0])
+
+            # deployment runs build and solve as TWO device programs (the jit
+            # split keeps the sort's layouts out of the LM loop — optim/ba.py
+            # prepare_table); measure each the same way and sum.
+            # The perturbed argument must be one the expensive structure ops
+            # (argsort/searchsorted/scatter over obs_pt) actually depend on,
+            # or XLA hoists the whole build out of the timing loop and the
+            # number measures nothing (ADVICE r4): obs_pt rides in as float,
+            # is perturbed by the carry, and recast — same values, but now
+            # carry-dependent so nothing hoists.
+            obs_pt_f = prob.obs_pt.astype(jnp.float32)
+
+            def ba_build(obs_pt_f):
+                opt = obs_pt_f.astype(jnp.int32)
+                T2 = ba.build_obs_table(opt, prob.obs_cam, prob.obs_uv,
+                                        prob.obs_w, prob.obs_valid,
+                                        prob.point_valid, P, C, d)
+                return (T2.uv_t.sum() + T2.w_t.sum()
+                        + T2.pos.sum().astype(jnp.float32))
+
+            def ba_kf(kf_R):
+                """The exact local-BA solve a keyframe event pays (deployed
+                iters, early-exit LM, outlier re-gate phases — not an
+                extrapolated per-iteration figure)."""
+                res = ba._ba_solve_tables(prob._replace(kf_R=kf_R), tk.cam,
+                                          ba_iters, 5.991, 1e-4, td, table=TL)
+                return res.kf_t.sum() + res.cost
+
+            ms_build = device_ms(ba_build, obs_pt_f, reps_hi=17, reps_lo=3)
+            ms_solve = device_ms(ba_kf, kf_R0, reps_hi=17, reps_lo=3)
+            ms_kf = ms_build + ms_solve
+            ms_ba_iter = ms_solve / ba_iters  # amortized per LM iteration
+            fps_amort = 1000.0 / (ms_frame + ms_kf * kf_per_frame)
+            fl, by = _cost_of(ba_kf, kf_R0)
+            if fl:
+                ba_flops_per_s = fl / (ms_solve * 1e-3)
+            if by:
+                ba_bytes_per_s = by / (ms_solve * 1e-3)
+            out["fps_kf_amortized"] = round(fps_amort, 2)
+            out["ba_kf_ms"] = round(ms_kf, 3)
+            out["ba_build_ms"] = round(ms_build, 3)
+            out["ba_iter_ms"] = round(ms_ba_iter, 3)
+            if ba_flops_per_s:
+                out["ba_gflops_per_s"] = round(ba_flops_per_s / 1e9, 1)
+
+        stage = "roofline"
+        # ---- roofline accounting: achieved FLOP/s vs bf16 peak AND the
+        # bytes-accessed ESTIMATE vs HBM peak. XLA's cost analysis sums
+        # operand bytes per instruction, which counts fusion-internal
+        # VMEM-resident reuse as if it hit HBM — so bw_* are upper bounds on
+        # pressure, and values >1.0 mean the program re-uses VMEM-resident
+        # data faster than HBM could stream it (op-latency-bound, not
+        # bandwidth-starved). Local BA has ~50 MFLOP per solve, so it can
+        # only be memory/latency-bound; the frame program carries the FLOPs.
+        kind = jax.devices()[0].device_kind
+        out["device_kind"] = kind
+        peak, hbm_peak = _peaks(kind)
+        fl_frame, by_frame = _cost_of(frame_step, img0)
+        if fl_frame and peak:
+            out["mfu_frame_vs_bf16_peak"] = round(
+                fl_frame / (ms_frame * 1e-3) / peak, 4)
+        # bytes-accessed estimate over device time vs HBM peak; >1.0 = the
+        # fused program re-uses VMEM-resident data (upper bound, see above)
+        if by_frame and hbm_peak:
+            out["bw_est_frame_vs_hbm_peak"] = round(
+                by_frame / (ms_frame * 1e-3) / hbm_peak, 4)
+        if ba_flops_per_s and peak:
+            out["mfu_ba_vs_bf16_peak"] = round(ba_flops_per_s / peak, 4)
+        if ba_bytes_per_s and hbm_peak:
+            out["bw_est_ba_vs_hbm_peak"] = round(ba_bytes_per_s / hbm_peak, 4)
+    except BaseException as e:  # noqa: BLE001 — stage-labeled partial output
+        out["stage_failed"] = stage
+        out["error"] = f"{type(e).__name__}: {str(e)[:400]}"
     print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -22,11 +22,13 @@ PCG variant in optim/schur_pcg.py (same residual code).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..lie import SE3, se3
 from ..models import cameras
@@ -242,9 +244,22 @@ def prepare_table(prob: BAProblem, table_depth: int = 0) -> ObsTable:
     C = int(prob.kf_R.shape[0])
     P = int(prob.points.shape[0])
     d = table_depth_of(prob, table_depth)
-    return _build_obs_table_jit(prob.obs_pt, prob.obs_cam, prob.obs_uv,
-                                prob.obs_w, prob.obs_valid, prob.point_valid,
-                                P=P, C=C, d=d)
+    tab = _build_obs_table_jit(prob.obs_pt, prob.obs_cam, prob.obs_uv,
+                               prob.obs_w, prob.obs_valid, prob.point_valid,
+                               P=P, C=C, d=d)
+    # under-sized buckets must fail LOUDLY in debug runs: a valid
+    # observation that overflows the static depth (pos == P*d) is never
+    # solved against yet is reported as an inlier (the deliberate
+    # degrade-not-detach semantics above) — silent at runtime otherwise.
+    # build_ba_problem sizes d from the true per-point max, so this only
+    # fires for direct callers passing an explicit table_depth (ADVICE r4).
+    if os.environ.get("ORB_TPU_DEBUG_CHECKS"):
+        n_over = int(np.asarray(
+            ((tab.pos == P * d) & np.asarray(prob.obs_valid)).sum()))
+        assert n_over == 0, (
+            f"obs table depth {d} overflows: {n_over} valid observations "
+            f"exceed the per-point bucket (raise table_depth)")
+    return tab
 
 
 def _ba_solve_tables(prob: BAProblem, cam: cameras.CameraParams, iters: int,

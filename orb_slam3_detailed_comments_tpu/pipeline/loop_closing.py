@@ -408,38 +408,59 @@ class LoopCloser:
         if built is None:
             return
         prob, meta = built
-        tab, done0 = None, 0
+        done0 = 0
+        res0 = None
         ndev = jax.device_count()
         O = int(prob.obs_cam.shape[0])
         single = not (self.cfg.dist_gba and ndev > 1 and O % ndev == 0)
         td = meta.get("table_depth", 0)
+        dist_solve = dist_step = None
+        # Run the FIRST chunk on this thread before spawning, in EVERY
+        # branch: the worker's first call would otherwise COMPILE the chunk
+        # program (whichever solver tier it routes to at this C) while
+        # tracking and the mapping worker execute concurrently — XLA:CPU
+        # aborts under that compile/execute race (observed in the async
+        # gauntlet at both the table tier and the COO tier), and a
+        # compile-bound worker loses its head start anyway. The dist
+        # callables are fresh jit closures per make_* call, so the WARM
+        # callable itself is handed to the worker (ADVICE r4).
         if single:
-            # run the FIRST chunk on this thread before spawning: the
-            # worker's first call would otherwise COMPILE the chunk program
-            # (whichever solver tier it routes to at this C) while tracking
-            # and the mapping worker execute concurrently — XLA:CPU aborts
-            # under that compile/execute race (observed in the async
-            # gauntlet at both the table tier and the COO tier), and a
-            # compile-bound worker loses its head start anyway. The worker
-            # then runs the FUSED single-dispatch form (ba_solve_fused):
-            # the split form's extra per-chunk dispatches from a
-            # background thread re-trip the abort even warm.
+            # the worker then runs the FUSED single-dispatch form
+            # (ba_solve_fused): the split form's extra per-chunk dispatches
+            # from a background thread re-trip the abort even warm
             res0 = ba.ba_solve_fused(prob, self.cam,
                                      iters=self.cfg.gba_chunk,
                                      table_depth=td)
             prob = prob._replace(kf_R=res0.kf_R, kf_t=res0.kf_t,
                                  points=res0.points)
             done0 = self.cfg.gba_chunk
-        elif int(prob.kf_R.shape[0]) <= ba._PCG_C_MIN:
-            # the sharded-step branch ends with a single-device polish
-            # solve (iters=1, below) — warm THAT program here too, for the
-            # same compile/execute-race reason
-            ba.ba_solve_fused(prob, self.cam, iters=1, table_depth=td)
+        else:
+            from jax.sharding import Mesh
+            from ..parallel import dist_ba
+            mesh = Mesh(np.asarray(jax.devices()), (dist_ba.OBS_AXIS,))
+            if int(prob.kf_R.shape[0]) > ba._PCG_C_MIN:
+                dist_solve = dist_ba.make_dist_gba_pcg(
+                    mesh, self.cam, iters=self.cfg.gba_chunk)
+                res0 = dist_solve(prob)
+                prob = prob._replace(kf_R=res0.kf_R, kf_t=res0.kf_t,
+                                     points=res0.points)
+                done0 = self.cfg.gba_chunk
+            else:
+                dist_step = dist_ba.make_dist_ba_step(mesh, self.cam)
+                R, t, pts = dist_step(
+                    prob.kf_R, prob.kf_t, prob.points, prob.obs_cam,
+                    prob.obs_pt, prob.obs_uv, prob.obs_w, prob.obs_valid,
+                    prob.fixed_cam, prob.point_valid)
+                prob = prob._replace(kf_R=R, kf_t=t, points=pts)
+                done0 = 1
+                # this branch ends with a single-device polish solve
+                # (iters=1) — warm THAT program here too
+                ba.ba_solve_fused(prob, self.cam, iters=1, table_depth=td)
         self._gba_abort = threading.Event()
         self._gba_thread = threading.Thread(
             target=self._gba_worker,
-            args=(m, prob, meta, tab, done0,
-                  res0 if done0 else None), daemon=True)
+            args=(m, prob, meta, done0, res0 if done0 else None,
+                  dist_solve, dist_step), daemon=True)
         self._gba_thread.start()
 
     def _gba_worker_inertial(self, m: MapStore, prob, meta):
@@ -485,53 +506,44 @@ class LoopCloser:
         finally:
             self.map_lock.release()
 
-    def _gba_worker(self, m: MapStore, prob, meta, tab=None, done0=0,
-                    res0=None):
+    def _gba_worker(self, m: MapStore, prob, meta, done0=0,
+                    res0=None, dist_solve=None, dist_step=None):
         """Chunked LM solve with an abort check between chunks (the jit'd
         chunk is the abort granularity — a traced program can't be stopped
         mid-flight, so the reference's per-iteration mbStopGBA check becomes
-        a per-chunk one). `tab`/`done0`/`res0`: the launch pre-warmed the
-        chunk program and already ran the first chunk on the caller
-        thread."""
+        a per-chunk one). The launch already compiled AND ran the first
+        chunk on the caller thread; `dist_solve`/`dist_step` are the warm
+        sharded callables for the multi-device branches (fresh make_* calls
+        would recompile here, on this background thread — the exact
+        XLA:CPU compile/execute race the launch warming exists to avoid)."""
         res = res0
         done = done0
-        ndev = jax.device_count()
-        O = int(prob.obs_cam.shape[0])
-        if self.cfg.dist_gba and ndev > 1 and O % ndev == 0:
-            # global BA is the biggest solve in the system — shard its
-            # observations over every local device and psum-reduce the
-            # Schur system over ICI (SURVEY.md §2.9's landmark-sharded BA)
-            from jax.sharding import Mesh
-            from ..parallel import dist_ba
-            mesh = Mesh(np.asarray(jax.devices()), (dist_ba.OBS_AXIS,))
-            C = int(prob.kf_R.shape[0])
-            if C > ba._PCG_C_MIN:
-                # Atlas scale: matrix-free sharded Schur-PCG, chunked for
-                # the abort protocol like the single-device path
-                solve = dist_ba.make_dist_gba_pcg(
-                    mesh, self.cam, iters=self.cfg.gba_chunk)
-                while done < self.cfg.gba_iters \
-                        and not self._gba_abort.is_set():
-                    res = solve(prob)
-                    prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
-                                         points=res.points)
-                    done += self.cfg.gba_chunk
-            else:
-                step = dist_ba.make_dist_ba_step(mesh, self.cam)
-                while done < max(self.cfg.gba_iters - 1, 1) \
-                        and not self._gba_abort.is_set():
-                    R, t, pts = step(prob.kf_R, prob.kf_t, prob.points,
-                                     prob.obs_cam, prob.obs_pt, prob.obs_uv,
-                                     prob.obs_w, prob.obs_valid,
-                                     prob.fixed_cam, prob.point_valid)
-                    prob = prob._replace(kf_R=R, kf_t=t, points=pts)
-                    done += 1
-                if not self._gba_abort.is_set():
-                    # single-device polish pass also produces the inlier
-                    # gate (program pre-warmed by the launch)
-                    res = ba.ba_solve_fused(
-                        prob, self.cam, iters=1,
-                        table_depth=meta.get("table_depth", 0))
+        if dist_solve is not None:
+            # Atlas scale: matrix-free sharded Schur-PCG, chunked for
+            # the abort protocol like the single-device path
+            while done < self.cfg.gba_iters \
+                    and not self._gba_abort.is_set():
+                res = dist_solve(prob)
+                prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
+                                     points=res.points)
+                done += self.cfg.gba_chunk
+        elif dist_step is not None:
+            # sharded GN/LM steps, observations psum-reduced over the mesh
+            # (SURVEY.md §2.9's landmark-sharded BA)
+            while done < max(self.cfg.gba_iters - 1, 1) \
+                    and not self._gba_abort.is_set():
+                R, t, pts = dist_step(prob.kf_R, prob.kf_t, prob.points,
+                                      prob.obs_cam, prob.obs_pt, prob.obs_uv,
+                                      prob.obs_w, prob.obs_valid,
+                                      prob.fixed_cam, prob.point_valid)
+                prob = prob._replace(kf_R=R, kf_t=t, points=pts)
+                done += 1
+            if not self._gba_abort.is_set():
+                # single-device polish pass also produces the inlier
+                # gate (program pre-warmed by the launch)
+                res = ba.ba_solve_fused(
+                    prob, self.cam, iters=1,
+                    table_depth=meta.get("table_depth", 0))
         else:
             # ONE dispatch per chunk (fused build+solve, pre-warmed by the
             # launch): the minimum device traffic a background thread can

@@ -329,8 +329,13 @@ class Tracker:
                     # IMU-propagated velocity instead; the motion model
                     # restarts clean.
                     self.velocity = None
+                    # only a prediction produced for THIS frame may seed the
+                    # world velocity: recovery via the relocalization
+                    # fallback (e.g. from LOST) would otherwise inject a
+                    # stale _v_pred from many frames earlier (ADVICE r4)
                     if (self.imu is not None
-                            and getattr(self, "_v_pred", None) is not None):
+                            and getattr(self, "_v_pred", None) is not None
+                            and getattr(self, "_v_pred_fid", None) == fid):
                         self.imu.v_w = np.asarray(self._v_pred, np.float32)
                 elif self.imu is not None and self.map.imu_initialized:
                     dt = ts - self.last.ts
@@ -721,6 +726,7 @@ class Tracker:
             T_pred, v_pred = inertial.predict_pose_imu(
                 self.map, self.imu, self.last.T_cw, self.imu.pre_last_frame)
             self._v_pred = v_pred
+            self._v_pred_fid = fid
         else:
             T_pred = _compose_np(self.velocity, self.last.T_cw)
         cap = self.map.cfg.n_feat
@@ -882,6 +888,7 @@ class Tracker:
             T_pred, v_pred = inertial.predict_pose_imu(
                 self.map, self.imu, self.last.T_cw, self.imu.pre_last_frame)
             self._v_pred = v_pred
+            self._v_pred_fid = fid
         else:
             T_pred = _compose_np(self.velocity, self.last.T_cw)
         last_pts = np.unique(self.last.match_pt[self.last.match_pt >= 0])

@@ -66,5 +66,16 @@ def ate_rmse(gt_ts, gt_xyz, est_ts, est_xyz, with_scale: bool = True,
 
 
 def load_tum(path: str):
-    data = np.loadtxt(path)
-    return data[:, 0], data[:, 1:4]
+    """Load a trajectory: TUM whitespace format (t x y z qx qy qz qw) or
+    the EuRoC/TUM-VI csv exports (state_groundtruth_estimate0/data.csv,
+    mocap0/data.csv: ns-timestamp, px, py, pz, ...) that the reference
+    passes straight to evaluate_ate_scale.py. Comment/header lines are
+    skipped; nanosecond timestamps are converted to seconds."""
+    with open(path) as f:
+        first = f.readline()
+    delim = "," if "," in first else None
+    data = np.loadtxt(path, delimiter=delim, comments="#")
+    ts = data[:, 0]
+    if ts.size and abs(ts[0]) > 1e14:   # nanoseconds (EuRoC epoch stamps)
+        ts = ts * 1e-9
+    return ts, data[:, 1:4]
