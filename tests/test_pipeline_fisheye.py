@@ -138,3 +138,64 @@ def test_fisheye_stereo_end_to_end(sequence):
                                            with_scale=False)
     assert npair > 0.6 * n
     assert rmse < 0.06, f"fisheye-stereo metric ATE {rmse:.4f} over {npair}"
+
+
+@pytest.mark.slow
+def test_fisheye_stereo_inertial_loop_closure():
+    """The TUM-VI flagship THROUGH A LOOP (VERDICT r4 #2): a degraded KB8
+    fisheye stereo-inertial sequence around the stress box must close its
+    loop on the fisheye model with the inertial machinery engaged — the
+    gravity-direction gates (reference: LoopClosing.cc:282-305), yaw-only
+    forcing after VIBA2, 4DoF essential graph, and the full-map inertial
+    GBA (reference: stereo_inertial_tum_vi.cc driven by
+    tum_vi_eval_examples.sh; FullInertialBA, Optimizer.cc:3237). Metric
+    gates: rigid-only ATE post-loop and Horn scale pinned at 1."""
+    from orb_slam3_detailed_comments_tpu.pipeline.system import IMU_STEREO
+    from test_pipeline_stress import degrade, stress_world
+
+    rng = np.random.default_rng(29)
+    walls = stress_world(rng)
+    n = 200
+    true_bg = np.array([-0.002, 0.003, 0.001], np.float32)
+    traj = synth_render.inertial_loop_trajectory(n, imu_per_frame=10,
+                                                 true_bg=true_bg)
+    BASE = 0.11
+    T_c1c2 = np.eye(4, dtype=np.float32)
+    T_c1c2[0, 3] = BASE
+    slam = System(CAM, IMU_STEREO, camera2=CAM, T_c1c2=T_c1c2,
+                  enable_loop_closing=True)
+    n_ok = 0
+    for i in range(n):
+        R, t = traj["R_cw"][i], traj["t_cw"][i]
+        left = synth_render.render_frame_raycast(CAM, walls, R, t)
+        c_r = -R.T @ t + R.T @ np.array([BASE, 0.0, 0.0])
+        right = synth_render.render_frame_raycast(
+            CAM, walls, R, (-R @ c_r).astype(np.float32))
+        left = degrade(left, i, n)
+        right = degrade(right, i, n)
+        if slam.track_stereo(left, right, float(traj["ts"][i]),
+                             imu=traj["windows"][i]) is not None:
+            n_ok += 1
+    assert n_ok > 0.8 * n, f"tracked {n_ok}/{n}"
+    assert len(slam.atlas.maps) == 1
+    assert slam.map.imu_initialized, "IMU never initialized on the KB8 pair"
+    # the loop CLOSED on the fisheye model, through the inertial gates
+    # (fix_scale routing for IMU_STEREO is part of the claim)
+    assert slam.loop_closer.cfg.fix_scale is True
+    assert slam.loop_closer.n_loops_closed >= 1
+
+    chain = slam.map.temporal_chain()
+    bg_est = slam.map.kf_bg[chain[-1]]
+    assert np.abs(bg_est - true_bg).max() < 8e-3, bg_est
+
+    rows = slam.trajectory_tum()
+    est_ts = np.array([r[0] for r in rows])
+    est_xyz = np.array([r[1:4] for r in rows])
+    rmse, npair, _ = evaluate_ate.ate_rmse(
+        traj["ts"], traj["centers"], est_ts, est_xyz, with_scale=False)
+    assert npair > 0.7 * n
+    assert rmse < 0.12, f"KB8 loop metric ATE {rmse:.4f} m over {npair}"
+    _, _, scale = evaluate_ate.ate_rmse(
+        traj["ts"], traj["centers"], est_ts, est_xyz, with_scale=True)
+    assert abs(scale - 1.0) < 0.02, f"metric scale drifted: {scale:.4f}"
+    assert slam.check_map_consistency() == []
