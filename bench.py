@@ -238,9 +238,10 @@ def main():
             def ba_kf(kf_R):
                 """The exact local-BA solve a keyframe event pays (deployed
                 iters, early-exit LM, outlier re-gate phases — not an
-                extrapolated per-iteration figure)."""
-                res = ba._ba_solve_tables(prob._replace(kf_R=kf_R), tk.cam,
-                                          ba_iters, 5.991, 1e-4, td, table=TL)
+                extrapolated per-iteration figure). ba_solve routes to the
+                packed entries-on-lanes body (optim/ba_packed.py)."""
+                res = ba.ba_solve(prob._replace(kf_R=kf_R), tk.cam,
+                                  iters=ba_iters, table_depth=td, table=TL)
                 return res.kf_t.sum() + res.cost
 
             ms_build = device_ms(ba_build, obs_pt_f, reps_hi=17, reps_lo=3)

@@ -161,6 +161,26 @@ _REL_TOL = 1e-6
 # one-hot) outgrow their win; fall back to COO scatter assembly (global BA).
 _TABLE_C_MAX = 48
 
+# Route the table tier through the packed 'entries-on-lanes' LM body
+# (optim/ba_packed.py): measured 1.67x on the deployed local-BA solve
+# (387.6 -> 232.0 us/LM-iteration on one v5e chip, scripts/ab_ba_packed.py)
+# with identical cost and 100% inlier agreement. TPU-only: the packing is
+# a 128-lane-axis layout argument, and on XLA:CPU the same scalar-array
+# graph measures 2.07x SLOWER than the einsum form (8.3 s vs 4.0 s per
+# 9-iter solve at C=16/P=2048) — so CPU (the test mesh) keeps the
+# reference path, whose semantics tests/test_ba_packed.py pins the packed
+# body against. None = resolve from jax.default_backend() on first use
+# (lazy: importing this module must not force backend init); set
+# True/False explicitly to override.
+USE_PACKED = None
+
+
+def _use_packed() -> bool:
+    global USE_PACKED
+    if USE_PACKED is None:
+        USE_PACKED = jax.default_backend() == "tpu"
+    return USE_PACKED
+
 # Above this camera count even the COO path's dense [P, C, 6, 3] coupling
 # and [6C, 6C] Cholesky are untenable (gigabytes / O(C^3)); route to the
 # matrix-free Schur-PCG solver in optim/schur_pcg.py.
@@ -453,6 +473,10 @@ def ba_solve_fused(prob: BAProblem, cam: cameras.CameraParams,
     rounds)."""
     C = prob.kf_R.shape[0]
     if C <= _TABLE_C_MAX:
+        if _use_packed():
+            from . import ba_packed
+            return ba_packed.ba_solve_packed(prob, cam, iters, delta2,
+                                             lm_lambda0, table_depth)
         return _ba_solve_tables(prob, cam, iters, delta2, lm_lambda0,
                                 table_depth)
     if C > _PCG_C_MIN:
@@ -483,6 +507,11 @@ def ba_solve(prob: BAProblem, cam: cameras.CameraParams, iters: int = 10,
     if C <= _TABLE_C_MAX:
         if table is None:
             table = prepare_table(prob, table_depth)
+        if _use_packed():
+            from . import ba_packed
+            return ba_packed.ba_solve_packed_jit(
+                prob, table, cam, iters, delta2, lm_lambda0,
+                table_depth_of(prob, table_depth))
         return _ba_solve_tables_jit(
             prob, table, cam, iters, delta2, lm_lambda0,
             table_depth_of(prob, table_depth))

@@ -119,6 +119,8 @@ def ba_solve_packed(prob: BAProblem, cam: cameras.CameraParams, iters: int,
     uvv = TL.uv_t[..., 1].T
     w_t0 = TL.w_t.T                                          # [d, P]
     inval = TL.inval.T                                       # [d, P]
+    # camera id per entry, invalid -> C (matches no compare)
+    cam_p = jnp.where(TL.tvalid, TL.cam_t, C).T              # [d, P] int32
 
     def entry_pose(kf_R, kf_t):
         """Per-entry pose components as twelve [d, P] arrays via ONE MXU
@@ -206,10 +208,14 @@ def ba_solve_packed(prob: BAProblem, cam: cameras.CameraParams, iters: int,
               for x, y in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]]
         bp = [(w * (Jp0[x] * ru + Jp1[x] * rv)).sum(0) for x in range(3)]
 
-        # coupling blocks W[i][x] as [C, P]: reduce the d axis against the
-        # broadcast one-hot (one nonzero camera per entry)
-        oh3 = onehot_cdp.reshape(C, d, P)
-        Wc = [[(oh3 * (w * (Jc0[i] * Jp0[x] + Jc1[i] * Jp1[x]))[None]).sum(1)
+        # coupling blocks W[i][x] as [C, P]: reduce the d axis against an
+        # ON-THE-FLY camera-id compare — the materialized one-hot would be
+        # re-read (4 MB x 18 comps) every iteration; the compare fuses from
+        # one [d, P] int32 read (invalid entries carry w == 0 already)
+        camsel = (cam_p[None, :, :] == jnp.arange(C)[:, None, None])
+        Wc = [[(jnp.where(camsel,
+                          (w * (Jc0[i] * Jp0[x] + Jc1[i] * Jp1[x]))[None],
+                          0.0)).sum(1)
                for x in range(3)] for i in range(6)]
 
         dc, dp = _schur_packed(U, b_c, Vc, bp, Wc, lam,

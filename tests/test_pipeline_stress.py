@@ -18,9 +18,13 @@ CAM = cameras.pinhole(fx=400.0, fy=400.0, cx=376.0, cy=240.0,
                       width=752, height=480)
 
 
-def stress_world(rng):
-    """Box world with one LOW-TEXTURE wall (350 blobs vs 4000)."""
-    half, tex = 8.0, 1400
+def stress_world(rng, half=8.0):
+    """Box world with one LOW-TEXTURE wall (350 blobs vs 4000). `half`:
+    box half-extent — metric-sensor gauntlets use a tighter box so wall
+    distances sit inside the stereo depth-trust range (th_depth ~ 35 x
+    baseline ~ 3.9 m; at the default 8 m half-extent an orbit at radius 3
+    sees walls at 5-11 m, where an 11 cm baseline cannot pin depth)."""
+    tex = 1400
     ppm = tex / (2 * half)
     e_y = np.array([0, 1 / ppm, 0.0])
     blobs = [4000, 4000, 350, 4000]
