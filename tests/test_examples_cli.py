@@ -327,3 +327,154 @@ def test_stereo_inertial_euroc_cli(tmp_path):
     # keyframe trajectory sibling file written too
     kf_rows = np.loadtxt(str(out).replace(".txt", "_kf.txt"))
     assert kf_rows.ndim == 2 and kf_rows.shape[1] == 8
+
+
+def test_mono_kitti_cli(tmp_path):
+    """mono_kitti wiring: KITTI odometry layout driven monocular, TUM-format
+    trajectory out (reference: Examples/Monocular/mono_kitti.cc)."""
+    import cv2
+    planes, R, t = _render_seq()
+    n = len(R)
+    d0 = tmp_path / "image_0"
+    d0.mkdir()
+    (tmp_path / "image_1").mkdir()
+    for i in range(n):
+        img = np.asarray(synth_render.render_frame(CAM, planes, R[i], t[i]))
+        cv2.imwrite(str(d0 / f"{i:06d}.png"),
+                    np.clip(img, 0, 255).astype(np.uint8))
+        cv2.imwrite(str(tmp_path / "image_1" / f"{i:06d}.png"),
+                    np.clip(img, 0, 255).astype(np.uint8))
+    np.savetxt(tmp_path / "times.txt", np.arange(n) * 0.05)
+    y = tmp_path / "s.yaml"
+    y.write_text(YAML.format(extra=""))
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/mono_kitti.py", [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.6 * n and rows.shape[1] == 8
+    ts = np.arange(n) * 0.05
+    gt = synth_render.camera_centers(R, t)
+    rmse, npair, scale = evaluate_ate.ate_rmse(ts, gt, rows[:, 0],
+                                               rows[:, 1:4])
+    assert rmse < 0.05, f"mono-kitti CLI ATE {rmse:.3f} m (scale {scale:.2f})"
+
+
+def test_mono_tum_cli(tmp_path):
+    """mono_tum wiring: TUM RGB-D layout (rgb.txt association file) driven
+    monocular (reference: Examples/Monocular/mono_tum.cc)."""
+    import cv2
+    planes, R, t = _render_seq()
+    n = len(R)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    rgb_l, d_l = [], []
+    for i in range(n):
+        img = np.asarray(synth_render.render_frame(CAM, planes, R[i], t[i]))
+        depth = np.asarray(synth_render.render_depth(CAM, planes, R[i], t[i]))
+        ts = 1.0 + i * 0.05
+        cv2.imwrite(str(tmp_path / "rgb" / f"{ts:.6f}.png"),
+                    np.clip(img, 0, 255).astype(np.uint8))
+        cv2.imwrite(str(tmp_path / "depth" / f"{ts:.6f}.png"),
+                    np.clip(depth * 5000.0, 0, 65535).astype(np.uint16))
+        rgb_l.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+        d_l.append(f"{ts:.6f} depth/{ts:.6f}.png")
+    (tmp_path / "rgb.txt").write_text("# ts f\n" + "\n".join(rgb_l) + "\n")
+    (tmp_path / "depth.txt").write_text("# ts f\n" + "\n".join(d_l) + "\n")
+    y = tmp_path / "s.yaml"
+    y.write_text(YAML.format(extra=""))
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/mono_tum.py", [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.6 * n and rows.shape[1] == 8
+    ts = 1 + np.arange(n) * 0.05
+    gt = synth_render.camera_centers(R, t)
+    rmse, npair, scale = evaluate_ate.ate_rmse(ts, gt, rows[:, 0],
+                                               rows[:, 1:4])
+    assert rmse < 0.05, f"mono-tum CLI ATE {rmse:.3f} m (scale {scale:.2f})"
+
+
+@pytest.mark.slow
+def test_stereo_inertial_tum_vi_cli(tmp_path):
+    """stereo_inertial_tum_vi wiring: the TUM-VI flagship CLI — KB8
+    fisheye pair in EuRoC/ASL layout (Camera1/Camera2 + Stereo.T_c1_c2
+    yaml, CLAHE pre-equalization) + imu0/data.csv (reference:
+    Examples/Stereo-Inertial/stereo_inertial_tum_vi.cc + TUM_512.yaml)."""
+    import cv2
+    fcam = cameras.fisheye_kb8(
+        fx=380.0, fy=380.0, cx=376.0, cy=240.0, width=752, height=480,
+        k1=0.0034, k2=0.0008, k3=-0.0007, k4=0.0001)
+    rng = np.random.default_rng(23)
+    planes = synth_render.default_world(rng)
+    n = 18
+    BASE = 0.11
+    tr = synth_render.inertial_trajectory(n)
+    for cam_name in ("cam0", "cam1"):
+        (tmp_path / "mav0" / cam_name / "data").mkdir(parents=True)
+    for i in range(n):
+        R, t = tr["R_cw"][i], tr["t_cw"][i]
+        left = synth_render.render_frame_raycast(fcam, planes, R, t)
+        c_r = -R.T @ t + R.T @ np.array([BASE, 0.0, 0.0])
+        right = synth_render.render_frame_raycast(
+            fcam, planes, R, (-R @ c_r).astype(np.float32))
+        ns = int(1e9 * (1 + tr["ts"][i]))
+        cv2.imwrite(str(tmp_path / "mav0" / "cam0" / "data" / f"{ns}.png"),
+                    np.clip(np.asarray(left), 0, 255).astype(np.uint8))
+        cv2.imwrite(str(tmp_path / "mav0" / "cam1" / "data" / f"{ns}.png"),
+                    np.clip(np.asarray(right), 0, 255).astype(np.uint8))
+    imu_dir = tmp_path / "mav0" / "imu0"
+    imu_dir.mkdir(parents=True)
+    with open(imu_dir / "data.csv", "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for w in tr["windows"]:
+            if w is None:
+                continue
+            acc, gyro, tm = (np.asarray(w[0]), np.asarray(w[1]),
+                             np.asarray(w[2]))
+            for j in range(len(tm)):
+                f.write(f"{int(1e9 * (1 + tm[j]))},"
+                        f"{gyro[j, 0]},{gyro[j, 1]},{gyro[j, 2]},"
+                        f"{acc[j, 0]},{acc[j, 1]},{acc[j, 2]}\n")
+    y = tmp_path / "s.yaml"
+    y.write_text(f"""%YAML:1.0
+File.version: "1.0"
+Camera.type: "KannalaBrandt8"
+Camera1.fx: 380.0
+Camera1.fy: 380.0
+Camera1.cx: 376.0
+Camera1.cy: 240.0
+Camera1.k1: 0.0034
+Camera1.k2: 0.0008
+Camera1.k3: -0.0007
+Camera1.k4: 0.0001
+Camera2.fx: 380.0
+Camera2.fy: 380.0
+Camera2.cx: 376.0
+Camera2.cy: 240.0
+Camera2.k1: 0.0034
+Camera2.k2: 0.0008
+Camera2.k3: -0.0007
+Camera2.k4: 0.0001
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20
+Stereo.T_c1_c2: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [1.0, 0.0, 0.0, {BASE}, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0,
+         0.0, 0.0, 0.0, 1.0]
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200
+ORBextractor.nFeatures: 1024
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+""")
+    out = tmp_path / "traj.txt"
+    _run_cli("examples/stereo_inertial_tum_vi.py",
+             [str(y), str(tmp_path), str(out)])
+    rows = np.loadtxt(out)
+    assert rows.shape[0] > 0.5 * n and rows.shape[1] == 8
