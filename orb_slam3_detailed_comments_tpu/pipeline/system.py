@@ -38,7 +38,7 @@ class System:
                  baseline: float = 0.0, th_depth: float = 35.0,
                  imu_calib=None, camera2=None, T_c1c2=None,
                  async_mapping: bool = False, orb_cfg=None,
-                 max_kf_lag: int = 3):
+                 max_kf_lag: int = 1):
         if sensor not in (MONOCULAR, STEREO, RGBD,
                           IMU_MONOCULAR, IMU_STEREO, IMU_RGBD):
             raise ValueError(f"unknown sensor {sensor}")
@@ -122,7 +122,12 @@ class System:
         # queue before inserting (LocalMapping.cc:361-379 + the
         # AcceptKeyFrames/InterruptBA gate, Tracking.cc:3740); here the
         # producer blocks briefly at the bound instead — same staleness
-        # budget, no dropped keyframes.
+        # budget, no dropped keyframes. Measured on the 520-frame gauntlet
+        # (r5, XLA:CPU where one KF event costs 10-30 frame-times — far
+        # harsher than the deployed TPU ratio of ~4 frame-times): lag=3
+        # never binds and async KF ATE draws 0.008-0.056; lag=1 binds (107
+        # waits) and lands at 0.0125 vs sync 0.0134 — racing at sync-grade
+        # accuracy. Default 1.
         self.max_kf_lag = max(int(max_kf_lag), 1)
         self.n_backpressure_waits = 0
         if async_mapping:

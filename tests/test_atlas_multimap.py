@@ -130,3 +130,33 @@ def test_async_mapping_mode(sequence):
     assert slam.map.n_points > 150
     rows = slam.trajectory_tum()
     assert len(rows) > 0.6 * 40
+
+
+def test_async_backpressure_bounds_queue(sequence, monkeypatch, tmp_path):
+    """max_kf_lag: with a deliberately slow mapping worker, tracking must
+    block rather than run unboundedly ahead — the producer-side analog of
+    the reference's AcceptKeyFrames/queue gate (LocalMapping.cc:361-379).
+    The queue depth observed by the worker never exceeds max_kf_lag + 1
+    (the put that triggered the wait) and the wait counter engages."""
+    import time
+    from orb_slam3_detailed_comments_tpu.pipeline.system import System
+    frames, _, _ = sequence
+    slam = System(CAM, MONOCULAR, enable_loop_closing=False,
+                  async_mapping=True, max_kf_lag=1)
+    seen_depths = []
+    orig = slam._process_keyframe
+
+    def slow(k, ts):
+        seen_depths.append(slam._kf_queue.unfinished_tasks)
+        time.sleep(0.25)          # force the worker to lag tracking
+        orig(k, ts)
+
+    slam._process_keyframe = slow
+    ts = np.arange(len(frames)) * 0.05
+    for i in range(28):
+        slam.track_monocular(frames[i], float(ts[i]))
+    slam.shutdown()
+    assert len(seen_depths) >= 3, "too few keyframes to exercise the bound"
+    assert slam.n_backpressure_waits >= 1, "bound never engaged"
+    # depth sampled at dequeue: bounded by lag + the in-flight put
+    assert max(seen_depths) <= slam.max_kf_lag + 1, seen_depths

@@ -573,3 +573,26 @@ class TestFromSettings:
             slam = System.from_settings(s, MONOCULAR)
             assert slam.tracker.orb_cfg.n_features % 128 == 0, n
             assert slam.tracker.orb_cfg.n_features >= s.n_features, n
+
+
+def test_load_tum_accepts_euroc_csv(tmp_path):
+    """evaluate_ate.load_tum must read the EuRoC/TUM-VI csv ground-truth
+    exports the reference passes straight to evaluate_ate_scale.py
+    (comma-separated, '#' header, nanosecond stamps) as well as plain TUM
+    whitespace rows."""
+    from orb_slam3_detailed_comments_tpu.utils import evaluate_ate
+    csv = tmp_path / "data.csv"
+    csv.write_text(
+        "#timestamp,p_RS_R_x [m],p_RS_R_y [m],p_RS_R_z [m],q_w,q_x,q_y,q_z\n"
+        "1403636580838555648,4.68,-1.78,0.68,0.53,-0.15,-0.83,-0.08\n"
+        "1403636580843555328,4.69,-1.77,0.69,0.53,-0.15,-0.83,-0.08\n")
+    ts, xyz = evaluate_ate.load_tum(str(csv))
+    assert ts.shape == (2,) and xyz.shape == (2, 3)
+    # ns stamps converted to seconds
+    assert abs(ts[0] - 1403636580.838555648) < 1e-3
+    assert abs(ts[1] - ts[0] - 0.005) < 1e-4
+    np.testing.assert_allclose(xyz[0], [4.68, -1.78, 0.68])
+    tum = tmp_path / "t.txt"
+    tum.write_text("# tum\n1.0 0.1 0.2 0.3 0 0 0 1\n2.0 0.2 0.3 0.4 0 0 0 1\n")
+    ts2, xyz2 = evaluate_ate.load_tum(str(tum))
+    assert ts2.tolist() == [1.0, 2.0]

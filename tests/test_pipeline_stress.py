@@ -92,7 +92,18 @@ def test_long_adversarial_loop():
     the r3 regression to 0.0235 m was traced to the post-loop GBA silently
     subsampling ~25% of the observation graph at a fixed 32768 cap and
     converging short of its floor in a single build+solve round — both
-    fixed, gate unchanged)."""
+    fixed, gate unchanged).
+
+    r5: on a FIXED code path the run is bit-DETERMINISTIC — three
+    consecutive clean runs measured identical KF ATE (0.0164 with 2 GBA
+    rounds; 0.0134 with the shipped 3 rounds; a 4th re-gate round and
+    gba_iters=14 both measured no further gain — the residual is
+    structure noise, not solver convergence). The spread the gate must
+    absorb is across CODE-LAYOUT changes (r4-r5 range 0.0105-0.0164
+    over five layouts), which is why CI pins ONE solver path per backend
+    (ba.USE_PACKED routes packed on TPU only; a one-off packed-on-CPU
+    suite run flipped this gate red — reduction-order chaos on the
+    chaotic path, while solver-level equivalence holds to 3e-7)."""
     rng = np.random.default_rng(21)
     walls = stress_world(rng)
     n = 520
@@ -145,14 +156,20 @@ def test_long_adversarial_loop_async():
 
     The race is genuinely nondeterministic: how far the mapping worker lags
     tracking depends on the host scheduler, and frames track against a
-    staler map the further it lags. Measured draws (r4): full-replay
-    0.038-0.241 m, KF-map 0.012-0.067 m (sync: 0.043-0.052 / 0.010-0.016).
-    Replay error is a track-time artifact (relative poses against whatever
-    ref-KF state existed when the frame was tracked; corrections landing
-    late inflate it without bounding map quality), so it gets only the
-    0.30 m sanity bound the other racing test
-    (test_loop_closing.test_async_loop_closure_with_racing_gba) already
-    uses; the MAP (KF trajectory) gate carries the accuracy claim."""
+    staler map the further it lags. r5 BOUNDS the race (System max_kf_lag,
+    default 1: tracking waits while >1 keyframe is queued unprocessed —
+    the producer-side analog of the reference's AcceptKeyFrames/queue
+    gate, LocalMapping.cc:361-379). Measured draws: unbounded/lag=3 (r4-r5)
+    KF-map 0.008-0.067 m; lag=1 binds (107 waits on this sequence) and
+    lands at KF-map 0.0125 m vs sync 0.0134 m — racing at sync-grade map
+    accuracy, so the gate tightens 0.08 -> 0.04 (3x one measured draw;
+    VERDICT r4 #5). NOTE the CPU test mesh exaggerates the race ~10x vs
+    deployment: here one KF event costs 10-30 frame-times, on the TPU ~4
+    (3.6 ms event vs 1.1 ms frame), so staleness per KF is far smaller in
+    production. Replay error stays a track-time artifact (relative poses
+    against whatever ref-KF state existed at track time; corrections
+    landing late inflate it without bounding map quality) — its sanity
+    bound tightens 0.30 -> 0.15 (measured 0.027-0.066 with the bound)."""
     rng = np.random.default_rng(21)          # same world as the sync run
     walls = stress_world(rng)
     n = 520
@@ -185,7 +202,7 @@ def test_long_adversarial_loop_async():
     assert len(kids) >= 60
     _, _, _, aligned = evaluate_ate.align_horn(kf_c, gt_xyz[fid])
     rmse_kf = float(np.sqrt(((aligned - gt_xyz[fid]) ** 2).sum(1).mean()))
-    assert rmse_kf < 0.08, f"async KF-only ATE {rmse_kf:.4f} m"
+    assert rmse_kf < 0.04, f"async KF-only ATE {rmse_kf:.4f} m"
     assert slam.check_map_consistency() == []
     # then the replay sanity bound
     rows = slam.trajectory_tum()
@@ -193,7 +210,7 @@ def test_long_adversarial_loop_async():
     est_xyz = np.array([r[1:4] for r in rows])
     rmse, npair, scale = evaluate_ate.ate_rmse(ts, gt_xyz, est_ts, est_xyz)
     assert npair > 0.8 * n
-    assert rmse < 0.30, f"async ATE {rmse:.4f} m over {npair}"
+    assert rmse < 0.15, f"async ATE {rmse:.4f} m over {npair}"
 
 
 @pytest.mark.slow
