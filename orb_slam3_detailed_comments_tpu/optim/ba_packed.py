@@ -2,10 +2,12 @@
 
 Same semantics as `ba._ba_solve_tables` (two-phase Huber LM with the
 mid-solve chi2 re-gate, trace-scaled damping, Schur + dense Cholesky,
-O-order inlier classification — reference: Optimizer.cc
-LocalBundleAdjustment), but every per-entry quantity lives as a SCALAR
-array of shape [d, P] so the TPU VPU's (8, 128) native tile rides the
-big point axis.
+O-order inlier classification — reference:
+/root/reference/src/Optimizer.cc:1740 LocalBundleAdjustment's
+solve + chi2-erase schedule, with g2o's BlockSolver Schur elimination
+/root/reference/Thirdparty/g2o/g2o/core/block_solver.h), but every
+per-entry quantity lives as a SCALAR array of shape [d, P] so the TPU
+VPU's (8, 128) native tile rides the big point axis.
 
 Why (r4 per-op device trace, scripts/profile_ba_trace.py): the table
 solve is compute-bound with ~0 scheduling gap, and the wall is dominated
