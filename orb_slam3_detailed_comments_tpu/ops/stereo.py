@@ -121,3 +121,75 @@ def stereo_match(xy_l, level_l, desc_l, valid_l,
     ok = ok & sad_ok
     depth = jnp.where(ok, bf / jnp.maximum(disparity, 1e-6), 0.0)
     return StereoMatches(u_right=u_r, disparity=disparity, depth=depth, valid=ok)
+
+
+def _bilinear_windows_atlas(atlas, W_img: int, H_img: int, uc, vc,
+                            half_w: int):
+    """[N, 2h+1, 2h+1] bilinear patches centered at (uc, vc) from a
+    prebuilt single-image atlas (one integer-corner Pallas gather each —
+    same scheme as stereo_match's SAD windows)."""
+    from . import pallas_patches
+    w = 2 * half_w + 1
+    y0 = jnp.clip(jnp.floor(vc).astype(jnp.int32) - half_w,
+                  0, H_img - (w + 1))
+    x0 = jnp.clip(jnp.floor(uc).astype(jnp.int32) - half_w,
+                  0, W_img - (w + 1))
+    fy = jnp.clip(vc - half_w - y0, 0.0, 1.0)[:, None, None]
+    fx = jnp.clip(uc - half_w - x0, 0.0, 1.0)[:, None, None]
+    rc = jnp.stack([y0, x0], axis=-1)
+    Wp = pallas_patches.gather_patches(atlas, rc, w + 1, w + 1)
+    return ((1 - fy) * (1 - fx) * Wp[:, :w, :w]
+            + (1 - fy) * fx * Wp[:, :w, 1:]
+            + fy * (1 - fx) * Wp[:, 1:, :w]
+            + fy * fx * Wp[:, 1:, 1:])
+
+
+def epipolar_sad_refine(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                        xy_l: jnp.ndarray, xy_r: jnp.ndarray,
+                        e_dir: jnp.ndarray, valid: jnp.ndarray):
+    """Sub-pixel refinement of right-image match positions along their
+    EPIPOLAR tangent (the non-rectified analog of stereo_match's SAD
+    slide; the reference's KB8 stereo has no refinement stage —
+    Frame::ComputeStereoFishEyeMatches keeps integer keypoints, which at
+    z^2/(b f) m/px leaves a ~1 px depth-noise floor).
+
+    xy_l/xy_r [N, 2]: matched keypoint pixels. e_dir [N, 2]: UNIT epipolar
+    tangent at the right keypoint (direction the projection moves as the
+    point slides along the left ray). Returns (delta [N] signed px along
+    e_dir, ok [N]): add delta * e_dir to xy_r where ok.
+    """
+    from . import pallas_patches
+    N = xy_l.shape[0]
+    P = 2 * SAD_W + 1
+    atlas_l, _ = pallas_patches.build_atlas([img_l], img_l.shape[1])
+    atlas_r, _ = pallas_patches.build_atlas([img_r], img_r.shape[1])
+    H, W = img_r.shape
+    pl = _bilinear_windows_atlas(atlas_l, img_l.shape[1], img_l.shape[0],
+                                 xy_l[:, 0], xy_l[:, 1], SAD_W)
+    pl = pl - pl[:, SAD_W:SAD_W + 1, SAD_W:SAD_W + 1]
+
+    sads = []
+    for k in range(-SLIDE_L, SLIDE_L + 1):
+        uk = xy_r[:, 0] + k * e_dir[:, 0]
+        vk = xy_r[:, 1] + k * e_dir[:, 1]
+        pr = _bilinear_windows_atlas(atlas_r, W, H, uk, vk, SAD_W)
+        pr = pr - pr[:, SAD_W:SAD_W + 1, SAD_W:SAD_W + 1]
+        sads.append(jnp.sum(jnp.abs(pl - pr), axis=(1, 2)))
+    sads = jnp.stack(sads)                                 # [2L+1, N]
+    k = jnp.argmin(sads, axis=0)
+    km = jnp.clip(k, 1, 2 * SLIDE_L - 1)
+    s_m = jnp.take_along_axis(sads, km[None, :], axis=0)[0]
+    s_l = jnp.take_along_axis(sads, (km - 1)[None, :], axis=0)[0]
+    s_r = jnp.take_along_axis(sads, (km + 1)[None, :], axis=0)[0]
+    denom = jnp.maximum(s_l + s_r - 2.0 * s_m, 1e-6)
+    frac = jnp.clip(0.5 * (s_l - s_r) / denom, -1.0, 1.0)
+    interior = (k >= 1) & (k <= 2 * SLIDE_L - 1)
+    delta = (k.astype(jnp.float32) - SLIDE_L) + jnp.where(interior, frac, 0.0)
+    # reject slides that wander: refined position must stay in-image and
+    # the SAD surface must have a real interior minimum
+    u_new = xy_r[:, 0] + delta * e_dir[:, 0]
+    v_new = xy_r[:, 1] + delta * e_dir[:, 1]
+    ok = (valid & interior
+          & (u_new >= SAD_W) & (u_new < W - SAD_W)
+          & (v_new >= SAD_W) & (v_new < H - SAD_W))
+    return jnp.where(ok, delta, 0.0), ok

@@ -18,6 +18,18 @@ from ..models import cameras
 from ..ops import extractor, matching, triangulate
 from ..optim import pose_opt
 
+# Epipolar SAD sub-pixel refinement of KB8 fisheye stereo matches (see
+# prepare_frame_stereo_fisheye) — an improvement beyond the reference
+# (its KB8 matches stay at integer keypoints). OPT-IN for now: per-match
+# depth accuracy doubles (measured: fraction within 5% of ground truth
+# 0.32 -> 0.64 on the stress box, 0.5 -> 0.75 on the gentle world, with
+# per-band bias at or below the integer path's), yet the system-level
+# Horn scale on the gentle stereo-inertial sequence moves 1.00 -> 0.966
+# — a downstream equilibrium interaction (match survival/weights, not
+# prep-time depth bias; all per-band medians are clean) that needs a
+# diagnosis before this can be the default the metric gates are tuned on.
+KB8_SUBPIXEL = False
+
 
 class PreparedFrame(NamedTuple):
     """Per-frame feature data in all coordinate systems the pipeline needs."""
@@ -96,13 +108,54 @@ def prepare_frame_stereo_fisheye(img_l: jnp.ndarray, img_r: jnp.ndarray,
     T_l = SE3(jnp.eye(3), jnp.zeros(3))
     T_r = SE3(R_rl, t_rl)
     X, tri_ok = triangulate.triangulate(T_l, prep_l.xyn, T_r, xyn_r[res.idx])
+
+    # --- epipolar SAD sub-pixel (BEYOND the reference: its KB8 matches
+    # stay at integer keypoints, leaving a z^2/(b·f)-per-px depth-noise
+    # floor ~0.2 m/px at z=3 m for an 11 cm rig). Slide an 11x11 SAD
+    # window along the epipolar tangent at the matched right feature —
+    # the direction its projection moves as the point slides along the
+    # left ray — parabola-fit, and re-triangulate at the refined pixel.
+    xy_r0 = feat_r.xy[res.idx]
+    xy_r_chk = xy_r0
+    if KB8_SUBPIXEL:
+        from ..ops import stereo as stereo_mod
+        uvr0 = cameras.project(cam_r, T_r.apply(X))
+        dtan = cameras.project(cam_r, T_r.apply(X * 1.05)) - uvr0
+        e_dir = dtan / jnp.maximum(
+            jnp.linalg.norm(dtan, axis=-1, keepdims=True), 1e-6)
+        # only refine matches with real depth information: past ~60x the
+        # baseline one pixel of slide moves depth by z^2/(b f) >> the
+        # SAD minimum's reliability, and slanted-patch appearance bias
+        # systematically drags far points (measured: gentle-sequence
+        # Horn scale 1.00 -> 0.96 with unrestricted refinement)
+        near = X[:, 2] < 60.0 * jnp.linalg.norm(t_rl)
+        delta, ok_ref = stereo_mod.epipolar_sad_refine(
+            img_l, img_r, prep_l.feat.xy, xy_r0, e_dir,
+            res.valid & tri_ok & near)
+        # wander guards: the descriptor match already localized the
+        # feature to ~1 px, so a trustworthy SAD minimum is SMALL; a
+        # large slide means SAD and the descriptor disagree (repeated
+        # texture / slanted-patch appearance bias) and at far range the
+        # noisy initial depth lets such slides drag points meters
+        # (measured: +1.5% far-band bias without these guards)
+        ok_ref = ok_ref & (jnp.abs(delta) <= 2.5)
+        xy_r_use = xy_r0 + jnp.where(ok_ref, delta, 0.0)[:, None] * e_dir
+        xyn_r_use = cameras.unproject(cam_r, xy_r_use)[:, :2]
+        X2, tri_ok2 = triangulate.triangulate(T_l, prep_l.xyn, T_r,
+                                              xyn_r_use)
+        dz = X2[:, 2] / jnp.maximum(X[:, 2], 1e-6)
+        use = ok_ref & tri_ok2 & (dz > 0.8) & (dz < 1.25)
+        X = jnp.where(use[:, None], X2, X)
+        tri_ok = jnp.where(use, tri_ok2, tri_ok)
+        xy_r_chk = jnp.where(use[:, None], xy_r_use, xy_r0)
+
     z_l = X[:, 2]
     z_r = T_r.apply(X)[:, 2]
     # reprojection checks in both views (chi2 < 5.991, sigma 1px)
     uv_l = cameras.project(cam_l, X)
     uv_r = cameras.project(cam_r, T_r.apply(X))
     e_l = jnp.sum((uv_l - prep_l.feat.xy) ** 2, axis=-1)
-    e_r = jnp.sum((uv_r - feat_r.xy[res.idx]) ** 2, axis=-1)
+    e_r = jnp.sum((uv_r - xy_r_chk) ** 2, axis=-1)
     baseline = jnp.linalg.norm(t_rl)
     good = (res.valid & tri_ok & (z_l > baseline * 2) & (z_r > baseline * 2)
             & (e_l < 5.991) & (e_r < 5.991))
